@@ -1,0 +1,323 @@
+"""Pure-Python HTML → block-list parser (stdlib only, deterministic).
+
+This is the HTML half of the parse operator (SURVEY.md §2.2 P1/P2/P4): it
+turns one HTML payload into an ordered list of *blocks* — the analogue of
+the reference's per-page ``extractBLOCKS`` output
+(reference: ocr_module/adapters/infra/pymupdf/pymupdf_ocr_repository.py:195-198)
+and of its paragraph-role model
+(reference: ocr_module/adapters/infra/azure/azure_ocr_repository.py:320-354).
+
+The function is **pure and per-document**: no cross-document state, no I/O,
+no randomness. It is imported both by the pytest oracle (tests/) and by the
+Arrow-batched Spark UDFs (pipeline.py); that shared implementation is what
+pins the byte-identity contract of BASELINE.json.
+
+Spec (pinned here, asserted by tests/test_oracle.py):
+
+* Only content under ``<body>`` is considered; ``script/style/noscript/
+  template/svg/head`` subtrees are ignored entirely.
+* Block-emitting tags: p, h1-h6, li, pre, blockquote, figcaption, dt, dd.
+  ``<table>`` emits ONE block of kind ``table`` (rows joined by ``\\n``,
+  cells by ``\\t``); its cells do not emit paragraph blocks.
+  ``<img>`` outside a table emits a ``figure`` block (text = alt text, not
+  counted into main text).
+* Reading order = document order; ``block_no`` is the 0-based global index
+  of the emitted block.
+* Synthetic pages: ``page_number = block_no // PAGE_BLOCKS`` (the graft input
+  is paged the way the reference pages PDFs; FIXTURES.md §2 H5).
+* Roles (reference role vocabulary, azure_ocr_repository.py:345):
+  h1-h6 → ``sectionHeading``; any ancestor ``<nav>``/``<header>`` or class
+  token ``nav``/``header``/``masthead`` → ``pageHeader``; ancestor
+  ``<footer>`` or class token ``footer`` → ``pageFooter``; class token
+  ``footnote`` → ``footnote``; class token ``formulablock`` →
+  ``formulaBlock``; else None.
+* ``section_id`` = number of heading blocks emitted strictly before this
+  block, i.e. each sectionHeading starts a new section that it belongs to;
+  preamble before the first heading is section 0.
+* Text normalization per block: runs of whitespace collapsed to one ASCII
+  space, stripped. ``text_len`` = len of that text; ``link_text_len`` = the
+  normalized length of the part of the text inside ``<a>`` descendants.
+* Inline formula payloads: ``<span class="formula" data-latex="...">``
+  elements contribute a payload (page_number, latex) attached to the page of
+  the block being built (or the page the NEXT block would start if between
+  blocks); the span's own text is NOT part of the block text. The literal
+  token ``:formula:`` inside block text marks a placeholder site
+  (reference: usecase/change_formula_id.py:50-64).
+* Blocks with empty normalized text are emitted only for kinds figure/table.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+PAGE_BLOCKS = 10
+FORMULA_TOKEN = ":formula:"
+
+_WS_RE = re.compile(r"\s+")
+
+_IGNORE_SUBTREE = {"script", "style", "noscript", "template", "svg", "head"}
+_BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "pre", "blockquote", "figcaption", "dt", "dd",
+}
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_HEADER_TAGS = {"nav", "header"}
+_HEADER_CLASSES = {"nav", "header", "masthead"}
+_FOOTER_TAGS = {"footer"}
+_VOID_TAGS = {
+    "img", "br", "hr", "meta", "link", "input", "area", "base",
+    "col", "embed", "source", "track", "wbr",
+}
+
+
+def _norm(text: str) -> str:
+    return _WS_RE.sub(" ", text).strip()
+
+
+@dataclass
+class Block:
+    page_number: int
+    block_no: int
+    kind: str                 # paragraph | figure | table
+    role: Optional[str]
+    tag_path: str
+    depth: int
+    text: str
+    text_len: int
+    link_text_len: int
+    bbox: Optional[List[float]]
+    section_id: int
+    n_tokens: int             # count of FORMULA_TOKEN occurrences in text
+
+
+@dataclass
+class ParseResult:
+    blocks: List[Block] = field(default_factory=list)
+    payloads: List[Tuple[int, str]] = field(default_factory=list)  # (page, latex)
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.result = ParseResult()
+        self._stack: List[Tuple[str, str]] = []   # (tag, class attr lowered)
+        self._ignore_depth = 0
+        self._a_depth = 0
+        # current open block accumulation
+        self._block_tag: Optional[str] = None
+        self._block_path: str = ""
+        self._block_depth: int = 0
+        self._block_parts: List[str] = []
+        self._block_link_parts: List[str] = []
+        self._block_role: Optional[str] = None
+        # table accumulation
+        self._table_depth = 0
+        self._table_rows: List[List[str]] = []
+        self._cell_parts: Optional[List[str]] = None
+        # counters
+        self._n_headings = 0
+
+    # -- helpers -----------------------------------------------------------
+    def _classes(self, attrs) -> str:
+        for k, v in attrs:
+            if k == "class" and v:
+                return v.lower()
+        return ""
+
+    def _attr(self, attrs, name: str) -> Optional[str]:
+        for k, v in attrs:
+            if k == name:
+                return v
+        return None
+
+    def _role_for(self, tag: str, own_class: str) -> Optional[str]:
+        ctx_tags = {t for t, _ in self._stack} | {tag}
+        ctx_classes = set()
+        for _, cls in self._stack:
+            ctx_classes.update(cls.split())
+        ctx_classes.update(own_class.split())
+        if "formulablock" in ctx_classes:
+            return "formulaBlock"
+        if "footnote" in ctx_classes:
+            return "footnote"
+        if ctx_tags & _FOOTER_TAGS or "footer" in ctx_classes:
+            return "pageFooter"
+        if ctx_tags & _HEADER_TAGS or ctx_classes & _HEADER_CLASSES:
+            return "pageHeader"
+        if tag in _HEADING_TAGS:
+            return "sectionHeading"
+        return None
+
+    def _next_block_no(self) -> int:
+        return len(self.result.blocks)
+
+    def _cur_page(self) -> int:
+        return self._next_block_no() // PAGE_BLOCKS
+
+    def _emit(self, kind: str, role: Optional[str], tag_path: str, depth: int,
+              text: str, link_text: str) -> None:
+        text = _norm(text)
+        if not text and kind == "paragraph":
+            return
+        # a sectionHeading starts a new section and belongs to it; blocks
+        # before the first heading are section 0
+        # (dual page/section view: reference section_models.py:7-28)
+        if kind == "paragraph" and role == "sectionHeading":
+            self._n_headings += 1
+        bno = self._next_block_no()
+        self.result.blocks.append(Block(
+            page_number=bno // PAGE_BLOCKS,
+            block_no=bno,
+            kind=kind,
+            role=role,
+            tag_path=tag_path,
+            depth=depth,
+            text=text,
+            text_len=len(text),
+            link_text_len=len(_norm(link_text)),
+            bbox=None,
+            section_id=self._n_headings,
+            n_tokens=text.count(FORMULA_TOKEN),
+        ))
+
+    def _flush_block(self) -> None:
+        if self._block_tag is None:
+            return
+        tag = self._block_tag
+        self._block_tag = None
+        self._emit(
+            "paragraph", self._block_role, self._block_path, self._block_depth,
+            "".join(self._block_parts), "".join(self._block_link_parts),
+        )
+        self._block_parts = []
+        self._block_link_parts = []
+        self._block_role = None
+
+    # -- HTMLParser hooks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS and tag != "img":
+            return
+        if self._ignore_depth:
+            if tag not in _VOID_TAGS:
+                self._ignore_depth += 1
+            return
+        if tag in _IGNORE_SUBTREE:
+            self._ignore_depth = 1
+            return
+        cls = self._classes(attrs)
+
+        if tag == "img":
+            if self._table_depth == 0 and self._block_tag is None:
+                alt = self._attr(attrs, "alt") or ""
+                role = self._role_for(tag, cls)
+                path = "/".join(t for t, _ in self._stack) + "/img"
+                self._emit("figure", role, path, len(self._stack) + 1, alt, "")
+            return
+
+        if tag == "span" and "formula" in cls.split():
+            latex = self._attr(attrs, "data-latex") or ""
+            self.result.payloads.append((self._cur_page(), latex))
+            self._stack.append((tag, cls))
+            return
+
+        if tag == "table":
+            self._flush_block()
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self._table_rows = []
+                self._cell_parts = None
+            self._stack.append((tag, cls))
+            return
+
+        if self._table_depth:
+            if tag == "tr":
+                self._table_rows.append([])
+            elif tag in ("td", "th"):
+                self._cell_parts = []
+            self._stack.append((tag, cls))
+            return
+
+        if tag in _BLOCK_TAGS:
+            self._flush_block()
+            self._block_tag = tag
+            self._block_path = "/".join(t for t, _ in self._stack) + "/" + tag
+            self._block_depth = len(self._stack) + 1
+            self._block_parts = []
+            self._block_link_parts = []
+            self._block_role = self._role_for(tag, cls)
+        elif tag == "a":
+            self._a_depth += 1
+
+        self._stack.append((tag, cls))
+
+    def handle_endtag(self, tag):
+        if self._ignore_depth:
+            self._ignore_depth -= 1
+            return
+        if tag in _VOID_TAGS:
+            return
+        # pop matching tag from stack (tolerant of malformed nesting)
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                del self._stack[i:]
+                break
+        self._a_depth = sum(1 for t, _ in self._stack if t == "a")
+        if tag == "table" and self._table_depth:
+            self._table_depth -= 1
+            if self._table_depth == 0:
+                if self._cell_parts is not None and self._table_rows:
+                    self._table_rows[-1].append(_norm("".join(self._cell_parts)))
+                    self._cell_parts = None
+                rows = ["\t".join(c for c in row) for row in self._table_rows if row]
+                text = "\n".join(r for r in rows if r.strip())
+                bno = self._next_block_no()
+                self.result.blocks.append(Block(
+                    page_number=bno // PAGE_BLOCKS, block_no=bno, kind="table",
+                    role=None, tag_path="table", depth=len(self._stack) + 1,
+                    text=text, text_len=len(text), link_text_len=0,
+                    bbox=None, section_id=self._n_headings,
+                    n_tokens=text.count(FORMULA_TOKEN),
+                ))
+            return
+        if self._table_depth and tag in ("td", "th") and self._cell_parts is not None:
+            if self._table_rows:
+                self._table_rows[-1].append(_norm("".join(self._cell_parts)))
+            self._cell_parts = None
+            return
+        if tag in _BLOCK_TAGS and self._block_tag is not None:
+            self._flush_block()
+
+    def handle_data(self, data):
+        if self._ignore_depth or not data:
+            return
+        # text inside a formula span is payload-only, never block text
+        if any(t == "span" and "formula" in c.split() for t, c in self._stack):
+            return
+        if self._table_depth:
+            if self._cell_parts is not None:
+                self._cell_parts.append(data)
+            return
+        if self._block_tag is not None:
+            self._block_parts.append(data)
+            if self._a_depth:
+                self._block_link_parts.append(data)
+
+    def close(self):
+        super().close()
+        self._flush_block()
+
+
+def parse_html(payload: bytes) -> ParseResult:
+    """Parse one HTML payload (UTF-8, errors replaced) into ordered blocks."""
+    text = payload.decode("utf-8", errors="replace")
+    p = _Extractor()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        # malformed beyond the tolerant parser: keep whatever was emitted
+        p._flush_block()
+    return p.result

@@ -1,0 +1,131 @@
+"""Single-document extraction oracle — the executable spec.
+
+``extract_document`` is a pure function: one ``(url, payload)`` in, one
+extraction-result dict out (FIXTURES.md §5 schema). It composes the shared
+parse (htmlparse/blocklist), classification (classify) and placeholder-
+alignment logic. The Spark pipeline's fast path runs THIS function inside
+``mapInPandas`` over Arrow batches; pytest runs it directly on golden
+fixtures. One implementation, two harnesses — that is how the per-url
+byte-identity contract of BASELINE.json is pinned.
+
+Semantics grafted from the reference (citations per step):
+
+* id assignment: dense, strictly increasing in reading order, separately
+  per entity kind — reference running counters
+  (azure_ocr_repository.py:339,377,428,481; W1 in SURVEY.md §2.5);
+* placeholder alignment: the k-th ``:formula:`` token on a page (counting
+  over kept paragraphs in reading order, counter resets per page) is
+  rewritten to ``<formula_k/>`` — reference per-page running counter
+  (usecase/change_formula_id.py:50-64; W2/J11);
+* mismatch audit: a page whose token count differs from its payload count
+  flags the document (azure_ocr_repository.py:236-240; A5);
+* section membership: kept elements grouped by section with id-lists,
+  the reference's pointer-membership join result
+  (azure_ocr_repository.py:504-659; J1-J3);
+* text assembly: ``"\n".join`` of kept paragraph contents in reading order
+  (usecase/change_formula_id.py:27-29; F9) — the byte-identity surface.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from .blocklist import is_blocklist, parse_blocklist
+from .classify import keep_block
+from .htmlparse import FORMULA_TOKEN, ParseResult, parse_html
+
+
+def parse_payload(payload: Optional[bytes]) -> ParseResult:
+    """Dispatch one payload to the HTML or block-list parser."""
+    if not payload:
+        return ParseResult()
+    if is_blocklist(payload):
+        return parse_blocklist(payload)
+    return parse_html(payload)
+
+
+def rewrite_placeholders(text: str, start_index: int) -> str:
+    """Replace the i-th ``:formula:`` occurrence with ``<formula_{start+i}/>``.
+
+    Sequential replace-first semantics (order-sensitive — reference iterates
+    ``str.replace(token, tag, 1)``: change_formula_id.py:55-58). Implemented
+    as split+rejoin, which is equivalent and O(n).
+    """
+    parts = text.split(FORMULA_TOKEN)
+    if len(parts) == 1:
+        return text
+    out = [parts[0]]
+    for i, rest in enumerate(parts[1:]):
+        out.append(f"<formula_{start_index + i}/>")
+        out.append(rest)
+    return "".join(out)
+
+
+def extract_document(url: str, payload: Optional[bytes]) -> Dict:
+    """Extract one document. Returns the FIXTURES.md §5 row as a dict."""
+    parsed = parse_payload(payload)
+    blocks = parsed.blocks
+
+    # classification (boilerplate strip)
+    kept = [b for b in blocks if keep_block(b.kind, b.role, b.text_len, b.link_text_len)]
+
+    # dense ids per kind, reading order (W1)
+    paragraphs = [b for b in kept if b.kind == "paragraph"]
+    tables = [b for b in kept if b.kind == "table"]
+    figures = [b for b in kept if b.kind == "figure"]
+
+    # payload counts per page for the mismatch audit (A5)
+    payloads_per_page: Dict[int, int] = {}
+    for page, _latex in parsed.payloads:
+        payloads_per_page[page] = payloads_per_page.get(page, 0) + 1
+
+    # per-page running counter rewrite (W2/J11)
+    spans: List[Dict] = []
+    tokens_per_page: Dict[int, int] = {}
+    counters: Dict[int, int] = {}
+    for pid, b in enumerate(paragraphs):
+        start = counters.get(b.page_number, 0)
+        content = rewrite_placeholders(b.text, start) if b.n_tokens else b.text
+        counters[b.page_number] = start + b.n_tokens
+        tokens_per_page[b.page_number] = tokens_per_page.get(b.page_number, 0) + b.n_tokens
+        spans.append({
+            "paragraph_id": pid,
+            "page_number": b.page_number,
+            "role": b.role,
+            "bbox": b.bbox,
+            "content": content,
+        })
+
+    mismatch = any(
+        tokens_per_page.get(p, 0) != payloads_per_page.get(p, 0)
+        for p in set(tokens_per_page) | set(payloads_per_page)
+    )
+
+    # section membership (J1-J3): id-lists per section over kept elements
+    sec_ids = sorted({b.section_id for b in kept})
+    para_by_block = {b.block_no: pid for pid, b in enumerate(paragraphs)}
+    table_by_block = {b.block_no: tid for tid, b in enumerate(tables)}
+    fig_by_block = {b.block_no: fid for fid, b in enumerate(figures)}
+    sections = []
+    for sid in sec_ids:
+        members = [b for b in kept if b.section_id == sid]
+        sections.append({
+            "section_id": sid,
+            "paragraph_ids": [para_by_block[b.block_no] for b in members
+                              if b.kind == "paragraph"],
+            "table_ids": [table_by_block[b.block_no] for b in members
+                          if b.kind == "table"],
+            "figure_ids": [fig_by_block[b.block_no] for b in members
+                           if b.kind == "figure"],
+        })
+
+    n_pages = (max(b.page_number for b in blocks) + 1) if blocks else 0
+
+    return {
+        "url": url,
+        "text": "\n".join(s["content"] for s in spans),
+        "spans": spans,
+        "sections": sections,
+        "n_pages": n_pages,
+        "mismatch_flag": bool(mismatch),
+    }
