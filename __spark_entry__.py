@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction over the deterministic
+synthetic crawl; ``queries()``/``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 plus the training-data-pipeline suites
+(dedup / similarity search / text analysis) with DuckDB oracles where the
+semantics are SQL-expressible. Extraction queries (HTML parse inside
+Arrow-batched UDFs) have no SQL oracle — their correctness gate is the
+byte-identity pytest suite against committed golden fixtures.
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full main-content extraction at smoke scale."""
+    from ocr_module_spark.operators.extraction import q_extract_text
+    return q_extract_text(spark, "/root/testdata/sf0.001")
+
+
+def _registry():
+    from ocr_module_spark.functions import registry as fn_registry
+    from ocr_module_spark.operators import registry as op_registry
+    reg = {}
+    reg.update(op_registry())
+    reg.update(fn_registry())
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items()
+            if sql is not None}

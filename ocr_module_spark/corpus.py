@@ -198,7 +198,9 @@ def pages_df(spark, n: int):
     """Distributed deterministic pages DataFrame of n rows (no driver loop)."""
     import pandas as pd
 
+    from .deploy import ensure_pyfiles
     from .schemas import PAGES_SCHEMA
+    ensure_pyfiles(spark)
 
     def gen(batches):
         for pdf in batches:

@@ -1,0 +1,208 @@
+"""Deduplication over the ``documents`` table — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Scale notes (the point of each design):
+
+* exact/normalized dedup is a hash ``groupBy`` — one shuffle on a 32-byte
+  key, AQE-coalesced; at 100 TB this is the cheapest possible full-corpus
+  pass.
+* MinHash signatures are computed with ONE explode + two aggregations
+  (min per band); LSH candidate generation is then an equi-join on
+  ``(band, signature)`` — never an all-pairs comparison.
+* n-gram Jaccard is evaluated only on a bounded candidate window (the LSH
+  idea): explode distinct tokens, self-join on token, count intersections;
+  union sizes come from a broadcastable per-doc count.
+* SimHash packs sign-sums of per-token hash bits into a 16-bit key using
+  only portable hex arithmetic, so the DuckDB oracle is bit-exact.
+
+All hashing is md5-hex (identical bytes in Spark and DuckDB) — not for
+speed but for cross-engine verifiability; a production deployment would
+swap in ``xxhash64`` with one line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BANDS = 4
+JACCARD_DOCS = 300          # candidate window for the pairwise demo
+JACCARD_THRESHOLD = 0.2
+SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep canonical min doc_id."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("canonical_doc")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint, count(*) AS n_dups,
+       min(doc_id) AS canonical_doc
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: band b's signature = min over distinct tokens of
+    md5(b || '|' || token). One explode, one min-agg per band."""
+    d = _docs(spark, sf_dir)
+    tok = (d.select("doc_id", F.explode(
+        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w")))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("w")).cast("binary")))
+            .alias(f"sig_{b}") for b in range(N_BANDS)]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+SQL_DEDUP_MINHASH = (
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct("
+    "string_split_regex(trim(text), '\\s+'))) AS w FROM documents)\n"
+    "SELECT doc_id, "
+    + ", ".join(f"min(md5('{b}|' || w)) AS sig_{b}" for b in range(N_BANDS))
+    + "\nFROM tok GROUP BY doc_id"
+)
+
+
+def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band signature land in one bucket;
+    buckets with >= 2 docs are the near-dup candidates (equi-join key,
+    not an all-pairs scan)."""
+    sigs = q_dedup_minhash(spark, sf_dir)
+    stacked = sigs.selectExpr(
+        "doc_id",
+        "stack({n}, {cols}) as (band, sig)".format(
+            n=N_BANDS,
+            cols=", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))))
+    return (stacked.groupBy("band", "sig")
+            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+            .where(F.col("n_docs") >= 2))
+
+
+SQL_DEDUP_LSH_BUCKETS = (
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct("
+    "string_split_regex(trim(text), '\\s+'))) AS w FROM documents),\n"
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{b}|' || w)) AS sig_{b}" for b in range(N_BANDS))
+    + " FROM tok GROUP BY doc_id),\n"
+    "stacked AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs"
+        for b in range(N_BANDS))
+    + ")\n"
+    "SELECT band, sig, count(*) AS n_docs, min(doc_id) AS min_doc\n"
+    "FROM stacked GROUP BY band, sig HAVING count(*) >= 2"
+)
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard similarity on a bounded candidate window:
+    explode distinct tokens, self-equi-join on token (shared count),
+    join per-doc set sizes, jaccard = shared / (na + nb - shared)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < JACCARD_DOCS)
+    tok = d.select("doc_id", F.explode(
+        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("nset"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nset").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nset").alias("nb"))
+    jac = F.round(F.col("shared") /
+                  (F.col("na") + F.col("nb") - F.col("shared")), 4)
+    return (shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+SQL_DEDUP_JACCARD_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+  FROM documents WHERE doc_id < {JACCARD_DOCS}
+), sizes AS (
+  SELECT doc_id, count(*) AS nset FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (sa.nset + sb.nset - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / (sa.nset + sb.nset - shared), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _hex4_to_int(col):
+    """Portable hex→int for the first 4 hex chars of an md5 (16 bits)."""
+    digits = "0123456789abcdef"
+    total = F.lit(0)
+    for pos in range(4):
+        total = total + (F.instr(F.lit(digits),
+                                 F.substring(col, pos + 1, 1)) - 1) * (16 ** (3 - pos))
+    return total
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: bit b is the sign of the sum over distinct tokens of
+    (+1 if bit b of the token hash else -1)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(
+        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"))
+    h = _hex4_to_int(F.md5(F.col("w").cast("binary")))
+    tok = tok.withColumn("h", h)
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"s_{b}") > 0, 2 ** b).otherwise(0)
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _sql_hex4(expr: str) -> str:
+    parts = [
+        f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+        for p in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+SQL_DEDUP_SIMHASH = (
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct("
+    "string_split_regex(trim(text), '\\s+'))) AS w FROM documents),\n"
+    "h AS (SELECT doc_id, " + _sql_hex4("md5(w)") + " AS h FROM tok),\n"
+    "sums AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(SIMHASH_BITS))
+    + " FROM h GROUP BY doc_id)\n"
+    "SELECT doc_id, ("
+    + " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END"
+        for b in range(SIMHASH_BITS))
+    + ")::BIGINT AS simhash FROM sums"
+)
+
+
+REGISTRY = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signatures": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_lsh_buckets": (q_dedup_lsh_buckets, SQL_DEDUP_LSH_BUCKETS),
+    "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+}

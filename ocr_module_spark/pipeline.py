@@ -92,6 +92,8 @@ def extract(pages: DataFrame, repartition: bool = True,
 
     Runs the exact oracle per document (byte-identity by construction).
     """
+    from .deploy import ensure_pyfiles
+    ensure_pyfiles(pages.sparkSession)
     df = pages.select("url", "html")
     if repartition:
         df = salted_repartition(df, num_partitions)
@@ -124,6 +126,8 @@ def parse_nodes(pages: DataFrame, repartition: bool = False) -> DataFrame:
     row in, one row per block out (plus ``kind='payload'`` sidecar rows for
     inline formula payloads). Reference: pymupdf_ocr_repository.py:195-198.
     """
+    from .deploy import ensure_pyfiles
+    ensure_pyfiles(pages.sparkSession)
     df = pages.select("url", "html")
     if repartition:
         df = salted_repartition(df)
@@ -173,6 +177,8 @@ def rewrite_placeholders_df(paragraphs: DataFrame) -> DataFrame:
     Arrow-batched pandas UDF (regexp_replace would replace all — SURVEY.md
     §7.2 hard part (b)).
     """
+    from .deploy import ensure_pyfiles
+    ensure_pyfiles(paragraphs.sparkSession)
     w = (W.partitionBy("url", "page_number").orderBy("block_no")
          .rowsBetween(W.unboundedPreceding, -1))
     with_start = paragraphs.withColumn(

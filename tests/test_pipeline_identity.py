@@ -1,0 +1,104 @@
+"""End-to-end Spark pipeline tests: byte-identity vs the oracle, and
+fast-path vs relational-path agreement (SURVEY.md §5.2 items 1-2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_module_spark import corpus, oracle, pipeline
+
+N_DOCS = 96  # 12 full shape cycles, includes mismatch/malformed variants
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = corpus.pages_df(spark, N_DOCS).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def extracted(pages):
+    rows = pipeline.extract(pages).collect()
+    return {r["url"]: r for r in rows}
+
+
+def _expected():
+    return {r["url"]: oracle.extract_document(r["url"], r["html"])
+            for r in corpus.rows(N_DOCS)}
+
+
+def test_fast_path_byte_identity(extracted):
+    exp = _expected()
+    assert set(extracted) == set(exp)
+    for url, e in exp.items():
+        got = extracted[url]
+        assert got["text"] == e["text"], url          # byte-exact per url
+        assert got["n_pages"] == e["n_pages"], url
+        assert got["mismatch_flag"] == e["mismatch_flag"], url
+        got_spans = [(s["paragraph_id"], s["page_number"], s["role"],
+                      list(s["bbox"]) if s["bbox"] is not None else None,
+                      s["content"]) for s in got["spans"]]
+        exp_spans = [(s["paragraph_id"], s["page_number"], s["role"],
+                      s["bbox"], s["content"]) for s in e["spans"]]
+        assert got_spans == exp_spans, url
+        got_secs = [(s["section_id"], list(s["paragraph_ids"]),
+                     list(s["table_ids"]), list(s["figure_ids"]))
+                    for s in got["sections"]]
+        exp_secs = [(s["section_id"], s["paragraph_ids"], s["table_ids"],
+                     s["figure_ids"]) for s in e["sections"]]
+        assert got_secs == exp_secs, url
+
+
+def test_relational_path_matches_fast_path(pages, extracted):
+    rel = {r["url"]: r for r in pipeline.extract_relational(pages).collect()}
+    assert set(rel) == set(extracted)
+    for url, fast in extracted.items():
+        assert rel[url]["text"] == fast["text"], url
+        assert rel[url]["mismatch_flag"] == fast["mismatch_flag"], url
+
+
+def test_relational_sections_match_oracle(pages):
+    exp = _expected()
+    nodes = pipeline.parse_nodes(pages)
+    secs = pipeline.sections_df(nodes).collect()
+    got: dict = {}
+    for r in secs:
+        got.setdefault(r["url"], []).append(
+            (r["section_id"], list(r["paragraph_ids"]),
+             list(r["table_ids"]), list(r["figure_ids"])))
+    for url, e in exp.items():
+        exp_secs = [(s["section_id"], s["paragraph_ids"], s["table_ids"],
+                     s["figure_ids"]) for s in e["sections"]]
+        assert sorted(got.get(url, [])) == sorted(exp_secs), url
+
+
+def test_salted_repartition_invariance(spark, pages):
+    """Same result set regardless of repartitioning (shuffle-safety)."""
+    a = pipeline.extract(pages, repartition=False)
+    b = pipeline.extract(pages, repartition=True, num_partitions=7)
+    ha = a.select(F.sha2(F.concat_ws("\x00", "url", "text"), 256).alias("h"))
+    hb = b.select(F.sha2(F.concat_ws("\x00", "url", "text"), 256).alias("h"))
+    assert sorted(r["h"] for r in ha.collect()) == \
+        sorted(r["h"] for r in hb.collect())
+
+
+def test_classify_agrees_with_pure_predicate(spark, pages):
+    """The native-expression classifier == classify.keep_block on every
+    fixture block (SURVEY.md hard part: one spec, two expressions)."""
+    from ocr_module_spark.classify import keep_block
+    nodes = pipeline.parse_nodes(pages)
+    rows = pipeline.classify_nodes(nodes).collect()
+    assert rows, "no blocks parsed"
+    for r in rows:
+        assert r["keep"] == keep_block(
+            r["kind"], r["role"], r["text_len"], r["link_text_len"]), dict(r)
+
+
+def test_extract_plan_is_single_stage(pages):
+    """The production plan must stay shuffle-free after the input exchange:
+    exactly one Exchange (the explicit salted repartition)."""
+    plan = pipeline.extract(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
