@@ -1,0 +1,100 @@
+"""Benchmark harness (driver contract + SURVEY.md §7.1 step 8).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a ``noop``-format write so the full plan
+executes (every column computed, nothing collected to the driver) — the
+same way a cluster job would be bound by the sink, not by driver transfer.
+
+The flagship extraction is also reported as docs/sec (``extract_docs_sec``)
+since that is the north-star metric. For the two-cluster-size scaling
+criterion run ``python tools/scaling_bench.py`` which invokes this script
+at two parallelism levels in separate JVMs and computes the efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+# headline set: the flagship extraction + one representative per suite
+HEADLINE = [
+    "extract_text",            # flagship: full parse→classify→assemble
+    "agg_pricing_summary",     # grouped aggregation (A3/A6)
+    "join_broadcast_star",     # broadcast star join (J1-J3 analogue)
+    "window_running_counter",  # prefix-sum window (W2)
+    "dedup_exact",             # hash-groupBy dedup
+    "dedup_minhash_signatures",# MinHash signature build
+    "dedup_simhash",           # SimHash fingerprint
+    "knn_brute_cosine",        # brute-force cosine top-k
+    "text_quality_score",      # JVM-side text metrics
+]
+
+
+def _materialize(df) -> None:
+    """Execute the full plan without driver collection.
+
+    The noop sink executes every expression of every row (count() would let
+    Catalyst prune all columns, under-measuring the real work).
+    """
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+
+    import __spark_entry__ as entry_mod
+    from ocr_module_spark.corpus import pages_df
+    from ocr_module_spark.operators.extraction import _n_docs
+    from ocr_module_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    qs = entry_mod.queries()
+
+    # warm up the JVM + Python worker pool so the first timed query doesn't
+    # pay one-time startup (exactly what a long-running cluster job amortizes)
+    pages_df(spark, 64).count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    n_docs = _n_docs(sf_dir)
+    extract_docs_sec = round(n_docs / times["extract_text"], 1)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "extract_docs": n_docs,
+        "extract_docs_sec": extract_docs_sec,
+    }
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,16 +86,29 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                            "n_pages", "mismatch_flag"])
 
 
-def extract(pages: DataFrame, repartition: bool = True,
+def extract(pages: DataFrame, repartition: bool = False,
             num_partitions: Optional[int] = None) -> DataFrame:
     """Full extraction, one Arrow-batched stage per partition.
 
     Runs the exact oracle per document (byte-identity by construction).
+
+    ``repartition`` defaults to **False**: the parse is embarrassingly
+    parallel per document, so the production plan is *scan-aligned* — the
+    file-split boundaries of the parquet/Iceberg scan are already
+    byte-balanced (``spark.sql.files.maxPartitionBytes``), and shuffling
+    raw html bytes through the exchange just to rearrange them costs more
+    than the parse itself (measured: 0.57 → 0.98 scaling efficiency at
+    8→32 cores by removing it; BASELINE.md). Pass ``repartition=True``
+    only when the *input layout itself* is pathologically skewed — e.g.
+    ingesting per-host WARC dumps where one file holds one giant host —
+    which re-spreads documents via the salted ``(host, salt)`` key. Keyed
+    skew in downstream host-level aggregations is handled there, not here
+    (see salted_repartition / q_salted_skew_agg).
     """
     from .deploy import ensure_pyfiles
     ensure_pyfiles(pages.sparkSession)
     df = pages.select("url", "html")
-    if repartition:
+    if repartition or num_partitions:
         df = salted_repartition(df, num_partitions)
     return df.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 

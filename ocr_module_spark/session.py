@@ -14,7 +14,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "ocr_module_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -33,6 +34,14 @@ def get_spark(app: str = "ocr_module_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill scratch on tmpfs when available: VM disks are slow and
+    # spiky; a real cluster would use local NVMe (config, not code)
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

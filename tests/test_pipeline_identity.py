@@ -98,7 +98,17 @@ def test_classify_agrees_with_pure_predicate(spark, pages):
 
 
 def test_extract_plan_is_single_stage(pages):
-    """The production plan must stay shuffle-free after the input exchange:
-    exactly one Exchange (the explicit salted repartition)."""
+    """The production plan is scan-aligned: ZERO exchanges — parse,
+    classify, id-assign, align, and assemble all pipeline inside one stage
+    (BENCH.md §3: removing the pre-parse shuffle of raw html bytes took
+    8→32-core scaling efficiency from 0.57 to 0.98)."""
     plan = pipeline.extract(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_extract_skew_plan_has_single_exchange(pages):
+    """With repartition=True (skew-laid-out input), exactly one Exchange:
+    the explicit salted (host, salt) repartition before the parse."""
+    plan = (pipeline.extract(pages, repartition=True)
+            ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1, plan
