@@ -9,11 +9,11 @@ value-hash comparison is exact.
 
 from __future__ import annotations
 
-from . import dedup, simsearch, textstats
+from . import dedup, multimodal, simsearch, textstats
 
 
 def registry():
     out = {}
-    for mod in (textstats, dedup, simsearch):
+    for mod in (textstats, dedup, simsearch, multimodal):
         out.update(mod.REGISTRY)
     return out

@@ -199,8 +199,102 @@ SQL_DEDUP_SIMHASH = (
 )
 
 
+NGRAM_N = 3
+NGRAM_DOCS = 300
+NGRAM_THRESHOLD = 0.05
+COSINE_THRESHOLD = 0.30
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram (shingle) Jaccard near-dup pairs on a bounded candidate
+    window: build distinct shingles per doc (JVM higher-order functions),
+    explode, self-equi-join on shingle — the n-gram variant of token-set
+    Jaccard; shingles capture local word ORDER, not just vocabulary."""
+    d = (_docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOCS)
+         .withColumn("w", F.split(F.trim("text"), r"\s+"))
+         .where(F.size("w") >= NGRAM_N))
+    sh = F.array_distinct(F.expr(
+        f"transform(sequence(0, size(w) - {NGRAM_N}), "
+        f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+    tok = d.select("doc_id", F.explode(sh).alias("s"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("nset"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nset").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nset").alias("nb"))
+    jac = F.round(F.col("shared") /
+                  (F.col("na") + F.col("nb") - F.col("shared")), 4)
+    return (shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= NGRAM_THRESHOLD))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < {NGRAM_DOCS}
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - {NGRAM_N - 1}),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM d WHERE len(w) >= {NGRAM_N}
+), sizes AS (
+  SELECT doc_id, count(*) AS nset FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (sa.nset + sb.nset - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / (sa.nset + sb.nset - shared), 4) >= {NGRAM_THRESHOLD}
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket as the candidate
+    equi-join key (never all-pairs), exact cosine on candidates only.
+    Vectors are L2-normalized so dot == cosine; computed JVM-side with
+    zip_with/aggregate. At 10^12 rows the bucket key bounds the shuffle
+    and each bucket's pair count."""
+    from .simsearch import _emb, _dot, _sign_bucket
+    e = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket("vec"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+                 "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+                 "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(_dot("va", "vb"), 4)
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= COSINE_THRESHOLD))
+
+
+SQL_DEDUP_EMBEDDING_COSINE = (
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ("
+    + " + ".join(
+        f"CASE WHEN embedding[{k + 1}] >= 0 THEN {2 ** k} ELSE 0 END"
+        for k in range(8))
+    + f""") AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v), 4) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_dot_product(a.v, c.v), 4) >= {COSINE_THRESHOLD}
+"""
+)
+
+
 REGISTRY = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                               SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_minhash_signatures": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_lsh_buckets": (q_dedup_lsh_buckets, SQL_DEDUP_LSH_BUCKETS),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD_PAIRS),

@@ -1,0 +1,225 @@
+"""Multimodal (binary) column operations for training-data pipelines.
+
+Media (image/audio/video) is carried as an opaque ``BINARY`` column plus a
+typed metadata struct — exactly how the reference separates ``image_data:
+bytes`` from its serialized entities (page_models.py:62-65,190-193; the
+design doc stores bytes in a keyed side-table, 設計.md:43-67). All
+operations here are Spark-side plumbing that is real and tested at scale
+semantics (schema, partitioning, Arrow batch shape); the pixel/sample
+*decode* itself is a deliberate stub (`NotImplementedError` or a
+deterministic fake) because no image/audio codec libraries exist in this
+sandbox — swap `_decode_real` for PIL/ffmpeg on a real deployment.
+
+Scale notes:
+
+* metadata extraction (mime sniff, byte length, checksum) is pure JVM
+  column arithmetic over the binary column — runs at scan speed, never
+  copies payload bytes into Python;
+* frame sampling is expressed with ``sequence`` + ``transform`` +
+  ``substring`` (JVM, codegen'd): the payload is sliced columnar-side, so
+  a 100 TB video table never round-trips whole payloads through Python;
+* feature extraction (the genuinely-Python step) is an Arrow-batched
+  ``mapInPandas`` whose output schema is fixed — one row per input row,
+  ``array<double>`` features — so it pipelines inside the scan stage with
+  zero shuffles, like pipeline.extract.
+
+The testdata has no binary column, so the driver-facing queries synthesize
+the payload deterministically as ``cast(text as binary)`` — identical bytes
+in DuckDB via ``encode(text)`` — keeping every step oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FRAME_BYTES = 64          # fake fixed-size "frame" for the sampling demo
+FRAME_STRIDE = 4          # sample every 4th frame
+N_FEATURES = 8
+
+MEDIA_META_SCHEMA = (
+    "n_bytes INT, checksum STRING, mime STRING"
+)
+
+
+def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a synthesized opaque binary payload column."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.withColumn("payload", F.col("text").cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# metadata: JVM-side, no Python
+# ---------------------------------------------------------------------------
+
+def media_metadata_cols(payload: str = "payload"):
+    """Typed metadata columns from an opaque binary payload (magic-byte
+    sniff + size + checksum) — the 'decode header' step, JVM-side."""
+    p = F.col(payload)
+    head = p.cast("string").substr(1, 4)
+    mime = (
+        F.when(head.startswith("<htm") | head.startswith("<!do"), "text/html")
+        .when(head.startswith("%PDF"), "application/pdf")
+        .when(head.startswith("{"), "application/json")
+        .otherwise("application/octet-stream")
+    )
+    return [
+        F.length(p).alias("n_bytes"),
+        F.md5(p).alias("checksum"),
+        mime.alias("mime"),
+    ]
+
+
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (size/checksum/mime sniff)."""
+    d = _docs_media(spark, sf_dir)
+    return d.select("doc_id", *media_metadata_cols())
+
+
+SQL_MM_METADATA = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum,
+       CASE WHEN substr(text, 1, 4) IN ('<htm', '<!do') THEN 'text/html'
+            WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+            WHEN substr(text, 1, 1) = '{' THEN 'application/json'
+            ELSE 'application/octet-stream' END AS mime
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: JVM-side slicing (no payload bytes through Python)
+# ---------------------------------------------------------------------------
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary 'video': fixed FRAME_BYTES frames,
+    every FRAME_STRIDE-th sampled; emits one row per sampled frame with
+    its byte slice's checksum (the slice itself stays binary/columnar)."""
+    d = _docs_media(spark, sf_dir).where(F.col("doc_id") < 200)
+    n_frames = F.floor(F.length("payload") / FRAME_BYTES).cast("int")
+    d = d.withColumn("n_frames", n_frames).where(F.col("n_frames") > 0)
+    idx = F.explode(F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STRIDE)))
+    d = d.select("doc_id", "payload", "n_frames", idx.alias("frame_no"))
+    frame = F.col("payload").substr(
+        F.col("frame_no") * FRAME_BYTES + 1, F.lit(FRAME_BYTES))
+    return d.select(
+        "doc_id", "frame_no", "n_frames",
+        F.md5(frame).alias("frame_checksum"))
+
+
+SQL_MM_FRAME_SAMPLE = f"""
+-- payload bytes == text chars (ASCII corpus), so the oracle slices the
+-- VARCHAR; md5(string) == md5(its ascii bytes)
+WITH v AS (
+  SELECT doc_id, text,
+         CAST(floor(length(text) / {FRAME_BYTES}) AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id < 200
+), f AS (
+  SELECT doc_id, text, n_frames,
+         unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_no
+  FROM v WHERE n_frames > 0
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, n_frames,
+       md5(substr(text, CAST(frame_no * {FRAME_BYTES} + 1 AS INTEGER),
+                  {FRAME_BYTES})) AS frame_checksum
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# feature extraction: Arrow-batched Python (the stubbed decode seam)
+# ---------------------------------------------------------------------------
+
+def _decode_real(payload: bytes):  # pragma: no cover - deployment seam
+    """Real media decode (PIL/ffmpeg/soundfile). Not available in this
+    sandbox — swap in on a real deployment."""
+    raise NotImplementedError(
+        "media codecs are not installed; use fake_features (deterministic) "
+        "or provide a decoder at deployment")
+
+
+def fake_features(payload: bytes) -> list[float]:
+    """Deterministic fake 'decoded' feature vector: byte-histogram moments.
+
+    Stands in for image-embedding / mel-spectrogram extraction; pure
+    function of the bytes so tests and both engines agree.
+    """
+    if not payload:
+        return [0.0] * N_FEATURES
+    n = len(payload)
+    # scaled integer mean (x10000): exact on both engines, no FP rounding
+    # ties (banker's vs half-up) in the oracle comparison
+    feats = [float(n % 997), float((sum(payload) * 10000) // n)]
+    mean = sum(payload) / n
+    for b in range(N_FEATURES - 2):
+        bucket = sum(1 for x in payload if x % (N_FEATURES - 2) == b)
+        feats.append(round(bucket / n, 4))
+    return feats
+
+
+def media_features(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    One ``mapInPandas`` stage, fixed output schema ``(id, features)``;
+    batch shape = Arrow record batches of (id, payload). At 100 TB this
+    pipelines inside the scan stage — no shuffle, no driver collection.
+    """
+    from ..deploy import ensure_pyfiles
+    ensure_pyfiles(df.sparkSession)
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "features": [
+                    fake_features(bytes(p) if p is not None else b"")
+                    for p in pdf[payload_col]
+                ],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} long, features array<double>")
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction demo: first two fake features are SQL-mirrorable
+    (length mod 997, mean byte), so the Arrow plumbing is oracle-checked."""
+    d = _docs_media(spark, sf_dir)
+    feats = media_features(d)
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 2).alias("f_mean_byte"))
+
+
+SQL_MM_FEATURES = """
+-- the synthesized payload is ASCII text, so byte value == ascii(char)
+WITH u AS (
+  SELECT doc_id, length(text) AS n,
+         unnest(range(1, length(text) + 1)) AS i, text
+  FROM documents WHERE length(text) > 0
+), m AS (
+  SELECT doc_id, max(n) AS n,
+         (sum(ascii(substr(text, CAST(i AS INTEGER), 1)))::BIGINT * 10000)
+           // max(n) AS mean_byte
+  FROM u GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(m.n, 0) % 997 AS DOUBLE) AS f_len,
+       CAST(coalesce(m.mean_byte, 0.0) AS DOUBLE) AS f_mean_byte
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+
+REGISTRY = {
+    "mm_metadata": (q_mm_metadata, SQL_MM_METADATA),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "mm_features": (q_mm_features, SQL_MM_FEATURES),
+}

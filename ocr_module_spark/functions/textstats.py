@@ -128,8 +128,108 @@ FROM documents
 """
 
 
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+RH_K = 4                    # rolling-hash window (words)
+RH_B = 65599                # polynomial base
+RH_M = 2147483647           # modulus (2^31 - 1)
+
+
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate: GPT-2-style pre-tokenizer regex
+    (letter runs / single digits / punctuation), counted JVM-side —
+    the training-cost estimator over a 100 TB corpus at scan speed."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        (F.size(toks) - F.size(_words())).alias("tokens_minus_words"))
+
+
+SQL_BPE_TOKEN_ESTIMATE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words
+  FROM documents
+)
+SELECT doc_id, n_bpe AS n_bpe_tokens,
+       n_bpe - n_words AS tokens_minus_words
+FROM d
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): per-word 16-bit
+    hashes, polynomial {RH_K}-gram rolling hash mod 2^31-1, fingerprint =
+    min over windows — a content-locality-sensitive key robust to edits
+    outside the minimizing window. All-integer arithmetic, so the DuckDB
+    oracle is bit-exact; JVM higher-order functions, no Python."""
+    from .dedup import _hex4_to_int  # shared 16-bit word hash
+    d = (_docs(spark, sf_dir)
+         .withColumn("w", _words())
+         .withColumn("h", F.expr(
+             "transform(w, x -> cast("
+             + _hex4_sql_spark("md5(cast(x as binary))")
+             + " as bigint))")))
+    win = F.expr(
+        f"transform(sequence(0, size(h) - {RH_K}), i -> "
+        f"(((h[i] * {RH_B} % {RH_M} + h[i+1]) * {RH_B} % {RH_M} + h[i+2])"
+        f" * {RH_B} % {RH_M} + h[i+3]) % {RH_M})")
+    fp = F.when(F.size("h") >= RH_K, F.array_min(win)) \
+          .otherwise(F.element_at("h", 1))
+    return d.select("doc_id", fp.cast("long").alias("fingerprint"),
+                    F.size("h").alias("n_words"))
+
+
+def _hex4_sql_spark(expr: str) -> str:
+    """First 4 hex chars of an md5 as int, as a Spark SQL string expr."""
+    parts = [
+        f"(instr('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
+        f" * {16 ** (3 - p)}"
+        for p in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _hex4_sql_duck(expr: str) -> str:
+    parts = [
+        f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
+        f" * {16 ** (3 - p)}"
+        for p in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+SQL_ROLLING_FINGERPRINT = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(w, x -> {_hex4_sql_duck('md5(x)')}) AS h
+  FROM d
+), fp AS (
+  SELECT doc_id, len(h) AS n_words,
+         CASE WHEN len(h) >= {RH_K} THEN
+           list_min(list_transform(generate_series(1, len(h) - {RH_K - 1}),
+             i -> (((h[i] * {RH_B} % {RH_M} + h[i+1]) * {RH_B} % {RH_M}
+                    + h[i+2]) * {RH_B} % {RH_M} + h[i+3]) % {RH_M}))
+         ELSE h[1] END AS fingerprint
+  FROM h
+)
+SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint, n_words FROM fp
+"""
+
+
 REGISTRY = {
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "text_bpe_token_estimate": (q_bpe_token_estimate, SQL_BPE_TOKEN_ESTIMATE),
+    "text_rolling_fingerprint": (q_rolling_fingerprint,
+                                 SQL_ROLLING_FINGERPRINT),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "text_lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),

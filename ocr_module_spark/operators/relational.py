@@ -486,6 +486,150 @@ FROM documents WHERE doc_id < 100 GROUP BY lang
 """
 
 
+RANGE_BUCKET = 64
+
+
+def q_range_containment_join(spark, sf_dir):
+    """J10 span-containment (range) join with offset bucketing
+    (README.md:394-411; SURVEY.md §4.2): point ∈ interval via an
+    equi-join on ``bucket = off div K`` plus a residual range filter —
+    never a broadcast-nested-loop. Intervals explode to every bucket they
+    overlap; each point hits exactly one bucket, so no dedup is needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    points = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("p"),
+        "l_quantity")
+    iv = od.select(
+        "o_orderstatus",
+        (F.col("o_orderkey") * 8).alias("s"),
+        (F.col("o_orderkey") * 8 + F.pmod(F.col("o_orderkey"), F.lit(7)) + 1)
+        .alias("e"))
+    K = RANGE_BUCKET
+    iv_b = iv.select(
+        "o_orderstatus", "s", "e",
+        F.explode(F.sequence(F.floor(F.col("s") / K),
+                             F.floor(F.col("e") / K))).alias("bucket"))
+    pts_b = points.withColumn("bucket", F.floor(F.col("p") / K))
+    joined = pts_b.join(iv_b, "bucket").where(
+        (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+    return (joined.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_contained"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
+SQL_RANGE_CONTAINMENT_JOIN = """
+WITH points AS (
+  SELECT l_orderkey * 8 + l_linenumber AS p, l_quantity FROM lineitem
+), iv AS (
+  SELECT o_orderstatus, o_orderkey * 8 AS s,
+         o_orderkey * 8 + (o_orderkey % 7) + 1 AS e
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n_contained,
+       round(sum(l_quantity), 2) AS qty
+FROM points JOIN iv ON p >= s AND p <= e
+GROUP BY o_orderstatus
+"""
+
+
+def q_asof_ordinal_join(spark, sf_dir):
+    """J11 sequential/ordinal association (the i-th ``:formula:`` token
+    binds to the i-th formula payload — change_formula_id.py:50-64):
+    running-counter window (W2) assigns each 'paragraph' its token start
+    index; tokens posexplode to global ordinals; the payload side gets
+    ordinals from row_number; equi-join on (group, ordinal)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    n_tok = F.pmod(F.floor(F.abs(F.col("value"))).cast("int"), F.lit(3))
+    paras = ev.select("user_id", "event_id", n_tok.alias("n_tok"))
+    w = (W.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    paras = paras.withColumn(
+        "start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"))
+    tokens = (paras.where(F.col("n_tok") > 0)
+              .select("user_id", F.col("event_id").alias("para_event"),
+                      "start",
+                      F.explode(F.sequence(
+                          F.lit(0), F.col("n_tok") - 1)).alias("k"))
+              .select("user_id", "para_event",
+                      (F.col("start") + F.col("k")).alias("ordinal")))
+    wp = W.partitionBy("user_id").orderBy("event_id")
+    payloads = (ev.where(F.col("event_type") == "click")
+                .select("user_id", "event_id")
+                .withColumn("ordinal",
+                            (F.row_number().over(wp) - 1).cast("long"))
+                .select("user_id", "ordinal",
+                        F.md5(F.col("event_id").cast("string").cast("binary"))
+                        .alias("payload")))
+    return tokens.join(payloads, ["user_id", "ordinal"]) \
+        .select("user_id", "para_event", "ordinal", "payload")
+
+
+SQL_ASOF_ORDINAL_JOIN = """
+WITH ev AS (
+  SELECT * FROM events WHERE user_id < 40
+), paras AS (
+  SELECT user_id, event_id,
+         CAST(floor(abs(value)) AS INTEGER) % 3 AS n_tok,
+         coalesce(sum(CAST(floor(abs(value)) AS INTEGER) % 3) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM ev
+), tokens AS (
+  SELECT user_id, event_id AS para_event,
+         start + unnest(range(0, n_tok)) AS ordinal
+  FROM paras WHERE n_tok > 0
+), payloads AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+           AS ordinal,
+         md5(CAST(event_id AS VARCHAR)) AS payload
+  FROM ev WHERE event_type = 'click'
+)
+SELECT t.user_id, t.para_event, CAST(t.ordinal AS BIGINT) AS ordinal,
+       p.payload
+FROM tokens t JOIN payloads p
+  ON t.user_id = p.user_id AND t.ordinal = p.ordinal
+"""
+
+
+def q_regex_extract_rewrite(spark, sf_dir):
+    """F3 regex find-all + ordered payload substitution (the
+    ``<formula_i/>`` → latex rewrite, pylatex_generate_pdf_repository.py:
+    468-493): extract all indexed tags in order, map each to its payload,
+    reassemble in order — order-preserving, unlike a blind
+    regexp_replace-all."""
+    d = _t(spark, sf_dir, "documents")
+    content = F.concat(
+        F.lit("x <formula_"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("/> y <formula_"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("/> z"))
+    d = d.select("doc_id", content.alias("content"))
+    ids = F.regexp_extract_all("content", F.lit(r"<formula_(\d+)/>"), 1)
+    subst = F.expr(
+        "array_join(transform("
+        "regexp_extract_all(content, '<formula_(\\\\d+)/>', 1), "
+        "i -> md5(cast(i as binary))), '|')")
+    return d.select("doc_id", F.size(ids).alias("n_tags"),
+                    subst.alias("payloads_in_order"))
+
+
+SQL_REGEX_EXTRACT_REWRITE = r"""
+WITH d AS (
+  SELECT doc_id,
+         'x <formula_' || (doc_id % 5) || '/> y <formula_' || (doc_id % 7)
+           || '/> z' AS content
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(content, '<formula_(\d+)/>', 1)) AS n_tags,
+       list_aggregate(list_transform(
+         regexp_extract_all(content, '<formula_(\d+)/>', 1),
+         i -> md5(i)), 'string_agg', '|') AS payloads_in_order
+FROM d
+"""
+
+
 REGISTRY = {
     "agg_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "agg_usage_stats": (q_usage_stats, SQL_USAGE_STATS),
@@ -511,5 +655,10 @@ REGISTRY = {
     "fn_token_split_count": (q_token_split_count, SQL_TOKEN_SPLIT_COUNT),
     "agg_mismatch_audit": (q_mismatch_audit, SQL_MISMATCH_AUDIT),
     "agg_salted_skew": (q_salted_skew_agg, SQL_SALTED_SKEW_AGG),
+    "join_range_containment": (q_range_containment_join,
+                               SQL_RANGE_CONTAINMENT_JOIN),
+    "join_asof_ordinal": (q_asof_ordinal_join, SQL_ASOF_ORDINAL_JOIN),
+    "fn_regex_extract_rewrite": (q_regex_extract_rewrite,
+                                 SQL_REGEX_EXTRACT_REWRITE),
     "agg_ordered_reassembly": (q_ordered_reassembly, SQL_ORDERED_REASSEMBLY),
 }

@@ -1,0 +1,135 @@
+"""Unit tests for the training-data-pipeline suites (multimodal binary
+plumbing, dedup additions, text analysis). The DuckDB value-hash parity for
+every SQL-expressible query runs in tools/parity_check.py and the driver's
+gate; these tests pin the Python-side seams and the invariants the SQL
+comparison cannot see (schemas, stub behavior, determinism)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ocr_module_spark.functions import multimodal as mm
+
+
+# -- multimodal: the stubbed decode seam -------------------------------------
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm._decode_real(b"\x89PNG....")
+
+
+def test_fake_features_deterministic_and_shaped():
+    a = mm.fake_features(b"hello world payload")
+    b = mm.fake_features(b"hello world payload")
+    assert a == b
+    assert len(a) == mm.N_FEATURES
+    assert all(isinstance(x, float) for x in a)
+    # scaled-integer mean byte: exact, no FP rounding ties
+    payload = b"hello world payload"
+    assert a[1] == float(sum(payload) * 10000 // len(payload))
+
+
+def test_fake_features_empty_payload():
+    assert mm.fake_features(b"") == [0.0] * mm.N_FEATURES
+
+
+def test_media_features_arrow_plumbing(spark):
+    """media_features: fixed output schema, one row per input, values equal
+    the pure function — the Arrow batch boundary changes nothing."""
+    rows = [(1, b"abc def"), (2, b""), (3, None), (4, b"\x00\xff" * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.media_features(df)
+    assert out.schema.simpleString() == \
+        "struct<doc_id:bigint,features:array<double>>"
+    got = {r["doc_id"]: r["features"] for r in out.collect()}
+    assert len(got) == 4
+    for doc_id, payload in rows:
+        expect = mm.fake_features(payload or b"")
+        assert got[doc_id] == pytest.approx(expect), doc_id
+
+
+def test_media_features_single_stage_plan(spark):
+    """The feature extraction must pipeline inside the scan stage: no
+    Exchange in the physical plan."""
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    plan = mm.media_features(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_media_metadata_mime_sniff(spark):
+    rows = [(1, b"<html><body>x</body></html>"),
+            (2, b"%PDF-1.7 ..."),
+            (3, b'{"pages": []}'),
+            (4, b"\x89PNG\r\n")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: (r["mime"], r["n_bytes"], r["checksum"])
+           for r in df.select("doc_id", *mm.media_metadata_cols()).collect()}
+    assert out[1][0] == "text/html"
+    assert out[2][0] == "application/pdf"
+    assert out[3][0] == "application/json"
+    assert out[4][0] == "application/octet-stream"
+    for doc_id, payload in rows:
+        assert out[doc_id][1] == len(payload)
+        assert out[doc_id][2] == hashlib.md5(payload).hexdigest()
+
+
+def test_frame_sample_slicing(spark, sf_dir):
+    """Every sampled frame checksum equals the md5 of the corresponding
+    payload slice computed in plain Python (JVM substr semantics pinned)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where("doc_id < 20").collect()
+    text = {r["doc_id"]: r["text"] for r in docs}
+    out = mm.q_mm_frame_sample(spark, sf_dir) \
+        .where("doc_id < 20").collect()
+    assert out
+    for r in out:
+        payload = text[r["doc_id"]].encode()
+        start = r["frame_no"] * mm.FRAME_BYTES
+        sl = payload[start:start + mm.FRAME_BYTES]
+        assert r["frame_checksum"] == hashlib.md5(sl).hexdigest()
+        assert r["frame_no"] % mm.FRAME_STRIDE == 0
+
+
+# -- dedup additions ---------------------------------------------------------
+
+def test_embedding_cosine_pairs_symmetric_bounded(spark, sf_dir):
+    from ocr_module_spark.functions.dedup import (
+        COSINE_THRESHOLD, q_dedup_embedding_cosine)
+    rows = q_dedup_embedding_cosine(spark, sf_dir).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert COSINE_THRESHOLD <= r["cosine"] <= 1.0001
+
+
+def test_ngram_jaccard_in_unit_interval(spark, sf_dir):
+    from ocr_module_spark.functions.dedup import q_dedup_ngram_jaccard
+    rows = q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+# -- text analysis additions -------------------------------------------------
+
+def test_rolling_fingerprint_bounds_and_determinism(spark, sf_dir):
+    from ocr_module_spark.functions.textstats import (
+        RH_M, q_rolling_fingerprint)
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in q_rolling_fingerprint(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in q_rolling_fingerprint(spark, sf_dir).collect()}
+    assert a == b
+    assert all(0 <= v < RH_M for v in a.values())
+
+
+def test_bpe_token_estimate_superset_of_words(spark, sf_dir):
+    """The BPE-ish pre-tokenizer never yields fewer tokens than the
+    whitespace split (it only splits further)."""
+    from ocr_module_spark.functions.textstats import q_bpe_token_estimate
+    rows = q_bpe_token_estimate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens_minus_words"] >= 0
