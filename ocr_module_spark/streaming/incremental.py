@@ -1,0 +1,91 @@
+"""Incremental (streaming) extraction over a landing directory.
+
+The reference pipeline is batch-only (SURVEY.md §2.8): its only
+"incremental" behavior is per-page/per-section thread fan-out
+(usecase/translate_pdf.py:102-125). For continuous crawl ingestion the
+Spark-native shape is:
+
+* **source** — ``spark.readStream`` file source over the parquet landing
+  dir (new files = new crawl batches); schema pinned to PAGES_SCHEMA, no
+  inference at executors;
+* **transform** — ``foreachBatch`` into the *same* batch transform stack
+  (pipeline.extract → sinks.run_extraction): one code path for batch and
+  streaming, the extraction itself stays one shuffle-free Arrow stage;
+* **exactly-once** — the streaming checkpoint tracks which input files
+  each epoch consumed, and run_extraction's url anti-join makes replayed
+  epochs idempotent (two independent layers: offset tracking + idempotent
+  sink — a torn foreachBatch cannot double-write);
+* **metrics** — a watermarked tumbling-window aggregation over
+  ``warc_ts`` (docs/bytes per window per lang) demonstrating late-data
+  handling for monitor dashboards.
+
+``trigger(availableNow=True)`` drains everything present then stops —
+the cron-style incremental run a crawl pipeline actually schedules.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import sinks
+from ..schemas import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of pages batches (parquet files dropped into
+    ``landing_dir``). maxFilesPerTrigger bounds per-epoch work so one
+    giant drop cannot OOM an epoch."""
+    return (spark.readStream
+            .schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .option("recursiveFileLookup", "true")  # batches land as dirs
+            .parquet(landing_dir))
+
+
+def run_incremental_extraction(spark: SparkSession, landing_dir: str,
+                               out_dir: str,
+                               checkpoint_dir: Optional[str] = None,
+                               timeout_sec: int = 300) -> None:
+    """Drain the landing dir through the batch extraction sink, then stop.
+
+    Each epoch appends to ``out_dir`` through sinks.run_extraction, so the
+    output carries the same per-batch lineage manifest and the same resume
+    anti-join as batch runs — a file replayed by the checkpoint after a
+    crash is deduplicated by url, not double-counted.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(out_dir, "_checkpoint")
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        sinks.run_extraction(batch_df.sparkSession, batch_df, out_dir)
+
+    q = (stream_pages(spark, landing_dir).writeStream
+         .foreachBatch(_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+    q.stop()
+
+
+def stream_crawl_metrics(pages_stream: DataFrame,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window ingest metrics (docs, bytes per lang).
+
+    Late pages beyond the watermark are dropped from the window state —
+    bounded state at 10^12-row scale; emit to any sink in append mode.
+    """
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+            .agg(F.count("*").alias("docs"),
+                 F.sum(F.coalesce(F.length("html"), F.lit(0)))
+                 .alias("bytes_in"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "lang", "docs", "bytes_in"))

@@ -1,0 +1,94 @@
+"""Streaming extension tests: incremental drain, checkpointed progress,
+idempotence under replay, watermarked window metrics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from ocr_module_spark import corpus
+from ocr_module_spark.streaming import (
+    run_incremental_extraction,
+    stream_crawl_metrics,
+    stream_pages,
+)
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="ocr_stream_")
+    paths = {k: os.path.join(base, k) for k in ("landing", "out", "ckpt")}
+    os.makedirs(paths["landing"])
+    yield paths
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _drop_batch(spark, landing: str, start: int, n: int, name: str) -> None:
+    pdf = __import__("pandas").DataFrame.from_records(
+        list(corpus.rows(n, start=start)),
+        columns=["url", "warc_ts", "html", "text", "lang"])
+    from ocr_module_spark.schemas import PAGES_SCHEMA
+    spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(landing, name))
+
+
+def test_incremental_extraction_drains_and_resumes(spark, dirs):
+    _drop_batch(spark, dirs["landing"], 0, 60, "b0")
+    run_incremental_extraction(spark, dirs["landing"], dirs["out"],
+                               checkpoint_dir=dirs["ckpt"])
+    out1 = spark.read.parquet(os.path.join(dirs["out"], "data"))
+    assert out1.count() == 60
+
+    # second drop: only the new docs are processed (checkpoint skips b0's
+    # files; the sink's anti-join would also dedupe a replay)
+    _drop_batch(spark, dirs["landing"], 60, 40, "b1")
+    run_incremental_extraction(spark, dirs["landing"], dirs["out"],
+                               checkpoint_dir=dirs["ckpt"])
+    out2 = spark.read.parquet(os.path.join(dirs["out"], "data"))
+    assert out2.count() == 100
+    assert out2.select("url").distinct().count() == 100
+
+    # byte-identity holds through the streaming path
+    from ocr_module_spark import oracle
+    got = {r["url"]: r["text"] for r in out2.collect()}
+    for i in (0, 7, 63, 99):
+        row = corpus.row_for(i)
+        assert got[row["url"]] == oracle.extract_document(
+            row["url"], row["html"])["text"]
+
+
+def test_replay_is_idempotent(spark, dirs):
+    """Blowing away the checkpoint replays all files; the sink's url
+    anti-join keeps the output exactly-once anyway."""
+    _drop_batch(spark, dirs["landing"], 0, 50, "b0")
+    run_incremental_extraction(spark, dirs["landing"], dirs["out"],
+                               checkpoint_dir=dirs["ckpt"])
+    shutil.rmtree(dirs["ckpt"])  # simulate lost checkpoint
+    run_incremental_extraction(spark, dirs["landing"], dirs["out"],
+                               checkpoint_dir=dirs["ckpt"])
+    out = spark.read.parquet(os.path.join(dirs["out"], "data"))
+    assert out.count() == 50
+    assert out.select("url").distinct().count() == 50
+
+
+def test_windowed_metrics_with_watermark(spark, dirs):
+    _drop_batch(spark, dirs["landing"], 0, 80, "b0")
+    metrics = stream_crawl_metrics(stream_pages(spark, dirs["landing"]))
+    q = (metrics.writeStream.format("memory").queryName("crawl_metrics")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql(
+        "SELECT sum(docs) AS docs FROM crawl_metrics").collect()
+    # warc_ts advances 137 s/doc: 80 docs span ~3 windows; append mode
+    # emits only windows closed by the watermark — the final (open)
+    # window is retained in state, so emitted docs < 80 but > 0
+    assert rows[0]["docs"] is not None and 0 < rows[0]["docs"] <= 80
+    w = spark.sql("SELECT window_start, window_end, lang, docs, bytes_in "
+                  "FROM crawl_metrics").collect()
+    for r in w:
+        assert r["bytes_in"] > 0
+        assert r["window_end"] > r["window_start"]
