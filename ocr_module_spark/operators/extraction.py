@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .. import corpus, pipeline
 
-_N_BY_SF = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 4000}
+_N_BY_SF = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 16000}
 
 
 def _n_docs(sf_dir: str) -> int:

@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the scale discipline SURVEY.md §4.2 commits
+to must be visible in the executed plan, not just intended. Each test pins
+the property that matters at 100 TB (pushdown, broadcast vs shuffle,
+partial aggregation, exchange count); regressions that silently change the
+plan shape fail here before they cost anything on a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_module_spark.operators import relational as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_star_join_broadcasts_all_dims(spark, sf):
+    """All four dims broadcast — at scale only the fact table shuffles."""
+    plan = _plan(R.q_broadcast_star_join(spark, sf))
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf):
+    """Filter reaches the parquet scan; aggregation is two-phase
+    (map-side partial before the exchange)."""
+    plan = _plan(R.q_pricing_summary(spark, sf))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pricing_summary_column_pruning(spark, sf):
+    """Scan reads only the needed columns, not the 16-column lineitem."""
+    df = R.q_pricing_summary(spark, sf)
+    # FileScan's 'output' list is the pruned column set (the ReadSchema
+    # string in toString() is truncated, so assert on the scan node's
+    # output attributes instead)
+    plan = _plan(df)
+    start = plan.index("FileScan parquet [")
+    scan_cols = plan[start:plan.index("]", start)]
+    for col in ("l_quantity", "l_extendedprice", "l_discount",
+                "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in scan_cols, scan_cols
+    assert "l_comment" not in scan_cols, scan_cols
+    assert "l_partkey" not in scan_cols, scan_cols
+
+
+def test_range_containment_is_hash_join_not_bnlj(spark, sf):
+    """J10: the offset-bucket trick turns the interval join into a hash
+    join — a BroadcastNestedLoopJoin here would be quadratic at scale."""
+    plan = _plan(R.q_range_containment_join(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_anti_join_stays_anti(spark, sf):
+    plan = _plan(R.q_resume_anti_join(spark, sf))
+    assert "LeftAnti" in plan, plan
+
+
+def test_semi_join_stays_semi(spark, sf):
+    plan = _plan(R.q_semi_join_nonempty(spark, sf))
+    assert "LeftSemi" in plan, plan
+
+
+def test_dense_ids_single_shuffle(spark, sf):
+    """W1: one exchange (the window partition), nothing else."""
+    plan = _plan(R.q_dense_id_assignment(spark, sf))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_salted_agg_two_stage_single_wide_shuffle(spark, sf):
+    """The salted pattern: partial agg on (key, salt) then final on key —
+    exactly two exchanges total ((key,salt) then key), both after partial
+    aggregation."""
+    plan = _plan(R.q_salted_skew_agg(spark, sf))
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("HashAggregate") >= 3, plan
+
+
+def test_whole_stage_codegen_everywhere(spark, sf):
+    """Scalar pipelines stay inside WholeStageCodegen (no interpreted
+    row-at-a-time stages)."""
+    for q in (R.q_pricing_summary, R.q_orientation_normalize,
+              R.q_token_split_count):
+        df = q(spark, sf)
+        df.collect()  # AQE reveals codegen markers only in the final plan
+        plan = _plan(df)
+        # executedPlan().toString() marks codegen'd nodes with "*(id)"
+        assert "*(1)" in plan, plan
+
+
+def test_extraction_queries_have_no_python_row_udf(spark, sf):
+    """input_hint bans per-row Python: plans may contain ArrowEvalPython /
+    MapInPandas (vectorized) but never BatchEvalPython (pickled row UDF)."""
+    from ocr_module_spark.operators import extraction as E
+    for q in (E.q_extract_text, E.q_extract_nodes, E.q_extract_sections):
+        plan = _plan(q(spark, sf))
+        assert "BatchEvalPython" not in plan, plan
