@@ -1,0 +1,90 @@
+"""Equivalence proof-of-work for the fast HTML tokenizer: the fast path
+must produce a ParseResult byte-identical to the stdlib html.parser path
+on every document it accepts, and must decline (fall back) on every
+construct whose stdlib semantics it does not replicate."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_module_spark import corpus
+from ocr_module_spark.htmlparse import parse_html, parse_html_stdlib
+from ocr_module_spark.htmlparse_fast import parse_html_fast
+
+
+def _as_tuple(result):
+    return ([tuple(vars(b).items()) for b in result.blocks],
+            list(result.payloads))
+
+
+def _assert_equivalent(payload: bytes):
+    fast = parse_html_fast(payload)
+    ref = parse_html_stdlib(payload)
+    if fast is not None:
+        assert _as_tuple(fast) == _as_tuple(ref)
+    # dispatching entry point always equals the reference path
+    assert _as_tuple(parse_html(payload)) == _as_tuple(ref)
+
+
+def test_equivalence_over_full_corpus():
+    """Every HTML shape × 500 variants: fast path == stdlib, byte-exact
+    (block text, roles, ids, payloads, link lengths — everything)."""
+    n_fast = 0
+    for i in range(4000):
+        if corpus.shape_for(i) == "P1":
+            continue
+        payload = corpus.payload_for(i)
+        fast = parse_html_fast(payload)
+        if fast is not None:
+            n_fast += 1
+            assert _as_tuple(fast) == _as_tuple(parse_html_stdlib(payload)), i
+    # the corpus is well-formed: the fast path must actually take it
+    assert n_fast >= 3000
+
+
+ADVERSARIAL_ACCEPT = [
+    b"<html><body><p>plain</p></body></html>",
+    b"<html><body><p>a &amp; b &lt;tag&gt; &#65;</p></body></html>",
+    b'<html><body><p class="x">self close<br/>more</p></body></html>',
+    b'<html><body><img src="a.png" alt="pic &quot;q&quot;"/></body></html>',
+    b"<html><body><p>unclosed <div><p>nested",  # well-formed tokens, bad nesting
+    b'<html><body><P CLASS="NAV">case</P></body></html>',
+    b'<html><body><p title="a > b">gt inside quotes</p></body></html>',
+    b"<html><body><p>\xff\xfe invalid utf8</p></body></html>",
+    b"",
+]
+
+ADVERSARIAL_FALLBACK = [
+    b"<!doctype html><html><body><p>doctype</p></body></html>",
+    b"<html><body><!-- comment --><p>c</p></body></html>",
+    b"<html><body><script>var x = '<p>';</script><p>s</p></body></html>",
+    b"<html><body><style>p{}</style><p>s</p></body></html>",
+    b"<html><body><p>stray < bracket</p></body></html>",
+    b"<html><body><p class='single'>quotes</p></body></html>",
+    b"<html><body><p data-x=\"a&amp;b\">entity in attr</p></body></html>",
+    b"<html><body><p foo=bar>unquoted</p></body></html>",
+    b"<html><body><p><![CDATA[x]]></p></body></html>",
+    b"<html><body><?php echo ?><p>pi</p></body></html>",
+    b"<html><body><p",  # truncated tag at EOF
+]
+
+
+@pytest.mark.parametrize("payload", ADVERSARIAL_ACCEPT)
+def test_adversarial_accepted_docs_match(payload):
+    _assert_equivalent(payload)
+
+
+@pytest.mark.parametrize("payload", ADVERSARIAL_FALLBACK)
+def test_adversarial_hard_docs_fall_back(payload):
+    """Constructs outside the subset must decline, and the dispatching
+    parse_html must still equal the stdlib result exactly."""
+    assert parse_html_fast(payload) is None
+    _assert_equivalent(payload)
+
+
+def test_fixture_corpus_equivalence():
+    import json
+    import pathlib
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    for f in sorted(fixtures.glob("h*.html")):
+        _assert_equivalent(f.read_bytes())

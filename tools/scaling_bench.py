@@ -48,7 +48,7 @@ import time
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-N_DOCS_DEFAULT = 400000
+N_DOCS_DEFAULT = 800000
 REPS = 3
 
 
