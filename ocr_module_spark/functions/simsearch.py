@@ -16,7 +16,7 @@ stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 TOP_K = 10
@@ -127,8 +127,76 @@ ORDER BY dot DESC, vec_id LIMIT {TOP_K}
 )
 
 
+NLIST = 16                  # IVF coarse centroids (deterministic: first 16 vecs)
+NPROBE = 4                  # cells probed per query
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize every vector to its nearest of NLIST
+    centroids (one broadcast pass — the inverted-file build), then search
+    only the NPROBE cells nearest the query. At 10^12 vectors the cell id
+    is the partition/shuffle key and the probed fraction bounds the work;
+    the centroid 'training' is deterministic (first NLIST vectors) so both
+    engines agree exactly. Ranking uses dots rounded to 4dp with id
+    tie-breaks — FP-stable across engines."""
+    e = _emb(spark, sf_dir)
+    cents = (e.where(F.col("vec_id") < NLIST)
+             .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")))
+    scored = (e.crossJoin(F.broadcast(cents))
+              .select("vec_id", "label", "vec", "cid",
+                      F.round(_dot("vec", "cvec"), 4).alias("cdot")))
+    wa = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cid"))
+    assigned = (scored.withColumn("rk", F.row_number().over(wa))
+                .where(F.col("rk") == 1)
+                .select("vec_id", "label", "vec", "cid"))
+    qcells = (assigned.where(F.col("vec_id") == QUERY_VEC_ID)
+              .select(F.col("vec").alias("qvec"))
+              .crossJoin(F.broadcast(cents))
+              .select("qvec", "cid",
+                      F.round(_dot("qvec", "cvec"), 4).alias("qdot"))
+              .orderBy(F.col("qdot").desc(), F.col("cid"))
+              .limit(NPROBE)
+              .select("qvec", "cid"))
+    cands = (assigned.join(F.broadcast(qcells), "cid")
+             .where(F.col("vec_id") != QUERY_VEC_ID))
+    return (cands.select("vec_id", "label", "cid",
+                         F.round(_dot("vec", "qvec"), 4).alias("dot"))
+            .orderBy(F.col("dot").desc(), F.col("vec_id"))
+            .limit(TOP_K))
+
+
+SQL_ANN_IVF_PROBE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {NLIST}
+), scored AS (
+  SELECT e.vec_id, e.label, e.v, c.cid,
+         round(list_dot_product(e.v, c.cvec), 4) AS cdot
+  FROM e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, label, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cid) AS rk
+    FROM scored) WHERE rk = 1
+), qcells AS (
+  SELECT a.v AS qvec, c.cid,
+         round(list_dot_product(a.v, c.cvec), 4) AS qdot
+  FROM assigned a CROSS JOIN cents c
+  WHERE a.vec_id = {QUERY_VEC_ID}
+  ORDER BY qdot DESC, c.cid LIMIT {NPROBE}
+)
+SELECT a.vec_id, a.label, a.cid,
+       round(list_dot_product(a.v, q.qvec), 4) AS dot
+FROM assigned a JOIN qcells q ON a.cid = q.cid
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY dot DESC, a.vec_id LIMIT {TOP_K}
+"""
+
+
 REGISTRY = {
     "knn_brute_cosine": (q_knn_brute_cosine, SQL_KNN_BRUTE_COSINE),
+    "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "ann_sign_buckets": (q_ann_sign_buckets, SQL_ANN_SIGN_BUCKETS),
     "ann_bucketed_knn": (q_ann_bucketed_knn, SQL_ANN_BUCKETED_KNN),
 }

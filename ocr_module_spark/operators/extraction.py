@@ -59,8 +59,23 @@ def q_extract_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("figure_ids").alias("n_figures"))
 
 
+def q_extract_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decomposed relational pipeline (parse → classify → window ids →
+    placeholder alignment → grouped reassembly — one Spark operator per
+    SURVEY §2 row) end-to-end; tests assert it matches the fast path
+    byte-for-byte, this entry exposes it to the driver."""
+    pages = corpus.pages_df(spark, _n_docs(sf_dir) // 2)
+    out = pipeline.extract_relational(pages)
+    return out.select(
+        "url",
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.length("text").alias("text_len"),
+        "mismatch_flag")
+
+
 REGISTRY = {
     "extract_text": (q_extract_text, None),
+    "extract_relational": (q_extract_relational, None),
     "extract_nodes": (q_extract_nodes, None),
     "extract_sections": (q_extract_sections, None),
 }

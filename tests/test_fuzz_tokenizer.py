@@ -1,0 +1,45 @@
+"""Hypothesis fuzzing: on ARBITRARY byte soup, the dispatching parse_html
+must equal the stdlib reference path exactly — the fast tokenizer may only
+ever accept-and-match or decline, never diverge."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_module_spark.htmlparse import parse_html, parse_html_stdlib
+
+TAGS = ["p", "div", "a", "span", "h1", "li", "table", "tr", "td", "img",
+        "nav", "footer", "section", "br", "script", "b"]
+
+_fragment = st.one_of(
+    st.text(alphabet="ab <>/&\"'=;!-\n\t", max_size=12),
+    st.sampled_from([f"<{t}>" for t in TAGS]),
+    st.sampled_from([f"</{t}>" for t in TAGS]),
+    st.sampled_from([
+        '<p class="nav">', '<span class="formula" data-latex="x^2">',
+        "<img alt='q'/>", "<img alt=\"q\"/>", "<!-- c -->", "<!doctype html>",
+        "&amp;", "&#65;", "&bogus;", "&", "<", ">", "< p>", "<p/",
+        '<a href="/x">', "<p data-x='1'>", '<td colspan="2">',
+        ":formula:", "</p >", "<P Class=\"Nav\">",
+    ]),
+)
+
+
+def _as_tuple(result):
+    return ([tuple(vars(b).items()) for b in result.blocks],
+            list(result.payloads))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_fragment, max_size=30))
+def test_dispatcher_never_diverges(fragments):
+    payload = "".join(fragments).encode("utf-8")
+    assert _as_tuple(parse_html(payload)) == \
+        _as_tuple(parse_html_stdlib(payload))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_dispatcher_never_diverges_raw_bytes(payload):
+    assert _as_tuple(parse_html(payload)) == \
+        _as_tuple(parse_html_stdlib(payload))
