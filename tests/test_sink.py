@@ -1,0 +1,72 @@
+"""Resumable sink tests: idempotent resume, lineage manifest, counters
+(north_rule: resumable from checkpoint with per-partition lineage +
+metrics)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from ocr_module_spark import corpus, sinks
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="ocr_sink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resume_skips_committed_urls(spark, out_dir):
+    pages = corpus.pages_df(spark, 120)
+    m1 = sinks.run_extraction(spark, pages, out_dir)
+    assert m1["docs_in"] == 120 and m1["docs_out"] == 120
+    assert m1["bytes_in"] > 0 and m1["nodes_classified"] > 0
+
+    m2 = sinks.run_extraction(spark, pages, out_dir)
+    assert m2["docs_in"] == 0 and m2["docs_out"] == 0
+
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert data.count() == 120
+    assert data.select("url").distinct().count() == 120
+
+
+def test_partial_failure_resume_processes_remainder(spark, out_dir):
+    first = corpus.pages_df(spark, 50)
+    sinks.run_extraction(spark, first, out_dir)
+    everything = corpus.pages_df(spark, 80)
+    m = sinks.run_extraction(spark, everything, out_dir)
+    assert m["docs_in"] == 30  # only the 30 new urls
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert data.select("url").distinct().count() == 80
+
+
+def test_manifest_lineage_rows(spark, out_dir):
+    sinks.run_extraction(spark, corpus.pages_df(spark, 40), out_dir)
+    manifest = os.path.join(out_dir, "_manifest")
+    entries = [json.load(open(os.path.join(manifest, f)))
+               for f in os.listdir(manifest) if f.endswith(".json")]
+    assert len(entries) == 1
+    e = entries[0]
+    assert e["docs_in"] == 40 and e["docs_out"] == 40
+    assert e["batch_id"] and e["wall_sec"] > 0
+    # batch_id column ties each output row to its manifest entry
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert set(r["batch_id"] for r in data.select("batch_id").distinct()
+               .collect()) == {e["batch_id"]}
+
+
+def test_torn_write_not_counted_as_committed(spark, out_dir):
+    """A data file without its manifest entry (torn write) must be
+    re-processed, and the reader must be able to distinguish committed
+    rows by batch_id."""
+    sinks.run_extraction(spark, corpus.pages_df(spark, 30), out_dir)
+    manifest = os.path.join(out_dir, "_manifest")
+    for f in os.listdir(manifest):
+        os.remove(os.path.join(manifest, f))  # simulate torn commit
+    m = sinks.run_extraction(spark, corpus.pages_df(spark, 30), out_dir)
+    assert m["docs_in"] == 30  # nothing counted as committed
