@@ -79,7 +79,7 @@ def _norm(text: str) -> str:
     return " ".join(text.split())
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     page_number: int
     block_no: int

@@ -86,8 +86,43 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                            "n_pages", "mismatch_flag"])
 
 
+def _extract_arrow_batches(batches):
+    """Arrow-native variant of _extract_batches: builds RecordBatches
+    directly with pa.array, skipping the pandas object-column
+    intermediate. Measured throughput-equal to the pandas path end-to-end
+    (the conversion cost just moves); kept as the default because it
+    removes pandas' nested-object conversion surface from the hot path
+    and the worker ships one fewer copy of each batch."""
+    import pyarrow as pa
+
+    span_t = pa.struct([
+        ("paragraph_id", pa.int32()), ("page_number", pa.int32()),
+        ("role", pa.string()), ("bbox", pa.list_(pa.float64())),
+        ("content", pa.string())])
+    sec_t = pa.struct([
+        ("section_id", pa.int32()), ("paragraph_ids", pa.list_(pa.int32())),
+        ("table_ids", pa.list_(pa.int32())), ("figure_ids", pa.list_(pa.int32()))])
+    schema = pa.schema([
+        ("url", pa.string()), ("text", pa.string()),
+        ("spans", pa.list_(span_t)), ("sections", pa.list_(sec_t)),
+        ("n_pages", pa.int32()), ("mismatch_flag", pa.bool_())])
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        res = [oracle.extract_document(u, p) for u, p in zip(urls, payloads)]
+        yield pa.RecordBatch.from_arrays([
+            pa.array([r["url"] for r in res], pa.string()),
+            pa.array([r["text"] for r in res], pa.string()),
+            pa.array([r["spans"] for r in res], pa.list_(span_t)),
+            pa.array([r["sections"] for r in res], pa.list_(sec_t)),
+            pa.array([r["n_pages"] for r in res], pa.int32()),
+            pa.array([r["mismatch_flag"] for r in res], pa.bool_()),
+        ], schema=schema)
+
+
 def extract(pages: DataFrame, repartition: bool = False,
-            num_partitions: Optional[int] = None) -> DataFrame:
+            num_partitions: Optional[int] = None,
+            use_arrow: bool = True) -> DataFrame:
     """Full extraction, one Arrow-batched stage per partition.
 
     Runs the exact oracle per document (byte-identity by construction).
@@ -110,6 +145,8 @@ def extract(pages: DataFrame, repartition: bool = False,
     df = pages.select("url", "html")
     if repartition or num_partitions:
         df = salted_repartition(df, num_partitions)
+    if use_arrow:
+        return df.mapInArrow(_extract_arrow_batches, schema=EXTRACT_SCHEMA)
     return df.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 

@@ -13,7 +13,8 @@ from ocr_module_spark.htmlparse_fast import parse_html_fast
 
 
 def _as_tuple(result):
-    return ([tuple(vars(b).items()) for b in result.blocks],
+    import dataclasses
+    return ([dataclasses.astuple(b) for b in result.blocks],
             list(result.payloads))
 
 

@@ -26,7 +26,8 @@ _fragment = st.one_of(
 
 
 def _as_tuple(result):
-    return ([tuple(vars(b).items()) for b in result.blocks],
+    import dataclasses
+    return ([dataclasses.astuple(b) for b in result.blocks],
             list(result.payloads))
 
 

@@ -86,18 +86,27 @@ def worker(cores: int, n_docs: int) -> None:
     }))
 
 
+JVM_LAUNCHES = 2  # cross-JVM variance (JIT/memory layout) exceeds
+                  # intra-JVM rep variance; take the best launch
+
+
 def _run_level(cores: int, n_docs: int) -> dict:
-    """One pinned worker JVM: exactly `cores` CPUs for JVM + Python workers."""
+    """Pinned worker JVMs: exactly `cores` CPUs for JVM + Python workers;
+    best of JVM_LAUNCHES separate launches, each itself best-of-REPS."""
     cmd = [sys.executable, __file__, "worker", str(cores), str(n_docs)]
     if cores < 32:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    proc = subprocess.run(cmd, capture_output=True, text=True,
-                          cwd=str(REPO), timeout=1800)
-    line = proc.stdout.strip().splitlines()[-1]
-    res = json.loads(line)
-    print(f"local[{cores}] pinned to {cores} cpus: {res['docs_per_sec']} "
-          f"docs/sec ({res['wall_sec']}s best-of-{REPS} for {n_docs} docs)")
-    return res
+    best = None
+    for _ in range(JVM_LAUNCHES):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=str(REPO), timeout=1800)
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        if best is None or res["docs_per_sec"] > best["docs_per_sec"]:
+            best = res
+    print(f"local[{cores}] pinned to {cores} cpus: {best['docs_per_sec']} "
+          f"docs/sec ({best['wall_sec']}s best of {JVM_LAUNCHES} JVMs x "
+          f"{REPS} reps, {n_docs} docs)")
+    return best
 
 
 def orchestrate(n_docs: int, n_small: int = 4, n_big: int = 16) -> int:
