@@ -290,7 +290,96 @@ WHERE round(list_dot_product(a.v, c.v), 4) >= {COSINE_THRESHOLD}
 )
 
 
+CC_ROUNDS = 4
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-duplicate edges from LSH banding: each doc connects to
+    its bucket's min doc (star edges — same components as the clique,
+    linear edge count)."""
+    sigs = q_dedup_minhash(spark, sf_dir)
+    stacked = sigs.selectExpr(
+        "doc_id",
+        "stack({n}, {cols}) as (band, sig)".format(
+            n=N_BANDS,
+            cols=", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))))
+    mins = (stacked.groupBy("band", "sig")
+            .agg(F.min("doc_id").alias("a"), F.count("*").alias("n"))
+            .where(F.col("n") >= 2))
+    return (stacked.join(mins, ["band", "sig"])
+            .where(F.col("doc_id") != F.col("a"))
+            .select("a", F.col("doc_id").alias("b"))
+            .distinct())
+
+
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: bounded-round min-label propagation
+    (connected components) over the LSH candidate graph — the step that
+    turns pairwise near-dup evidence into keep/drop groups in a
+    large-scale dedup pipeline. Each round is one join + one aggregation
+    (shuffle on node id); CC_ROUNDS is fixed so both engines compute the
+    identical deterministic result (star edges make the diameter small).
+    At production scale each round would be followed by a
+    localCheckpoint() to cut plan lineage; at test scale the re-derived
+    lineage is cheaper than the materialization."""
+    edges = _lsh_edges(spark, sf_dir)
+    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst"))
+    labels = sym.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    for _ in range(CC_ROUNDS):
+        nbmin = (sym.join(labels, sym.dst == labels.node)
+                 .groupBy("src").agg(F.min("label").alias("nbmin")))
+        labels = (labels.join(nbmin, labels.node == nbmin.src, "left")
+                  .select(F.col("node"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nbmin"), F.col("label")))
+                          .alias("label")))
+    return (labels.groupBy("label")
+            .agg(F.count("*").alias("cluster_size"),
+                 F.min("node").alias("min_doc"))
+            .withColumnRenamed("label", "cluster"))
+
+
+def _sql_cc() -> str:
+    base = (
+        "WITH tok AS (SELECT doc_id, unnest(list_distinct("
+        "string_split_regex(trim(text), '\\s+'))) AS w FROM documents),\n"
+        "sigs AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('{b}|' || w)) AS sig_{b}" for b in range(N_BANDS))
+        + " FROM tok GROUP BY doc_id),\n"
+        "stacked AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs"
+            for b in range(N_BANDS))
+        + "),\n"
+        "mins AS (SELECT band, sig, min(doc_id) AS a, count(*) AS n\n"
+        "         FROM stacked GROUP BY band, sig HAVING count(*) >= 2),\n"
+        "edges AS (SELECT DISTINCT m.a, s.doc_id AS b\n"
+        "          FROM stacked s JOIN mins m USING (band, sig)\n"
+        "          WHERE s.doc_id <> m.a),\n"
+        "sym AS (SELECT a AS src, b AS dst FROM edges\n"
+        "        UNION ALL SELECT b AS src, a AS dst FROM edges),\n"
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"
+    )
+    steps = []
+    for k in range(1, CC_ROUNDS + 1):
+        steps.append(
+            f"nb{k} AS (SELECT e.src, min(l.label) AS nbmin FROM sym e\n"
+            f"          JOIN l{k-1} l ON e.dst = l.node GROUP BY e.src),\n"
+            f"l{k} AS (SELECT l.node,\n"
+            f"              least(l.label, coalesce(n.nbmin, l.label)) AS label\n"
+            f"         FROM l{k-1} l LEFT JOIN nb{k} n ON l.node = n.src)")
+    return (base + ",\n" + ",\n".join(steps)
+            + f"\nSELECT label AS cluster, count(*) AS cluster_size,"
+              f" min(node) AS min_doc FROM l{CC_ROUNDS} GROUP BY label")
+
+
+SQL_DEDUP_CC_CLUSTERS = _sql_cc()
+
+
 REGISTRY = {
+    "dedup_cc_clusters": (q_dedup_cc_clusters, SQL_DEDUP_CC_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
