@@ -5,8 +5,8 @@ executors must therefore be able to import ``ocr_module_spark``. On a real
 cluster the job ships a zip via ``spark-submit --py-files`` (north_rule);
 for sessions created without it (driver harnesses, notebooks),
 ``ensure_pyfiles`` builds the same zip on the fly and registers it with
-``SparkContext.addPyFile`` — idempotent per session, content-addressed so
-repeated calls are free.
+``SparkContext.addPyFile`` — idempotent per session (a sentinel attr on
+the SparkContext guards repeat calls).
 """
 
 from __future__ import annotations
@@ -25,7 +25,8 @@ def build_zip(dest: str | None = None) -> str:
     if dest is None:
         dest = os.path.join(tempfile.gettempdir(),
                             f"ocr_module_spark-{os.getuid()}.zip")
-    tmp = dest + ".tmp"
+    tmp = f"{dest}.{os.getpid()}.tmp"  # per-process tmp: concurrent
+    # drivers each build their own then atomically publish via replace
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for path in sorted(pkg_dir.rglob("*.py")):
             zf.write(path, arcname=str(

@@ -70,16 +70,22 @@ SQL_DEDUP_MINHASH = (
 )
 
 
-def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any band signature land in one bucket;
-    buckets with >= 2 docs are the near-dup candidates (equi-join key,
-    not an all-pairs scan)."""
+def _stacked_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) rows: the minhash signature table unpivoted —
+    shared by the bucket listing and the candidate-edge builder."""
     sigs = q_dedup_minhash(spark, sf_dir)
-    stacked = sigs.selectExpr(
+    return sigs.selectExpr(
         "doc_id",
         "stack({n}, {cols}) as (band, sig)".format(
             n=N_BANDS,
             cols=", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))))
+
+
+def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band signature land in one bucket;
+    buckets with >= 2 docs are the near-dup candidates (equi-join key,
+    not an all-pairs scan)."""
+    stacked = _stacked_signatures(spark, sf_dir)
     return (stacked.groupBy("band", "sig")
             .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
             .where(F.col("n_docs") >= 2))
@@ -290,19 +296,15 @@ WHERE round(list_dot_product(a.v, c.v), 4) >= {COSINE_THRESHOLD}
 )
 
 
-CC_ROUNDS = 4
+CC_ROUNDS = 8
 
 
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-duplicate edges from LSH banding: each doc connects to
     its bucket's min doc (star edges — same components as the clique,
-    linear edge count)."""
-    sigs = q_dedup_minhash(spark, sf_dir)
-    stacked = sigs.selectExpr(
-        "doc_id",
-        "stack({n}, {cols}) as (band, sig)".format(
-            n=N_BANDS,
-            cols=", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))))
+    linear edge count). The signature subtree is cached: it feeds both
+    sides of the self-join and every propagation round."""
+    stacked = _stacked_signatures(spark, sf_dir).cache()
     mins = (stacked.groupBy("band", "sig")
             .agg(F.min("doc_id").alias("a"), F.count("*").alias("n"))
             .where(F.col("n") >= 2))
@@ -312,29 +314,61 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def cc_labels(sym: DataFrame, rounds: int, converge: bool = False) -> DataFrame:
+    """Min-label propagation over symmetric edge list ``sym(src, dst)``.
+
+    converge=False: exactly ``rounds`` pulls (deterministic, SQL-mirrorable).
+    converge=True: iterate until no label changes (true connected
+    components).
+
+    Every round is localCheckpoint'ed: the label frame references itself
+    through the round's join, so without materialization the plan doubles
+    per round (2^rounds copies of the minhash subtree — measured minutes
+    at 8 rounds vs seconds checkpointed).
+    """
+    labels = sym.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    i = 0
+    while True:
+        nbmin = (sym.join(labels, sym.dst == labels.node)
+                 .groupBy("src").agg(F.min("label").alias("nbmin")))
+        new = (labels.join(nbmin, labels.node == nbmin.src, "left")
+               .select(F.col("node"),
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nbmin"), F.col("label")))
+                       .alias("label")))
+        i += 1
+        new = new.localCheckpoint(eager=True)
+        if converge:
+            changed = (new.alias("n")
+                       .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                       .where(F.col("n.label") != F.col("o.label")).count())
+            labels = new
+            if changed == 0 or i >= 64:
+                return labels
+        else:
+            labels = new
+            if i >= rounds:
+                return labels
+
+
 def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: bounded-round min-label propagation
     (connected components) over the LSH candidate graph — the step that
     turns pairwise near-dup evidence into keep/drop groups in a
     large-scale dedup pipeline. Each round is one join + one aggregation
     (shuffle on node id); CC_ROUNDS is fixed so both engines compute the
-    identical deterministic result (star edges make the diameter small).
-    At production scale each round would be followed by a
-    localCheckpoint() to cut plan lineage; at test scale the re-derived
-    lineage is cheaper than the materialization."""
+    identical deterministic result. CC_ROUNDS=8 pulls labels 8 hops;
+    bucket-min star edges chained across bands can in principle exceed
+    that (a component split across two reported clusters), so production
+    runs cc_labels(converge=True) — iterate to fixpoint with
+    localCheckpoint per round; the bounded variant exists because a
+    fixpoint loop cannot be mirrored in a single oracle SQL statement.
+    tests assert the bounded and converged variants agree on the corpus."""
     edges = _lsh_edges(spark, sf_dir)
     sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
-        edges.selectExpr("b AS src", "a AS dst"))
-    labels = sym.select(F.col("src").alias("node")).distinct() \
-        .withColumn("label", F.col("node"))
-    for _ in range(CC_ROUNDS):
-        nbmin = (sym.join(labels, sym.dst == labels.node)
-                 .groupBy("src").agg(F.min("label").alias("nbmin")))
-        labels = (labels.join(nbmin, labels.node == nbmin.src, "left")
-                  .select(F.col("node"),
-                          F.least(F.col("label"),
-                                  F.coalesce(F.col("nbmin"), F.col("label")))
-                          .alias("label")))
+        edges.selectExpr("b AS src", "a AS dst")).cache()
+    labels = cc_labels(sym, CC_ROUNDS)
     return (labels.groupBy("label")
             .agg(F.count("*").alias("cluster_size"),
                  F.min("node").alias("min_doc"))
@@ -358,16 +392,18 @@ def _sql_cc() -> str:
         "edges AS (SELECT DISTINCT m.a, s.doc_id AS b\n"
         "          FROM stacked s JOIN mins m USING (band, sig)\n"
         "          WHERE s.doc_id <> m.a),\n"
-        "sym AS (SELECT a AS src, b AS dst FROM edges\n"
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges\n"
         "        UNION ALL SELECT b AS src, a AS dst FROM edges),\n"
-        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)"
     )
     steps = []
+    # AS MATERIALIZED: each label level is referenced twice (by nb{k} and
+    # l{k}); inlined CTEs would double the plan per round (2^rounds)
     for k in range(1, CC_ROUNDS + 1):
         steps.append(
-            f"nb{k} AS (SELECT e.src, min(l.label) AS nbmin FROM sym e\n"
+            f"nb{k} AS MATERIALIZED (SELECT e.src, min(l.label) AS nbmin FROM sym e\n"
             f"          JOIN l{k-1} l ON e.dst = l.node GROUP BY e.src),\n"
-            f"l{k} AS (SELECT l.node,\n"
+            f"l{k} AS MATERIALIZED (SELECT l.node,\n"
             f"              least(l.label, coalesce(n.nbmin, l.label)) AS label\n"
             f"         FROM l{k-1} l LEFT JOIN nb{k} n ON l.node = n.src)")
     return (base + ",\n" + ",\n".join(steps)

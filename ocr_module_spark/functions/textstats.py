@@ -166,7 +166,6 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over windows — a content-locality-sensitive key robust to edits
     outside the minimizing window. All-integer arithmetic, so the DuckDB
     oracle is bit-exact; JVM higher-order functions, no Python."""
-    from .dedup import _hex4_to_int  # shared 16-bit word hash
     d = (_docs(spark, sf_dir)
          .withColumn("w", _words())
          .withColumn("h", F.expr(

@@ -18,9 +18,13 @@ Spec (pinned here, asserted by tests/test_oracle.py):
   template/svg/head`` subtrees are ignored entirely.
 * Block-emitting tags: p, h1-h6, li, pre, blockquote, figcaption, dt, dd.
   ``<table>`` emits ONE block of kind ``table`` (rows joined by ``\\n``,
-  cells by ``\\t``); its cells do not emit paragraph blocks.
-  ``<img>`` outside a table emits a ``figure`` block (text = alt text, not
-  counted into main text).
+  cells by ``\\t``); its cells do not emit paragraph blocks; nested
+  tables flatten into the enclosing cell's text. ``<img>`` outside a
+  table emits a ``figure`` block (text = alt text, not counted into main
+  text), anchored at its point of occurrence even when inside an open
+  paragraph. An ignored subtree (see above) ends only at the matching
+  close of its root tag — void or stray end tags inside it cannot end it
+  early.
 * Reading order = document order; ``block_no`` is the 0-based global index
   of the emitted block.
 * Synthetic pages: ``page_number = block_no // PAGE_BLOCKS`` (the graft input
@@ -108,6 +112,7 @@ class _Extractor(HTMLParser):
         # stack frame: (tag, lowered class attr, context-flag bitmask)
         self._stack: List[Tuple[str, str, int]] = []
         self._ignore_depth = 0
+        self._ignore_tag: Optional[str] = None
         self._a_depth = 0
         # O(1) role context: count of open elements contributing each
         # context (replaces per-emit set rebuilds; same semantics)
@@ -159,8 +164,7 @@ class _Extractor(HTMLParser):
             f |= self._F_SPAN
         if tag in _FOOTER_TAGS or "footer" in classes:
             f |= self._F_FOOTER
-        if tag in _HEADER_TAGS or ("nav" in classes or "header" in classes
-                                   or "masthead" in classes):
+        if tag in _HEADER_TAGS or not _HEADER_CLASSES.isdisjoint(classes):
             f |= self._F_HEADER
         if "footnote" in classes:
             f |= self._F_FOOTNOTE
@@ -197,8 +201,8 @@ class _Extractor(HTMLParser):
             return "footnote"
         if self._footer_ctx or tag in _FOOTER_TAGS or "footer" in own:
             return "pageFooter"
-        if (self._header_ctx or tag in _HEADER_TAGS or "nav" in own
-                or "header" in own or "masthead" in own):
+        if (self._header_ctx or tag in _HEADER_TAGS
+                or not _HEADER_CLASSES.isdisjoint(own)):
             return "pageHeader"
         if tag in _HEADING_TAGS:
             return "sectionHeading"
@@ -254,16 +258,19 @@ class _Extractor(HTMLParser):
         if tag in _VOID_TAGS and tag != "img":
             return
         if self._ignore_depth:
-            if tag not in _VOID_TAGS:
+            # only same-tag nesting deepens the ignored subtree: void or
+            # stray end tags inside it can then never end it early
+            if tag == self._ignore_tag:
                 self._ignore_depth += 1
             return
         if tag in _IGNORE_SUBTREE:
+            self._ignore_tag = tag
             self._ignore_depth = 1
             return
         cls = self._classes(attrs)
 
         if tag == "img":
-            if self._table_depth == 0 and self._block_tag is None:
+            if self._table_depth == 0:
                 alt = self._attr(attrs, "alt") or ""
                 role = self._role_for(tag, cls)
                 path = "/".join(f[0] for f in self._stack) + "/img"
@@ -286,10 +293,13 @@ class _Extractor(HTMLParser):
             return
 
         if self._table_depth:
-            if tag == "tr":
-                self._table_rows.append([])
-            elif tag in ("td", "th"):
-                self._cell_parts = []
+            # row/cell structure only at the outer table; nested tables
+            # flatten into the enclosing cell's text
+            if self._table_depth == 1:
+                if tag == "tr":
+                    self._table_rows.append([])
+                elif tag in ("td", "th"):
+                    self._cell_parts = []
             self._push(tag, cls)
             return
 
@@ -306,7 +316,10 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag):
         if self._ignore_depth:
-            self._ignore_depth -= 1
+            if tag == self._ignore_tag:
+                self._ignore_depth -= 1
+                if self._ignore_depth == 0:
+                    self._ignore_tag = None
             return
         if tag in _VOID_TAGS:
             return
@@ -348,7 +361,8 @@ class _Extractor(HTMLParser):
                     n_tokens=text.count(FORMULA_TOKEN),
                 ))
             return
-        if self._table_depth and tag in ("td", "th") and self._cell_parts is not None:
+        if (self._table_depth == 1 and tag in ("td", "th")
+                and self._cell_parts is not None):
             if self._table_rows:
                 self._table_rows[-1].append(_norm("".join(self._cell_parts)))
             self._cell_parts = None

@@ -39,9 +39,15 @@ SALT_BUCKETS = 8
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Derive the url host (native regexp — JVM-side, codegen'd)."""
+    """Derive the url host (native regexp — JVM-side, codegen'd).
+
+    Scheme case-insensitive; no path required (``https://example.com`` and
+    ``https://example.com?q=1`` both resolve); host ends at ``/``, ``?``,
+    or ``#``.
+    """
     return df.withColumn(
-        "url_host", F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1))
+        "url_host", F.regexp_extract(
+            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
 
 
 def salted_repartition(df: DataFrame, num_partitions: Optional[int] = None,

@@ -9,7 +9,8 @@ from hypothesis import given, settings, strategies as st
 from ocr_module_spark.htmlparse import parse_html, parse_html_stdlib
 
 TAGS = ["p", "div", "a", "span", "h1", "li", "table", "tr", "td", "img",
-        "nav", "footer", "section", "br", "script", "b"]
+        "nav", "footer", "section", "br", "script", "b", "svg", "head",
+        "noscript", "template"]
 
 _fragment = st.one_of(
     st.text(alphabet="ab <>/&\"'=;!-\n\t", max_size=12),

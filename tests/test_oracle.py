@@ -159,3 +159,58 @@ def test_parse_html_link_density_counts():
     blocks = parse_html(b"<p>half <a href='/'>link</a></p>").blocks
     assert blocks[0].text == "half link"
     assert blocks[0].link_text_len == len("link")
+
+
+# -- round-1 review fixes: parser edge semantics -----------------------------
+
+def test_ignored_subtree_survives_void_and_stray_end_tags():
+    """Void (<br/>) or stray (</bar>) end tags inside an ignored subtree
+    must not end it early (review finding r1-1)."""
+    from ocr_module_spark.htmlparse import parse_html
+    r = parse_html(b"<body><svg><br/><p>SVG JUNK</p></svg><p>real</p></body>")
+    assert [b.text for b in r.blocks] == ["real"]
+    r = parse_html(b"<body><svg><foo></foo></bar><p>LEAK</p></svg>"
+                   b"<p>real</p></body>")
+    assert [b.text for b in r.blocks] == ["real"]
+    # same-tag nesting still respected
+    r = parse_html(b"<body><svg><svg></svg><p>inner</p></svg><p>ok</p></body>")
+    assert [b.text for b in r.blocks] == ["ok"]
+
+
+def test_nested_table_flattens_into_outer_cell():
+    """Nested tables contribute their text to the enclosing cell instead
+    of clobbering it (review finding r1-2)."""
+    from ocr_module_spark.htmlparse import parse_html
+    r = parse_html(
+        b"<body><table><tr><td>OUTER-A<table><tr><td>INNER-B</td></tr>"
+        b"</table>OUTER-C</td></tr></table></body>")
+    assert len(r.blocks) == 1 and r.blocks[0].kind == "table"
+    # no whitespace in the source between the fragments -> none injected
+    assert r.blocks[0].text == "OUTER-AINNER-BOUTER-C"
+
+
+def test_img_inside_open_block_emits_figure():
+    """An inline <img> inside a paragraph still yields its figure block,
+    anchored at the point of occurrence (review finding r1-3)."""
+    from ocr_module_spark.htmlparse import parse_html
+    r = parse_html(b'<body><p>before <img src="x" alt="ALT"> after</p></body>')
+    kinds = [(b.kind, b.text) for b in r.blocks]
+    assert ("figure", "ALT") in kinds
+    assert ("paragraph", "before after") in kinds
+    fig = next(b for b in r.blocks if b.kind == "figure")
+    para = next(b for b in r.blocks if b.kind == "paragraph")
+    assert fig.block_no < para.block_no  # anchored where it occurred
+
+
+def test_url_host_regex_handles_pathless_and_uppercase():
+    from ocr_module_spark import pipeline
+    import re
+    pat = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)")
+    for url, host in [
+        ("https://example.com", "example.com"),
+        ("https://example.com?q=1", "example.com"),
+        ("HTTPS://Host.example/x", "Host.example"),
+        ("https://a.b/path", "a.b"),
+    ]:
+        m = pat.match(url)
+        assert m and m.group(1) == host, url

@@ -133,3 +133,20 @@ def test_bpe_token_estimate_superset_of_words(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["tokens_minus_words"] >= 0
+
+
+def test_cc_bounded_rounds_match_converged(spark, sf_dir):
+    """The CC_ROUNDS-bounded label propagation (the oracle-mirrorable
+    variant) must agree with iterate-to-fixpoint on the test corpus —
+    if a corpus change ever makes chains longer than CC_ROUNDS hops,
+    this fails and CC_ROUNDS must be raised."""
+    from pyspark.sql import functions as F
+    from ocr_module_spark.functions.dedup import CC_ROUNDS, _lsh_edges, cc_labels
+    edges = _lsh_edges(spark, sf_dir)
+    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst")).cache()
+    bounded = {(r["node"], r["label"])
+               for r in cc_labels(sym, CC_ROUNDS).collect()}
+    converged = {(r["node"], r["label"])
+                 for r in cc_labels(sym, 0, converge=True).collect()}
+    assert bounded == converged
