@@ -224,8 +224,70 @@ SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint, n_words FROM fp
 """
 
 
+QF_MIN_WORDS = 15
+QF_MAX_WORDS = 100000
+QF_MIN_AVG_WLEN = 2
+QF_MAX_AVG_WLEN = 12
+QF_MIN_STOPWORD_RATIO = 0.01
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filter: hard keep/drop decision with
+    a reason bitmask (1=too few/many words, 2=degenerate avg word length,
+    4=stopword ratio too low). The corpus-side gate a training pipeline
+    applies after extraction; all JVM-side integer/ratio checks at scan
+    speed."""
+    d = _docs(spark, sf_dir).withColumn("w", _words())
+    n_words = F.size("w")
+    # integer-scaled ratios: exact cross-engine, no FP rounding ties
+    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
+    r_words = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+    r_wlen = (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10) | \
+             (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
+    r_stop = n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)
+    reasons = (F.when(r_words, 1).otherwise(0)
+               + F.when(r_wlen, 2).otherwise(0)
+               + F.when(r_stop, 4).otherwise(0))
+    return d.select(
+        "doc_id", n_words.alias("n_words"),
+        reasons.cast("int").alias("drop_reasons"),
+        (reasons == 0).alias("keep"))
+
+
+SQL_QUALITY_FILTER = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS n_words,
+         (n_chars * 10.0) / greatest(len(w), 1) AS avg_wlen_x10,
+         len(list_filter(w, x -> lower(x) IN ({_SW_LIST}))) AS n_stop
+  FROM d
+)
+SELECT doc_id, n_words,
+       (CASE WHEN n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}
+             THEN 1 ELSE 0 END
+        + CASE WHEN avg_wlen_x10 < {QF_MIN_AVG_WLEN * 10}
+                 OR avg_wlen_x10 > {QF_MAX_AVG_WLEN * 10} THEN 2 ELSE 0 END
+        + CASE WHEN n_stop * 100 < n_words * {int(QF_MIN_STOPWORD_RATIO * 100)}
+               THEN 4 ELSE 0 END)::INTEGER AS drop_reasons,
+       (CASE WHEN n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}
+             THEN 1 ELSE 0 END
+        + CASE WHEN avg_wlen_x10 < {QF_MIN_AVG_WLEN * 10}
+                 OR avg_wlen_x10 > {QF_MAX_AVG_WLEN * 10} THEN 2 ELSE 0 END
+        + CASE WHEN n_stop * 100 < n_words * {int(QF_MIN_STOPWORD_RATIO * 100)}
+               THEN 4 ELSE 0 END) = 0 AS keep
+FROM m
+"""
+
+
 REGISTRY = {
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "text_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "text_bpe_token_estimate": (q_bpe_token_estimate, SQL_BPE_TOKEN_ESTIMATE),
     "text_rolling_fingerprint": (q_rolling_fingerprint,
                                  SQL_ROLLING_FINGERPRINT),
