@@ -86,8 +86,8 @@ def worker(cores: int, n_docs: int) -> None:
     }))
 
 
-JVM_LAUNCHES = 2  # cross-JVM variance (JIT/memory layout) exceeds
-                  # intra-JVM rep variance; take the best launch
+JVM_LAUNCHES = 1  # per pair; cross-JVM + host noise is handled by the
+                  # PAIRS-level median instead
 
 
 def _run_level(cores: int, n_docs: int) -> dict:
@@ -109,20 +109,34 @@ def _run_level(cores: int, n_docs: int) -> dict:
     return best
 
 
+PAIRS = 3  # time-interleaved (small, big) pairs: host-level noise windows
+           # hit both levels of a pair alike, so the per-pair ratio is far
+           # more stable than the ratio of two far-apart measurements
+
+
 def orchestrate(n_docs: int, n_small: int = 4, n_big: int = 16) -> int:
-    results = {c: _run_level(c, n_docs) for c in (n_small, n_big)}
+    effs = []
+    best = {n_small: 0.0, n_big: 0.0}
+    for p in range(PAIRS):
+        print(f"-- pair {p + 1}/{PAIRS}")
+        lo = _run_level(n_small, n_docs)
+        hi = _run_level(n_big, n_docs)
+        best[n_small] = max(best[n_small], lo["docs_per_sec"])
+        best[n_big] = max(best[n_big], hi["docs_per_sec"])
+        effs.append((hi["docs_per_sec"] / lo["docs_per_sec"])
+                    / (n_big / n_small))
     shutil.rmtree(_input_path(n_docs), ignore_errors=True)
-    r_lo = results[n_small]["docs_per_sec"]
-    r_hi = results[n_big]["docs_per_sec"]
-    eff = (r_hi / r_lo) / (n_big / n_small)
+    effs.sort()
+    median = effs[len(effs) // 2]
     summary = {
         "metric": f"scaling_efficiency_{n_small}_to_{n_big}",
-        "value": round(eff, 3),
+        "value": round(median, 3),
         "unit": "ratio",
         "n_docs": n_docs,
-        f"rate_local{n_small}_docs_sec": r_lo,
-        f"rate_local{n_big}_docs_sec": r_hi,
-        "pass_geq_0_8": eff >= 0.8,
+        "pair_efficiencies": [round(e, 3) for e in effs],
+        f"rate_local{n_small}_docs_sec": best[n_small],
+        f"rate_local{n_big}_docs_sec": best[n_big],
+        "pass_geq_0_8": median >= 0.8,
     }
     print(json.dumps(summary))
     return 0
