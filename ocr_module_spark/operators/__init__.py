@@ -1,10 +1,11 @@
 from __future__ import annotations
 
-from . import extraction, relational
+from . import enrichment, extraction, relational
 
 
 def registry():
     out = {}
     out.update(relational.REGISTRY)
+    out.update(enrichment.REGISTRY)
     out.update(extraction.REGISTRY)
     return out
