@@ -75,21 +75,35 @@ def salted_repartition(df: DataFrame, num_partitions: Optional[int] = None,
 # fast path
 # ---------------------------------------------------------------------------
 
+def _extract_one(url, payload):
+    """Per-document extraction with failure isolation: one hostile
+    payload yields an error row, never a task failure (reference's
+    per-page fallback artifact, translate_pdf.py:114-125)."""
+    try:
+        r = oracle.extract_document(
+            url, bytes(payload) if payload is not None else None)
+        r["error"] = None
+        return r
+    except Exception as exc:  # noqa: BLE001 - isolation boundary
+        return {"url": url, "text": "", "spans": [], "sections": [],
+                "n_pages": 0, "mismatch_flag": False,
+                "error": f"{type(exc).__name__}: {exc}"[:500]}
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         recs = []
         for url, payload in zip(pdf["url"], pdf["html"]):
-            r = oracle.extract_document(
-                url, bytes(payload) if payload is not None else None)
+            r = _extract_one(url, payload)
             recs.append((r["url"], r["text"],
                          [(s["paragraph_id"], s["page_number"], s["role"],
                            s["bbox"], s["content"]) for s in r["spans"]],
                          [(s["section_id"], s["paragraph_ids"], s["table_ids"],
                            s["figure_ids"]) for s in r["sections"]],
-                         r["n_pages"], r["mismatch_flag"]))
+                         r["n_pages"], r["mismatch_flag"], r["error"]))
         yield pd.DataFrame.from_records(
             recs, columns=["url", "text", "spans", "sections",
-                           "n_pages", "mismatch_flag"])
+                           "n_pages", "mismatch_flag", "error"])
 
 
 def _extract_arrow_batches(batches):
@@ -111,11 +125,12 @@ def _extract_arrow_batches(batches):
     schema = pa.schema([
         ("url", pa.string()), ("text", pa.string()),
         ("spans", pa.list_(span_t)), ("sections", pa.list_(sec_t)),
-        ("n_pages", pa.int32()), ("mismatch_flag", pa.bool_())])
+        ("n_pages", pa.int32()), ("mismatch_flag", pa.bool_()),
+        ("error", pa.string())])
     for batch in batches:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
-        res = [oracle.extract_document(u, p) for u, p in zip(urls, payloads)]
+        res = [_extract_one(u, p) for u, p in zip(urls, payloads)]
         yield pa.RecordBatch.from_arrays([
             pa.array([r["url"] for r in res], pa.string()),
             pa.array([r["text"] for r in res], pa.string()),
@@ -123,6 +138,7 @@ def _extract_arrow_batches(batches):
             pa.array([r["sections"] for r in res], pa.list_(sec_t)),
             pa.array([r["n_pages"] for r in res], pa.int32()),
             pa.array([r["mismatch_flag"] for r in res], pa.bool_()),
+            pa.array([r["error"] for r in res], pa.string()),
         ], schema=schema)
 
 

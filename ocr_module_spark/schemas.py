@@ -68,4 +68,8 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("sections", T.ArrayType(SECTION_TYPE), False),
     T.StructField("n_pages", T.IntegerType(), False),
     T.StructField("mismatch_flag", T.BooleanType(), False),
+    # per-document failure isolation (reference: per-page fallback PDF,
+    # usecase/translate_pdf.py:114-125; SURVEY §3.3 — never fail the job
+    # for one document): NULL on success, exception text on failure
+    T.StructField("error", T.StringType(), True),
 ])

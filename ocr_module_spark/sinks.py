@@ -78,6 +78,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
         F.sum(F.size("spans")).alias("nodes_classified"),
         F.sum(F.length("text")).alias("bytes_text_out"),
         F.sum(F.col("mismatch_flag").cast("long")).alias("docs_mismatched"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("docs_failed"),
     )
     data_dir = os.path.join(out_dir, "data")
     out.write.mode("append").parquet(data_dir)
@@ -97,7 +98,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
     metrics.update(_observed(obs, {"docs_in": 0, "bytes_in": 0}))
     metrics.update(_observed(out_obs, {
         "docs_out": 0, "nodes_classified": 0, "bytes_text_out": 0,
-        "docs_mismatched": 0}))
+        "docs_mismatched": 0, "docs_failed": 0}))
 
     manifest_dir = os.path.join(out_dir, "_manifest")
     os.makedirs(manifest_dir, exist_ok=True)

@@ -112,3 +112,22 @@ def test_extract_skew_plan_has_single_exchange(pages):
     plan = (pipeline.extract(pages, repartition=True)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1, plan
+
+
+def test_per_document_failure_isolation(spark):
+    """A hostile payload yields an error row, never a task failure
+    (reference per-page fallback, translate_pdf.py:114-125; SURVEY §3.3)."""
+    import json
+    bad = json.dumps({"format": "blocks", "pages": [
+        {"width": "not-a-number", "height": 11.0,
+         "blocks": [[0, 0, 1, 1, "x", 0, 0]]}]}).encode()
+    good = corpus.payload_for(0)
+    df = spark.createDataFrame(
+        [("u-bad", bad), ("u-good", good)], "url string, html binary")
+    rows = {r["url"]: r for r in pipeline.extract(df).collect()}
+    assert rows["u-bad"]["error"] is not None
+    assert "ValueError" in rows["u-bad"]["error"]
+    assert rows["u-bad"]["text"] == "" and rows["u-bad"]["spans"] == []
+    assert rows["u-good"]["error"] is None
+    assert rows["u-good"]["text"] == oracle.extract_document(
+        "u-good", good)["text"]
