@@ -36,7 +36,10 @@ HEADLINE = [
     "dedup_minhash_signatures",# MinHash signature build
     "dedup_simhash",           # SimHash fingerprint
     "knn_brute_cosine",        # brute-force cosine top-k
+    "ann_ivf_probe",           # IVF-flat ANN probe
     "text_quality_score",      # JVM-side text metrics
+    "mm_features",             # Arrow-batched binary feature extraction
+    "enrich_roundtrip",        # full enrichment chain (chunk->zip->fallback)
 ]
 
 
