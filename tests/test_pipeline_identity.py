@@ -131,3 +131,10 @@ def test_per_document_failure_isolation(spark):
     assert rows["u-good"]["error"] is None
     assert rows["u-good"]["text"] == oracle.extract_document(
         "u-good", good)["text"]
+
+
+def test_null_html_payload_yields_empty_document(spark):
+    df = spark.createDataFrame([("u-null", None)], "url string, html binary")
+    r = pipeline.extract(df).collect()[0]
+    assert r["text"] == "" and r["spans"] == [] and r["n_pages"] == 0
+    assert r["error"] is None  # empty, not failed
