@@ -137,6 +137,8 @@ class _Extractor(HTMLParser):
 
     # -- helpers -----------------------------------------------------------
     def _classes(self, attrs) -> str:
+        if not attrs:
+            return ""
         for k, v in attrs:
             if k == "class" and v:
                 return v.lower()
@@ -277,7 +279,7 @@ class _Extractor(HTMLParser):
                 self._emit("figure", role, path, len(self._stack) + 1, alt, "")
             return
 
-        if tag == "span" and "formula" in cls.split():
+        if tag == "span" and cls and "formula" in cls.split():
             latex = self._attr(attrs, "data-latex") or ""
             self.result.payloads.append((self._cur_page(), latex))
             self._push(tag, cls)
@@ -326,24 +328,42 @@ class _Extractor(HTMLParser):
         # pop matching tag from stack (tolerant of malformed nesting),
         # decrementing the context counters of every removed frame
         stack = self._stack
-        for i in range(len(stack) - 1, -1, -1):
-            if stack[i][0] == tag:
-                for _, _, f in stack[i:]:
-                    if f:
-                        if f & self._F_A:
-                            self._a_depth -= 1
-                        if f & self._F_SPAN:
-                            self._formula_span_depth -= 1
-                        if f & self._F_FOOTER:
-                            self._footer_ctx -= 1
-                        if f & self._F_HEADER:
-                            self._header_ctx -= 1
-                        if f & self._F_FOOTNOTE:
-                            self._footnote_ctx -= 1
-                        if f & self._F_FORMULABLOCK:
-                            self._formulablock_ctx -= 1
-                del stack[i:]
-                break
+        if stack and stack[-1][0] == tag:
+            # fast path: well-formed nesting pops the top frame
+            f = stack[-1][2]
+            if f:
+                if f & self._F_A:
+                    self._a_depth -= 1
+                if f & self._F_SPAN:
+                    self._formula_span_depth -= 1
+                if f & self._F_FOOTER:
+                    self._footer_ctx -= 1
+                if f & self._F_HEADER:
+                    self._header_ctx -= 1
+                if f & self._F_FOOTNOTE:
+                    self._footnote_ctx -= 1
+                if f & self._F_FORMULABLOCK:
+                    self._formulablock_ctx -= 1
+            stack.pop()
+        else:
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    for _, _, f in stack[i:]:
+                        if f:
+                            if f & self._F_A:
+                                self._a_depth -= 1
+                            if f & self._F_SPAN:
+                                self._formula_span_depth -= 1
+                            if f & self._F_FOOTER:
+                                self._footer_ctx -= 1
+                            if f & self._F_HEADER:
+                                self._header_ctx -= 1
+                            if f & self._F_FOOTNOTE:
+                                self._footnote_ctx -= 1
+                            if f & self._F_FORMULABLOCK:
+                                self._formulablock_ctx -= 1
+                    del stack[i:]
+                    break
         if tag == "table" and self._table_depth:
             self._table_depth -= 1
             if self._table_depth == 0:

@@ -65,7 +65,7 @@ def tokenize_fast(text: str, extractor) -> bool:
     unescape = _html.unescape
     pos = 0
     for m in _TOKEN_RE.finditer(text):
-        end, name, attrs_raw = m.group("end", "name", "attrs")
+        end, name, attrs_raw = m.group(1, 2, 3)
         seg = text[pos:m.start()]
         if seg:
             if "<" in seg:
@@ -73,7 +73,7 @@ def tokenize_fast(text: str, extractor) -> bool:
             handle_data(unescape(seg) if "&" in seg else seg)
         if end:
             # end tags take no attributes in the subset
-            if attrs_raw.strip():
+            if attrs_raw and attrs_raw.strip():
                 return False
             handle_endtag(name.lower())
         else:
