@@ -66,7 +66,13 @@ def main() -> int:
     from ocr_module_spark.operators.extraction import _n_docs
     from ocr_module_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # explicit tmpfs scratch opt-in for the bench (session.get_spark no
+    # longer defaults to it; the VM's disk is spiky, a cluster has NVMe)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus,
+                      extra_conf=extra)
     qs = entry_mod.queries()
 
     # warm up the JVM + Python worker pool so the first timed query doesn't

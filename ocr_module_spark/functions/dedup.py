@@ -302,9 +302,12 @@ CC_ROUNDS = 8
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-duplicate edges from LSH banding: each doc connects to
     its bucket's min doc (star edges — same components as the clique,
-    linear edge count). The signature subtree is cached: it feeds both
-    sides of the self-join and every propagation round."""
-    stacked = _stacked_signatures(spark, sf_dir).cache()
+    linear edge count). The signature subtree is localCheckpoint'ed (not
+    cache()'d): it feeds both sides of the self-join, and an eager
+    checkpoint is released by GC when the frame goes out of scope —
+    a cache() here would accumulate executor storage for the session
+    lifetime across the driver's 50-query run."""
+    stacked = _stacked_signatures(spark, sf_dir).localCheckpoint(eager=True)
     mins = (stacked.groupBy("band", "sig")
             .agg(F.min("doc_id").alias("a"), F.count("*").alias("n"))
             .where(F.col("n") >= 2))
@@ -366,8 +369,10 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint loop cannot be mirrored in a single oracle SQL statement.
     tests assert the bounded and converged variants agree on the corpus."""
     edges = _lsh_edges(spark, sf_dir)
+    # localCheckpoint (not cache): sym is re-read every propagation round;
+    # the eager checkpoint is GC-released after the labels materialize
     sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
-        edges.selectExpr("b AS src", "a AS dst")).cache()
+        edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
     labels = cc_labels(sym, CC_ROUNDS)
     return (labels.groupBy("label")
             .agg(F.count("*").alias("cluster_size"),

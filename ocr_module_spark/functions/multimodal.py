@@ -97,8 +97,15 @@ FROM documents
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over a binary 'video': fixed FRAME_BYTES frames,
     every FRAME_STRIDE-th sampled; emits one row per sampled frame with
-    its byte slice's checksum (the slice itself stays binary/columnar)."""
-    d = _docs_media(spark, sf_dir).where(F.col("doc_id") < 200)
+    its byte slice's checksum (the slice itself stays binary/columnar).
+
+    The oracle slices the VARCHAR (char offsets) while Spark slices the
+    payload bytes, so both engines filter to ascii-only docs (byte length
+    == char length) — the assumption is enforced, not assumed; a future
+    multi-byte fixture row is excluded on both sides instead of producing
+    a confusing checksum mismatch."""
+    d = (_docs_media(spark, sf_dir).where(F.col("doc_id") < 200)
+         .where(F.octet_length("text") == F.length("text")))
     n_frames = F.floor(F.length("payload") / FRAME_BYTES).cast("int")
     d = d.withColumn("n_frames", n_frames).where(F.col("n_frames") > 0)
     idx = F.explode(F.sequence(
@@ -117,7 +124,7 @@ SQL_MM_FRAME_SAMPLE = f"""
 WITH v AS (
   SELECT doc_id, text,
          CAST(floor(length(text) / {FRAME_BYTES}) AS INTEGER) AS n_frames
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < 200 AND strlen(text) = length(text)
 ), f AS (
   SELECT doc_id, text, n_frames,
          unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_no
@@ -190,8 +197,11 @@ def media_features(df: DataFrame, payload_col: str = "payload",
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction demo: first two fake features are SQL-mirrorable
-    (length mod 997, mean byte), so the Arrow plumbing is oracle-checked."""
-    d = _docs_media(spark, sf_dir)
+    (length mod 997, mean byte), so the Arrow plumbing is oracle-checked.
+    Both engines filter to ascii-only docs (byte == char semantics pinned,
+    see q_mm_frame_sample)."""
+    d = _docs_media(spark, sf_dir).where(
+        F.octet_length("text") == F.length("text"))
     feats = media_features(d)
     return feats.select(
         "doc_id",
@@ -201,10 +211,12 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MM_FEATURES = """
 -- the synthesized payload is ASCII text, so byte value == ascii(char)
-WITH u AS (
+WITH a AS (
+  SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)
+), u AS (
   SELECT doc_id, length(text) AS n,
          unnest(range(1, length(text) + 1)) AS i, text
-  FROM documents WHERE length(text) > 0
+  FROM a WHERE length(text) > 0
 ), m AS (
   SELECT doc_id, max(n) AS n,
          (sum(ascii(substr(text, CAST(i AS INTEGER), 1)))::BIGINT * 10000)
@@ -214,7 +226,7 @@ WITH u AS (
 SELECT d.doc_id,
        CAST(coalesce(m.n, 0) % 997 AS DOUBLE) AS f_len,
        CAST(coalesce(m.mean_byte, 0.0) AS DOUBLE) AS f_mean_byte
-FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+FROM a d LEFT JOIN m ON d.doc_id = m.doc_id
 """
 
 

@@ -176,8 +176,10 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, size(h) - {RH_K}), i -> "
         f"(((h[i] * {RH_B} % {RH_M} + h[i+1]) * {RH_B} % {RH_M} + h[i+2])"
         f" * {RH_B} % {RH_M} + h[i+3]) % {RH_M})")
+    # try_element_at: NULL (not ANSI INVALID_ARRAY_INDEX error) for
+    # empty/whitespace-only docs, matching the oracle's h[1] on empty list
     fp = F.when(F.size("h") >= RH_K, F.array_min(win)) \
-          .otherwise(F.element_at("h", 1))
+          .otherwise(F.try_element_at("h", F.lit(1)))
     return d.select("doc_id", fp.cast("long").alias("fingerprint"),
                     F.size("h").alias("n_words"))
 

@@ -72,69 +72,134 @@ def greedy_chunks(paras: DataFrame, group_cols: List[str],
     return paras.groupBy(*group_cols).applyInPandas(assign, schema=schema_str)
 
 
-def enrich_paragraphs(paras: DataFrame,
-                      enrich: Callable[[Column], Column] = F.upper,
-                      limit: int = CHUNK_LIMIT,
-                      min_section_len: int = MIN_SECTION_LEN) -> DataFrame:
-    """Run the full enrichment chain over ``(url, section_id,
-    paragraph_id, content)`` rows; returns the input columns plus
-    ``translation`` (enriched, or = content for skipped sections).
+# split the response ONLY at separators followed by a marker line (the
+# "\n\n" joiner), so content containing blank lines can never fragment a
+# piece; case-insensitive because enrich fns may case-fold the marker
+_SEP_RE = r"\n\n(?=(?i:### Paragraph \d+ ###\n))"
+_PID_RE = r"^(?i)### Paragraph (\d+) ###"
 
-    Scale shape: two shuffles total — one to group paragraphs into chunk
-    prompts, one to join the disassembled responses back; both keyed by
-    (url, section_id), the natural enrichment-batch key. The enrichment
-    callable runs on whole chunk prompts (the reference amortizes its RPC
-    the same way).
-    """
-    w_sec = W.partitionBy("url", "section_id")
-    sized = paras.withColumn("sec_len",
-                             F.sum(F.length("content")).over(w_sec))
-    todo = sized.where(F.col("sec_len") >= min_section_len)
-    skipped = sized.where(F.col("sec_len") < min_section_len)
 
+def _disassemble_keyed(grouped: DataFrame, qualifies: Column) -> DataFrame:
+    """A9 + J8-style keyed disassembly: each response piece carries its
+    own ``### Paragraph <id> ###`` marker; the piece is matched to its
+    paragraph BY ID (parsed from the marker), never by position — an
+    enrich fn that emits extra blank lines cannot shift assignments
+    (positional zip was a silent misalignment hazard). The match runs
+    per-chunk with array higher-order functions: zero extra shuffles,
+    no join. A paragraph whose piece went missing falls back to its own
+    content (J6 identity-fallback, get_translated_page.py:54-63)."""
+    ex = grouped.select(
+        "url", "section_id", "sec_len",
+        F.split("response", _SEP_RE).alias("rp"),
+        F.explode("parts").alias("part"))
+
+    def _pid(p: Column) -> Column:
+        s = F.regexp_extract(p, _PID_RE, 1)
+        return F.when(s != "", s.cast("int"))
+
+    matched = F.try_element_at(
+        F.filter(F.col("rp"),
+                 lambda p: _pid(p) == F.col("part.paragraph_id")),
+        F.lit(1))
+    ex = ex.withColumn("m", matched)
+    stripped = F.expr("substring(m, instr(m, '\n') + 1)")
+    translation = F.when(~qualifies, F.col("part.content")) \
+        .otherwise(F.coalesce(stripped, F.col("part.content")))
+    return ex.select(
+        "url", "section_id",
+        F.col("part.paragraph_id").alias("paragraph_id"),
+        F.col("part.content").alias("content"),
+        translation.alias("translation"))
+
+
+def _enrich_chain(sized: DataFrame, enrich: Callable[[Column], Column],
+                  limit: int, qualifies_grouped: Column,
+                  conditional: bool) -> DataFrame:
+    """chunk (W3) → prompt assembly (A8) → enrich → keyed disassembly."""
     # W3: chunk ids (window form; chunk boundaries only affect batching,
-    # not the per-paragraph result — exact greedy is greedy_chunks above)
+    # not the per-paragraph result — exact greedy is greedy_chunks above).
+    # Same partition key as the sec_len window: no second exchange.
     w_ord = (W.partitionBy("url", "section_id").orderBy("paragraph_id")
              .rowsBetween(W.unboundedPreceding, 0))
-    chunked = todo.withColumn(
+    chunked = sized.withColumn(
         "chunk_id",
         F.floor((F.sum(F.length("content")).over(w_ord)
                  - F.length("content")) / limit))
 
-    # A8: ordered batch prompt '### Paragraph <id> ###\n<content>'
-    piece = F.format_string(MARKER + "%d ###\n%s",
-                            F.col("paragraph_id"), F.col("content"))
-    ordered = F.array_sort(F.collect_list(F.struct(
-        F.col("paragraph_id"), piece.alias("piece"))))
-    prompts = (chunked.groupBy("url", "section_id", "chunk_id")
-               .agg(F.array_join(
-                   F.transform(ordered, lambda x: x["piece"]), "\n\n")
-                   .alias("prompt")))
+    # A8: ordered batch prompt '### Paragraph <id> ###\n<content>';
+    # groupBy keys are a superset of the window partitioning, so the
+    # aggregation reuses the existing distribution — still one exchange.
+    # NULL content gets a NULL piece (format_string would render the
+    # string "null" into the prompt): array_join skips NULL elements, the
+    # keyed disassembly then finds no piece for that id and falls back to
+    # content — i.e. NULL in, NULL out, matching the SQL oracle's
+    # upper(NULL) semantics.
+    piece = F.when(
+        F.col("content").isNotNull(),
+        F.format_string(MARKER + "%d ###\n%s",
+                        F.col("paragraph_id"), F.col("content")))
+    grouped = (chunked.groupBy("url", "section_id", "chunk_id")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col("paragraph_id"), F.col("content"),
+                   piece.alias("piece")))).alias("parts"),
+                   F.min("sec_len").alias("sec_len")))
+    prompt = F.array_join(
+        F.transform("parts", lambda x: x["piece"]), "\n\n")
+    grouped = grouped.withColumn("prompt", prompt)
 
     # the enrichment slot (deterministic local fn; RPC-shaped seam)
-    responses = prompts.withColumn("response", enrich(F.col("prompt")))
+    response = enrich(F.col("prompt"))
+    if conditional:
+        response = F.when(qualifies_grouped, response)
+    grouped = grouped.withColumn("response", response)
+    return _disassemble_keyed(grouped, qualifies_grouped)
 
-    # A9 + J9: split the response back into per-paragraph pieces; the
-    # k-th piece belongs to the k-th paragraph of the chunk (positional
-    # zip); the piece's marker line is stripped (content after first \n)
-    resp_piece = F.posexplode(F.split("response", "\n\n")) \
-        .alias("pos", "piece")
-    resp_rows = (responses.select("url", "section_id", "chunk_id", resp_piece)
-                 .select("url", "section_id", "chunk_id", "pos",
-                         F.expr("substring(piece, instr(piece, '\n') + 1)")
-                         .alias("translation")))
-    para_pos = chunked.withColumn(
-        "pos",
-        F.row_number().over(W.partitionBy("url", "section_id", "chunk_id")
-                            .orderBy("paragraph_id")) - 1)
-    zipped = para_pos.join(resp_rows,
-                           ["url", "section_id", "chunk_id", "pos"])
 
-    # J6/Q3: skipped sections pass through with translation = content
+def enrich_paragraphs(paras: DataFrame,
+                      enrich: Callable[[Column], Column] = F.upper,
+                      limit: int = CHUNK_LIMIT,
+                      min_section_len: int = MIN_SECTION_LEN,
+                      split_branches: bool = False) -> DataFrame:
+    """Run the full enrichment chain over ``(url, section_id,
+    paragraph_id, content)`` rows; returns the input columns plus
+    ``translation`` (enriched, or = content for skipped sections).
+
+    Scale shape (default, ``split_branches=False``): ONE scan of the
+    source and ONE shuffle total — the (url, section_id) window exchange
+    is reused by the chunk-id window and the prompt aggregation (superset
+    grouping keys), disassembly is keyed array logic with no join, and
+    the Q2 short-circuit is a per-chunk ``when()`` so the skipped branch
+    needs no second pass (the previous branch-split plan scanned the
+    source three times — measured in PLANS.md r1).
+
+    ``split_branches=True`` restores the literal filter-split: skipped
+    sections never reach the enrichment callable at all — use this when
+    ``enrich`` is an RPC-shaped pandas UDF (a ``when()`` guard does not
+    prevent Spark from invoking a UDF on non-qualifying rows), at the
+    cost of a second scan of the source subtree. Both modes produce
+    identical results (tests assert it).
+    """
+    w_sec = W.partitionBy("url", "section_id")
+    sized = paras.withColumn("sec_len",
+                             F.sum(F.length("content")).over(w_sec))
+    qualifies = F.col("sec_len") >= min_section_len
     out_cols = ["url", "section_id", "paragraph_id", "content", "translation"]
-    return (zipped.select(*out_cols)
-            .unionByName(skipped.withColumn("translation", F.col("content"))
-                         .select(*out_cols)))
+
+    if split_branches:
+        todo = sized.where(qualifies)
+        skipped = sized.where(~qualifies)
+        enriched = _enrich_chain(todo, enrich, limit,
+                                 qualifies_grouped=qualifies,
+                                 conditional=False)
+        # J6/Q3: skipped sections pass through with translation = content
+        return (enriched.select(*out_cols)
+                .unionByName(skipped
+                             .withColumn("translation", F.col("content"))
+                             .select(*out_cols)))
+
+    return _enrich_chain(sized, enrich, limit,
+                         qualifies_grouped=qualifies,
+                         conditional=True).select(*out_cols)
 
 
 # -- driver query + oracle ---------------------------------------------------

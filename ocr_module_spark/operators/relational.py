@@ -67,15 +67,25 @@ FROM events GROUP BY event_type
 
 def q_content_length(spark, sf_dir):
     """A3 content-length aggregation (Section.content_length,
-    section_models.py:41-42): sum of text lengths per group."""
+    section_models.py:41-42): sum of text lengths per group.
+
+    NULL semantics pinned identically on both engines: a NULL text
+    contributes length 0 (``length(coalesce(text, ''))``) and the group
+    sum is itself coalesced — so an all-NULL group yields 0, not
+    engine-dependent NULL (Spark sum-of-empty = NULL vs CASE-based
+    oracles = 0 was a real cross-engine divergence)."""
     d = _t(spark, sf_dir, "documents")
     return (d.groupBy("lang", "source")
-            .agg(F.sum(F.length("text")).alias("content_length"),
+            .agg(F.coalesce(
+                F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))),
+                F.lit(0)).cast("long").alias("content_length"),
                  F.count("*").alias("n_docs")))
 
 
 SQL_CONTENT_LENGTH = """
-SELECT lang, source, sum(length(text)) AS content_length,
+SELECT lang, source,
+       CAST(coalesce(sum(length(coalesce(text, ''))), 0) AS BIGINT)
+         AS content_length,
        count(*) AS n_docs
 FROM documents GROUP BY lang, source
 """
@@ -424,21 +434,30 @@ FROM documents
 
 def q_mismatch_audit(spark, sf_dir):
     """A5 count-comparison audit (azure_ocr_repository.py:236-240): two
-    independent counts compared into a flag, rolled up."""
+    independent counts compared into a flag, rolled up.
+
+    NULL semantics pinned on both engines: a NULL text makes the flag
+    expression NULL, which is coalesced to false BEFORE summing (Spark's
+    ``sum`` of an all-NULL group is NULL while a CASE-based oracle yields
+    0 — the flag must be made total on both sides), and the outer sum is
+    coalesced too."""
     d = _t(spark, sf_dir, "documents")
     words = F.size(F.split(F.trim("text"), r"\s+"))
-    flag = (F.length("text") != F.col("n_chars")) | (words <= 0)
+    flag = F.coalesce(
+        (F.length("text") != F.col("n_chars")) | (words <= 0), F.lit(False))
     return (d.select("lang", flag.alias("mismatch"))
             .groupBy("lang")
-            .agg(F.sum(F.col("mismatch").cast("long")).alias("n_mismatched"),
+            .agg(F.coalesce(F.sum(F.col("mismatch").cast("long")), F.lit(0))
+                 .cast("long").alias("n_mismatched"),
                  F.count("*").alias("n_docs")))
 
 
 SQL_MISMATCH_AUDIT = """
 SELECT lang,
-       sum(CASE WHEN length(text) <> n_chars
-                 OR len(string_split_regex(trim(text), '\\s+')) <= 0
-            THEN 1 ELSE 0 END) AS n_mismatched,
+       CAST(coalesce(sum(CASE WHEN coalesce(
+                 length(text) <> n_chars
+                 OR len(string_split_regex(trim(text), '\\s+')) <= 0, false)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatched,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """

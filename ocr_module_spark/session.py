@@ -34,12 +34,14 @@ def get_spark(app: str = "ocr_module_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    # shuffle/spill scratch on tmpfs when available: VM disks are slow and
-    # spiky; a real cluster would use local NVMe (config, not code)
-    if os.path.isdir("/dev/shm"):
-        builder = builder.config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+    # shuffle/spill scratch dir is strictly opt-in (SPARK_GRAFT_LOCAL_DIR):
+    # defaulting to /dev/shm would silently cap spill capacity at ~50% of
+    # RAM and change behavior based on tmpfs presence. The bench scripts
+    # pass it explicitly (VM disks are slow/spiky); a real cluster uses
+    # local NVMe via spark.local.dir cluster config.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

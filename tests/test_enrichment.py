@@ -67,6 +67,46 @@ def test_enrich_endpoint_semantics(spark, paras):
     assert "<FORMULA_0/>" in r["translation"]
 
 
+def test_enrich_content_with_blank_lines(spark):
+    """Content containing '\\n\\n' must NOT fragment disassembly: the
+    response is split only at separators followed by a marker line, and
+    pieces are matched back BY PARAGRAPH ID, not position."""
+    rows = [("u", 0, i, f"para {i} first line\n\nsecond block tail " * 4)
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "url string, section_id int, paragraph_id int, content string")
+    out = {r["paragraph_id"]: r for r in E.enrich_paragraphs(df).collect()}
+    assert len(out) == 5
+    for i in range(5):
+        assert out[i]["translation"] == out[i]["content"].upper(), i
+
+
+def test_enrich_split_branches_equivalent(spark, paras):
+    """The RPC-shaped filter-split mode and the single-pass when() mode
+    produce identical results."""
+    a = {(r["url"], r["paragraph_id"]): r["translation"]
+         for r in E.enrich_paragraphs(paras).collect()}
+    b = {(r["url"], r["paragraph_id"]): r["translation"]
+         for r in E.enrich_paragraphs(paras, split_branches=True).collect()}
+    assert a == b
+
+
+def test_enrich_null_content_roundtrip(spark):
+    """NULL content: no prompt piece is emitted (format_string would
+    inject the literal string 'null'), and the paragraph falls back to
+    NULL — upper(NULL) oracle semantics."""
+    rows = [("u", 0, 0, "real paragraph body here " * 12),
+            ("u", 0, 1, None),
+            ("u", 0, 2, "another real paragraph " * 12)]
+    df = spark.createDataFrame(
+        rows, "url string, section_id int, paragraph_id int, content string")
+    out = {r["paragraph_id"]: r["translation"]
+           for r in E.enrich_paragraphs(df).collect()}
+    assert out[0] == ("real paragraph body here " * 12).upper()
+    assert out[1] is None
+    assert out[2] == ("another real paragraph " * 12).upper()
+
+
 def test_enrich_custom_fn_marker_preserving(spark, paras):
     """The enrichment seam is pluggable: a marker-preserving reverse-ish
     fn (reverse each piece's body is hard in SQL, so use a tagging fn)."""

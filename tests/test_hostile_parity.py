@@ -1,0 +1,83 @@
+"""Cross-engine parity on the hostile corpus class.
+
+Round 1 shipped two driver-red queries whose Spark/DuckDB semantics
+diverged ONLY on corpus rows the pinned testdata lacked (NULL text →
+all-NULL aggregation groups; VERDICT.md r1). These tests regenerate the
+hostile corpus (tools/gen_hostile.py: NULL / empty / whitespace-only /
+non-ASCII text, mismatching n_chars, an all-NULL (lang, source) group)
+and assert Spark == DuckDB for every documents-driven oracle query on it
+— the local reproduction of the driver's corpus class.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import duckdb
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "tools"))
+
+# every oracle query that reads the documents table (the hostile surface)
+DOC_QUERIES = [
+    "agg_content_length",
+    "agg_mismatch_audit",
+    "agg_ordered_reassembly",
+    "enrich_roundtrip",
+    "fn_token_split_count",
+    "fn_regex_extract_rewrite",
+    "join_positional_zip",
+    "window_greedy_chunking",
+    "mm_metadata",
+    "mm_frame_sample",
+    "mm_features",
+    "text_token_count",
+    "text_bpe_token_estimate",
+    "text_quality_score",
+    "text_quality_filter",
+    "text_lang_guess",
+    "text_fingerprint",
+    "text_rolling_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir():
+    import gen_hostile
+    gen_hostile.main()
+    return str(gen_hostile.DST)
+
+
+@pytest.fixture(scope="module")
+def duck(hostile_dir):
+    from parity_check import TABLES
+    con = duckdb.connect()
+    for t in TABLES + ["documents"]:
+        con.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS "
+            f"SELECT * FROM '{hostile_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_hostile_parity(spark, hostile_dir, duck, name):
+    from parity_check import value_hash
+
+    import __spark_entry__ as entry_mod
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+
+    df = fn(spark, hostile_dir)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+    res = duck.sql(sql)
+    d_cols, d_rows = res.columns, res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), name
+    assert len(s_rows) == len(d_rows), name
+    assert value_hash(s_rows, s_cols) == value_hash(d_rows, d_cols), name

@@ -1,0 +1,84 @@
+"""Build the hostile parity corpus at ``.localdata/sf0.001``.
+
+The driver's own sf0.01 corpus contains document rows the pinned
+``/root/testdata`` corpora do not — NULL text, empty/whitespace-only text,
+non-ASCII text — and round 1 shipped two queries whose NULL-group
+semantics diverged between Spark and DuckDB *only* on that corpus class
+(`agg_content_length`, `agg_mismatch_audit`, VERDICT.md r1). This tool
+reproduces the class locally: it copies every sf0.001 table and appends
+adversarial rows to ``documents`` (including one (lang, source) group
+whose every row has NULL text — the exact all-NULL-group aggregation
+case), so ``tools/parity_check.py .localdata/sf0.001`` exercises the same
+divergence surface the driver does.
+
+The directory is named ``sf0.001`` so the extraction queries' corpus-size
+mapping (operators/extraction._N_BY_SF) and the golden extraction oracles
+(keyed by the orders-table row count) stay mutually consistent.
+
+Usage::
+
+    python tools/gen_hostile.py           # writes .localdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import sys
+
+import duckdb
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+SRC = pathlib.Path("/root/testdata/sf0.001")
+DST = REPO / ".localdata" / "sf0.001"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings"]
+
+# (text, lang, source, n_chars) — n_chars deliberately wrong for some rows
+# (mismatch-audit true branch) and right for others; doc_ids continue the
+# existing 0..499 range. lang='xx' / source='srcnull' exists ONLY with NULL
+# text => an all-NULL aggregation group on every (lang, source) rollup.
+HOSTILE_ROWS = [
+    (None, "xx", "srcnull", 17),          # NULL text, bogus n_chars
+    (None, "xx", "srcnull", 0),           # NULL text, zero n_chars
+    (None, "en", "src0", 42),             # NULL text inside a mixed group
+    ("", "en", "src1", 0),                # empty text, consistent n_chars
+    ("", "de", "src2", 5),                # empty text, mismatching n_chars
+    ("   ", "fr", "src3", 3),             # whitespace-only
+    ("\n\t \n", "es", "src4", 4),         # whitespace incl newlines/tabs
+    ("日本語のテキスト処理 これは 形態素 解析", "zh", "src5", 21),
+    ("naïve café résumé — déjà vu", "fr", "src6", 27),
+    ("emoji 🚀 and combining é accents", "en", "src7", 33),
+    ("mixed ascii und 中文 zusammen", "de", "src8", 27),
+    ("single", "en", "src9", 6),          # one word (< RH_K window)
+    ("a b c", "en", "src10", 5),          # 3 words (< RH_K=4 window)
+    ("the the the the the", "en", "src11", 19),   # all-stopword doc
+    ("x" * 5000, "en", "src12", 5000),    # long single token
+    ("tab\tseparated\twords here", "en", "src13", 24),
+]
+
+
+def main() -> int:
+    DST.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM read_parquet(?)",
+        [str(SRC / "documents.parquet")])
+    base = con.execute("SELECT max(doc_id) FROM docs").fetchone()[0]
+    for k, (text, lang, source, n_chars) in enumerate(HOSTILE_ROWS):
+        con.execute("INSERT INTO docs VALUES (?, ?, ?, ?, ?)",
+                    [base + 1 + k, text, lang, source, n_chars])
+    out = str(DST / "documents.parquet").replace("'", "''")
+    con.execute(f"COPY docs TO '{out}' (FORMAT PARQUET)")
+    n = con.execute("SELECT count(*) FROM docs").fetchone()[0]
+    print(f"wrote {DST} (documents: {n} rows, "
+          f"{len(HOSTILE_ROWS)} hostile)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,11 +60,16 @@ def worker(cores: int, n_docs: int) -> None:
     from ocr_module_spark import corpus, pipeline
     from ocr_module_spark.session import get_spark
 
+    extra = {"spark.shuffle.compress": "false",
+             "spark.shuffle.spill.compress": "false",
+             "spark.sql.files.maxPartitionBytes": "4m"}
+    # explicit tmpfs scratch opt-in for the bench (see session.get_spark:
+    # the VM's disk is spiky; a cluster would configure local NVMe)
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
     spark = get_spark(
         f"scaling-{cores}", cores=cores, shuffle_partitions=128,
-        extra_conf={"spark.shuffle.compress": "false",
-                    "spark.shuffle.spill.compress": "false",
-                    "spark.sql.files.maxPartitionBytes": "4m"})
+        extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     path = _input_path(n_docs)
