@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_BANDS = 4
-JACCARD_DOCS = 300          # candidate window for the pairwise demo
 JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 16
 
@@ -107,46 +106,78 @@ SQL_DEDUP_LSH_BUCKETS = (
 )
 
 
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-bucket doc pairs from MinHash-LSH banding — the textbook
+    candidate set a near-dup verifier consumes (a pair is a candidate iff
+    it collides in ANY band). This is the operator that makes pair
+    verification linear-ish at 10^12 docs: the pair universe is bounded
+    by banding (sum of bucket-size-choose-2), never all-pairs; the
+    equi-join key is (band, sig)."""
+    stacked = _stacked_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    a = stacked.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    b = stacked.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    return (a.join(b, ["band", "sig"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+# the stacked-signatures subtree as a SQL CTE prefix (shared by the
+# candidate-driven pair verifiers and the CC clustering oracle)
+def _sql_stacked_prefix() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(list_distinct("
+        "string_split_regex(trim(text), '\\s+'))) AS w FROM documents),\n"
+        "sigs AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('{b}|' || w)) AS sig_{b}" for b in range(N_BANDS))
+        + " FROM tok GROUP BY doc_id),\n"
+        "stacked AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, sig_{b} AS sig FROM sigs"
+            for b in range(N_BANDS))
+        + "),\n"
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "          FROM stacked a JOIN stacked b USING (band, sig)\n"
+        "          WHERE a.doc_id < b.doc_id)"
+    )
+
+
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard similarity on a bounded candidate window:
-    explode distinct tokens, self-equi-join on token (shared count),
-    join per-doc set sizes, jaccard = shared / (na + nb - shared)."""
-    d = _docs(spark, sf_dir).where(F.col("doc_id") < JACCARD_DOCS)
-    tok = d.select("doc_id", F.explode(
-        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("nset"))
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (a.join(b, (F.col("a.w") == F.col("b.w"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
-              .agg(F.count("*").alias("shared")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nset").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nset").alias("nb"))
-    jac = F.round(F.col("shared") /
-                  (F.col("na") + F.col("nb") - F.col("shared")), 4)
-    return (shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    """Token-set Jaccard verification of the LSH candidate pairs: each
+    candidate (band-collision) pair joins to its two docs' DISTINCT token
+    sets and the exact jaccard = |∩| / |∪| is computed per pair with
+    array intersection — O(candidates × set size), never all-pairs, and
+    the candidate window is bucket-driven at any scale (not an id cap).
+    The MinHash→LSH→verify chain is the standard web-scale near-dup
+    pipeline shape."""
+    cands = _lsh_candidate_pairs(spark, sf_dir)
+    sets = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("ws"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    shared = F.size(F.array_intersect("wa", "wb"))
+    jac = F.round(shared /
+                  (F.size("wa") + F.size("wb") - shared), 4)
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 
-SQL_DEDUP_JACCARD_PAIRS = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
-  FROM documents WHERE doc_id < {JACCARD_DOCS}
-), sizes AS (
-  SELECT doc_id, count(*) AS nset FROM tok GROUP BY doc_id
-), shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+SQL_DEDUP_JACCARD_PAIRS = _sql_stacked_prefix() + f""",
+sets AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ws
+  FROM documents
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(a.ws, b.ws)) /
+               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4)
+           AS jaccard
+  FROM cands c
+  JOIN sets a ON a.doc_id = c.doc_a
+  JOIN sets b ON b.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b,
-       round(shared / (sa.nset + sb.nset - shared), 4) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(shared / (sa.nset + sb.nset - shared), 4) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
@@ -206,61 +237,56 @@ SQL_DEDUP_SIMHASH = (
 
 
 NGRAM_N = 3
-NGRAM_DOCS = 300
 NGRAM_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.30
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word 3-gram (shingle) Jaccard near-dup pairs on a bounded candidate
-    window: build distinct shingles per doc (JVM higher-order functions),
-    explode, self-equi-join on shingle — the n-gram variant of token-set
-    Jaccard; shingles capture local word ORDER, not just vocabulary."""
-    d = (_docs(spark, sf_dir).where(F.col("doc_id") < NGRAM_DOCS)
+    """Word 3-gram (shingle) Jaccard verification of the LSH candidate
+    pairs: shingles capture local word ORDER, not just vocabulary — the
+    stricter second-stage verifier over the same MinHash-LSH candidate
+    set as q_dedup_jaccard_pairs (candidates from cheap token-level LSH,
+    verification on the order-sensitive shingle sets; pairs where either
+    doc has < NGRAM_N words cannot form a shingle and are skipped on both
+    engines)."""
+    cands = _lsh_candidate_pairs(spark, sf_dir)
+    d = (_docs(spark, sf_dir)
          .withColumn("w", F.split(F.trim("text"), r"\s+"))
          .where(F.size("w") >= NGRAM_N))
     sh = F.array_distinct(F.expr(
         f"transform(sequence(0, size(w) - {NGRAM_N}), "
         f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-    tok = d.select("doc_id", F.explode(sh).alias("s"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("nset"))
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
-              .agg(F.count("*").alias("shared")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nset").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nset").alias("nb"))
-    jac = F.round(F.col("shared") /
-                  (F.col("na") + F.col("nb") - F.col("shared")), 4)
-    return (shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    sets = d.select("doc_id", sh.alias("ss"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ga"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("gb"))
+    shared = F.size(F.array_intersect("ga", "gb"))
+    jac = F.round(shared /
+                  (F.size("ga") + F.size("gb") - shared), 4)
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= NGRAM_THRESHOLD))
 
 
-SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH d AS (
+SQL_DEDUP_NGRAM_JACCARD = _sql_stacked_prefix() + f""",
+d AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-  FROM documents WHERE doc_id < {NGRAM_DOCS}
-), sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
+  FROM documents
+), sets AS (
+  SELECT doc_id, list_distinct(list_transform(
            generate_series(1, len(w) - {NGRAM_N - 1}),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
   FROM d WHERE len(w) >= {NGRAM_N}
-), sizes AS (
-  SELECT doc_id, count(*) AS nset FROM sh GROUP BY doc_id
-), shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(a.ss, b.ss)) /
+               (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4)
+           AS jaccard
+  FROM cands c
+  JOIN sets a ON a.doc_id = c.doc_a
+  JOIN sets b ON b.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b,
-       round(shared / (sa.nset + sb.nset - shared), 4) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(shared / (sa.nset + sb.nset - shared), 4) >= {NGRAM_THRESHOLD}
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= {NGRAM_THRESHOLD}
 """
 
 
