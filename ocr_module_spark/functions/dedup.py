@@ -290,34 +290,86 @@ WHERE jaccard >= {NGRAM_THRESHOLD}
 """
 
 
+EMB_BANDS = 2               # hyperplane sets (bands) for sign-LSH banding
+EMB_BAND_BITS = 8           # bits per band (band k uses dims [8k, 8k+8))
+
+
+def emb_candidate_pairs(spark: SparkSession, sf_dir: str,
+                        bands: int = EMB_BANDS,
+                        bits: int = EMB_BAND_BITS) -> DataFrame:
+    """Banded sign-LSH candidate pairs over the embeddings table: band k
+    buckets on the sign pattern of ``bits`` dims at offset ``k*bits``; a
+    pair is a candidate iff it collides in ANY band (union, distinct).
+
+    Scale dial (the fix for a fixed-width single bucket): ``bits`` bounds
+    the in-bucket population — at 10^12 vectors, size it so
+    2^bits ≈ n_vectors / target_bucket_size, keeping in-bucket all-pairs
+    verification linear-ish; each band alone then has lower recall (a
+    near-dup pair survives a band only if no sign among its ``bits`` dims
+    flips), and ``bands`` independent hyperplane sets multiply the chance
+    a true pair collides somewhere: P(candidate) = 1-(1-p^bits)^bands.
+    Band 0 equals the previous single fixed bucket, so the banded
+    candidate set provably contains the old one (test-asserted)."""
+    from .simsearch import _emb, _sign_bucket
+    e = _emb(spark, sf_dir)
+    keyed = e.select(
+        "vec_id",
+        *[_sign_bucket("vec", bits, k * bits).alias(f"b{k}")
+          for k in range(bands)])
+    stacked = keyed.selectExpr(
+        "vec_id",
+        "stack({n}, {cols}) as (band, bucket)".format(
+            n=bands, cols=", ".join(f"{k}, b{k}" for k in range(bands))))
+    a = stacked.select("band", "bucket", F.col("vec_id").alias("id_a"))
+    b = stacked.select("band", "bucket", F.col("vec_id").alias("id_b"))
+    return (a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-LSH bucket as the candidate
-    equi-join key (never all-pairs), exact cosine on candidates only.
-    Vectors are L2-normalized so dot == cosine; computed JVM-side with
-    zip_with/aggregate. At 10^12 rows the bucket key bounds the shuffle
-    and each bucket's pair count."""
-    from .simsearch import _emb, _dot, _sign_bucket
-    e = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket("vec"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
-                 "bucket")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
-                 "bucket")
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-dup pairs: banded sign-LSH candidates (see
+    emb_candidate_pairs — never all-pairs, bucket width and band count
+    are the scale/recall dials), exact cosine verified on candidates
+    only. Vectors are L2-normalized so dot == cosine; computed JVM-side
+    with zip_with/aggregate."""
+    from .simsearch import _dot, _emb
+    cands = emb_candidate_pairs(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
     cos = F.round(_dot("va", "vb"), 4)
-    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= COSINE_THRESHOLD))
 
 
+def _sql_emb_bucket(offset: int, bits: int) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN embedding[{offset + k + 1}] >= 0 THEN {2 ** k} ELSE 0 END"
+        for k in range(bits)) + ")"
+
+
 SQL_DEDUP_EMBEDDING_COSINE = (
-    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ("
-    + " + ".join(
-        f"CASE WHEN embedding[{k + 1}] >= 0 THEN {2 ** k} ELSE 0 END"
-        for k in range(8))
-    + f""") AS bucket FROM embeddings)
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       round(list_dot_product(a.v, c.v), 4) AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE round(list_dot_product(a.v, c.v), 4) >= {COSINE_THRESHOLD}
+    "WITH keyed AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    + ", ".join(
+        f"{_sql_emb_bucket(k * EMB_BAND_BITS, EMB_BAND_BITS)} AS b{k}"
+        for k in range(EMB_BANDS))
+    + " FROM embeddings),\n"
+    "stacked AS ("
+    + " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS band, b{k} AS bucket FROM keyed"
+        for k in range(EMB_BANDS))
+    + "),\n"
+    "cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b\n"
+    "          FROM stacked a JOIN stacked b USING (band, bucket)\n"
+    "          WHERE a.vec_id < b.vec_id)\n"
+    + f"""SELECT c.id_a, c.id_b,
+       round(list_dot_product(x.v, y.v), 4) AS cosine
+FROM cands c
+JOIN keyed x ON x.vec_id = c.id_a
+JOIN keyed y ON y.vec_id = c.id_b
+WHERE round(list_dot_product(x.v, y.v), 4) >= {COSINE_THRESHOLD}
 """
 )
 

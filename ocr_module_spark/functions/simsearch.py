@@ -67,13 +67,21 @@ ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
 """
 
 
-def _sign_bucket(vec: str):
-    bits = [
-        F.when(F.element_at(F.col(vec), b + 1) >= 0, F.lit(2 ** b)).otherwise(0)
-        for b in range(SIGN_BITS)
+def _sign_bucket(vec: str, bits: int = SIGN_BITS, offset: int = 0):
+    """Sign-LSH bucket key from ``bits`` consecutive dims starting at
+    ``offset``. ``bits`` is the recall/cost dial: each extra bit halves
+    the expected bucket population (so in-bucket pair counts stay bounded
+    as the corpus grows — size bits ~ log2(n_vectors / target_bucket)),
+    at the cost of splitting true neighbor pairs across buckets; banding
+    over multiple offsets (see dedup_embedding_cosine) buys the recall
+    back without re-inflating any single bucket."""
+    cols = [
+        F.when(F.element_at(F.col(vec), offset + b + 1) >= 0,
+               F.lit(2 ** b)).otherwise(0)
+        for b in range(bits)
     ]
     out = F.lit(0)
-    for b in bits:
+    for b in cols:
         out = out + b
     return out.cast("int")
 

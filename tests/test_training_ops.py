@@ -104,6 +104,34 @@ def test_embedding_cosine_pairs_symmetric_bounded(spark, sf_dir):
         assert COSINE_THRESHOLD <= r["cosine"] <= 1.0001
 
 
+def test_emb_banded_candidates_contain_single_bucket(spark, sf_dir):
+    """Banded sign-LSH candidate pairs must be a superset of the single
+    fixed-bucket candidate set (band 0 IS the old bucket), and adding
+    bands must only ever ADD recall."""
+    from ocr_module_spark.functions.dedup import (
+        EMB_BAND_BITS, emb_candidate_pairs)
+    single = {(r["id_a"], r["id_b"]) for r in
+              emb_candidate_pairs(spark, sf_dir, bands=1,
+                                  bits=EMB_BAND_BITS).collect()}
+    banded = {(r["id_a"], r["id_b"]) for r in
+              emb_candidate_pairs(spark, sf_dir, bands=2,
+                                  bits=EMB_BAND_BITS).collect()}
+    assert single <= banded
+    assert len(banded) > len(single)  # second hyperplane set adds recall
+
+
+def test_jaccard_pairs_are_lsh_candidates(spark, sf_dir):
+    """Every verified near-dup pair must come from the LSH candidate set
+    (bucket-driven window, not an id cap)."""
+    from ocr_module_spark.functions.dedup import (
+        _lsh_candidate_pairs, q_dedup_jaccard_pairs)
+    cands = {(r["doc_a"], r["doc_b"]) for r in
+             _lsh_candidate_pairs(spark, sf_dir).collect()}
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             q_dedup_jaccard_pairs(spark, sf_dir).collect()}
+    assert pairs <= cands
+
+
 def test_ngram_jaccard_in_unit_interval(spark, sf_dir):
     from ocr_module_spark.functions.dedup import q_dedup_ngram_jaccard
     rows = q_dedup_ngram_jaccard(spark, sf_dir).collect()
