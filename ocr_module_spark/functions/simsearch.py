@@ -139,32 +139,65 @@ NLIST = 16                  # IVF coarse centroids (deterministic: first 16 vecs
 NPROBE = 4                  # cells probed per query
 
 
+def _cents_sql(cents: dict[int, list[float]]) -> str:
+    """The centroid matrix as ONE parsed SQL array-of-arrays literal
+    (17-sig-digit exponent form round-trips every double exactly).
+    Building it as thousands of individual F.lit Columns costs seconds of
+    py4j/Catalyst overhead; a single expression string parses once.
+    Centroid i of the sorted dict sits at array index i, so the transform
+    index IS the cell id (asserted by the caller)."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(v):.17e}D" for v in cvec) + ")"
+        for _cid, cvec in sorted(cents.items())) + ")"
+
+
+def ivf_assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Coarse-quantize every vector to its nearest centroid as a SINGLE
+    shuffle-free projection: the per-row cell id is the argmax over
+    (rounded dot, -cid) structs — lexicographic ``array_max`` picks the
+    highest dot, lowest cid on ties. The previous shape (crossJoin
+    against the centroid table + a row_number window partitioned by
+    vec_id) was a NLIST× row blowup plus a full shuffle of every vector
+    just to compute a per-row argmax; this is zero exchanges and zero
+    extra rows (plan-asserted in tests), which at 10^12 vectors is the
+    difference between a map stage and the biggest shuffle in the job.
+    Centroids arrive as a driver-side dict (the 'trained' coarse
+    quantizer — NLIST rows, the moral equivalent of a broadcast)."""
+    assert sorted(cents) == list(range(len(cents))), "dense centroid ids"
+    best = F.expr(
+        f"array_max(transform({_cents_sql(cents)}, (c, i) -> struct("
+        "round(aggregate(zip_with(vec, c, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v), 4) AS cdot, "
+        "-i AS negcid)))")
+    return e.select("vec_id", "label", "vec",
+                    (-best["negcid"]).cast("int").alias("cid"))
+
+
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse-quantize every vector to its nearest of NLIST
-    centroids (one broadcast pass — the inverted-file build), then search
-    only the NPROBE cells nearest the query. At 10^12 vectors the cell id
-    is the partition/shuffle key and the probed fraction bounds the work;
-    the centroid 'training' is deterministic (first NLIST vectors) so both
-    engines agree exactly. Ranking uses dots rounded to 4dp with id
-    tie-breaks — FP-stable across engines."""
+    centroids (one shuffle-free argmax projection — the inverted-file
+    build, see ivf_assign), then search only the NPROBE cells nearest the
+    query. At 10^12 vectors the cell id is the partition/shuffle key and
+    the probed fraction bounds the work; the centroid 'training' is
+    deterministic (first NLIST vectors) so both engines agree exactly.
+    Ranking uses dots rounded to 4dp with id tie-breaks — FP-stable
+    across engines."""
     e = _emb(spark, sf_dir)
-    cents = (e.where(F.col("vec_id") < NLIST)
-             .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")))
-    scored = (e.crossJoin(F.broadcast(cents))
-              .select("vec_id", "label", "vec", "cid",
-                      F.round(_dot("vec", "cvec"), 4).alias("cdot")))
-    wa = W.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cid"))
-    assigned = (scored.withColumn("rk", F.row_number().over(wa))
-                .where(F.col("rk") == 1)
-                .select("vec_id", "label", "vec", "cid"))
-    qcells = (assigned.where(F.col("vec_id") == QUERY_VEC_ID)
-              .select(F.col("vec").alias("qvec"))
-              .crossJoin(F.broadcast(cents))
-              .select("qvec", "cid",
-                      F.round(_dot("qvec", "cvec"), 4).alias("qdot"))
-              .orderBy(F.col("qdot").desc(), F.col("cid"))
-              .limit(NPROBE)
-              .select("qvec", "cid"))
+    cents = {r["vec_id"]: list(r["vec"]) for r in
+             e.where(F.col("vec_id") < NLIST)
+              .select("vec_id", "vec").collect()}
+    assigned = ivf_assign(e, cents)
+    # the query's NPROBE nearest cells: same literal-centroid dots, sorted
+    # ascending by (-qdot, cid) == descending qdot with cid tie-break
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(transform({_cents_sql(cents)}, "
+        "(c, i) -> struct("
+        "-round(aggregate(zip_with(vec, c, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v), 4) AS nqdot, "
+        f"i AS cid))), 1, {NPROBE}), s -> s.cid)")
+    qcells = (e.where(F.col("vec_id") == QUERY_VEC_ID)
+              .select(F.col("vec").alias("qvec"),
+                      F.explode(probe_cells).alias("cid")))
     cands = (assigned.join(F.broadcast(qcells), "cid")
              .where(F.col("vec_id") != QUERY_VEC_ID))
     return (cands.select("vec_id", "label", "cid",

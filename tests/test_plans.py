@@ -96,6 +96,41 @@ def test_whole_stage_codegen_everywhere(spark, sf):
         assert "*(1)" in plan, plan
 
 
+def test_ivf_assignment_is_shuffle_free_projection(spark, sf):
+    """IVF cell assignment must be a single argmax projection: zero
+    exchanges, zero row blowup (the old crossJoin + row_number window
+    shuffled every vector NLIST times). The full probe query may only
+    broadcast (the tiny query-cells side) — never a shuffle exchange."""
+    from pyspark.sql import functions as F
+    from ocr_module_spark.functions import simsearch as S
+    e = S._emb(spark, sf)
+    cents = {r["vec_id"]: list(r["vec"]) for r in
+             e.where(F.col("vec_id") < S.NLIST)
+              .select("vec_id", "vec").collect()}
+    plan = _plan(S.ivf_assign(e, cents))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    full = _plan(S.q_ann_ivf_probe(spark, sf))
+    assert "Exchange hashpartitioning" not in full, full
+
+
+def test_enrich_roundtrip_single_scan_single_shuffle(spark, sf):
+    """The enrichment chain must scan the source ONCE and shuffle ONCE:
+    the (url, section_id) window exchange is reused by the chunk window
+    and the prompt aggregation (superset grouping keys), disassembly is
+    keyed array logic with no join, and the Q2 short-circuit is a per-row
+    when() — the r1 branch-split plan scanned documents.parquet 3x."""
+    from ocr_module_spark.operators.enrichment import q_enrich_roundtrip
+    df = q_enrich_roundtrip(spark, sf)
+    df.collect()  # final AQE plan
+    # executed AQE plans print '== Final Plan ==' AND '== Initial Plan ==';
+    # count nodes in the final section only
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_extraction_queries_have_no_python_row_udf(spark, sf):
     """input_hint bans per-row Python: plans may contain ArrowEvalPython /
     MapInPandas (vectorized) but never BatchEvalPython (pickled row UDF)."""
