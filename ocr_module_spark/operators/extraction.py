@@ -1,27 +1,44 @@
 """Extraction-pipeline queries for the driver contract.
 
 The extraction input (the ``pages`` table) is synthesized deterministically
-by corpus.py — the DuckDB side cannot run the HTML parse, so these entries
-have no ``oracle_sql`` (the driver records rows-only checks; the full
-byte-identity gate lives in pytest against the committed golden fixtures).
-The row counts scale with the sf dir so the driver exercises them at every
-scale.
+by corpus.py — the DuckDB side cannot run the HTML parse, so each entry's
+oracle is a GOLDEN-RESULT read: ``tools/gen_golden.py`` materializes the
+pure-Python oracle's outputs (no Spark involved) into committed parquet
+under ``golden/``, and the oracle SQL selects the slice whose
+``corpus_tag`` matches the sf dir's orders-table row count (the one
+driver-registered table whose count discriminates every sf). The driver's
+side-by-side compare then checks the distributed pipeline against an
+independent single-threaded computation of the same spec — on top of the
+byte-identity pytest gate.
 """
 
 from __future__ import annotations
 
 import os
+import pathlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import corpus, pipeline
 
 _N_BY_SF = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 16000}
 
+_GOLDEN = pathlib.Path(__file__).resolve().parents[2] / "golden"
+
 
 def _n_docs(sf_dir: str) -> int:
     return _N_BY_SF.get(os.path.basename(sf_dir.rstrip("/")), 500)
+
+
+def _golden_sql(query: str, cols: str) -> str:
+    """Static oracle SQL over the committed golden parquet; self-selects
+    the sf slice via the orders-table count (see module docstring)."""
+    return (
+        f"SELECT {cols}\n"
+        f"FROM read_parquet('{_GOLDEN / query}.parquet')\n"
+        f"WHERE corpus_tag = (SELECT count(*) FROM orders)"
+    )
 
 
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +76,45 @@ def q_extract_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("figure_ids").alias("n_figures"))
 
 
+def document_json_col() -> Column:
+    """S9: the nested Document JSON as a NATIVE column expression over
+    EXTRACT_SCHEMA output — ``to_json(struct(url, n_pages, mismatch_flag,
+    pages, sections), ignoreNullFields=false)`` where ``pages`` regroups
+    the flat spans per page with higher-order array functions (reference
+    surface: Document.to_json, entities/__init__.py:40-48; byte-identity
+    vs the pure-Python oracle.document_to_json is pytest-pinned). All
+    JVM-side — at scale this serializes at scan speed with no Python.
+
+    The sequence runs over greatest(n_pages, 1) and is sliced back to
+    n_pages so a zero-page document yields a correctly-typed empty array
+    (sequence(0, -1) would count downward)."""
+    pages = F.slice(
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.col("n_pages"), F.lit(1)) - 1),
+            lambda p: F.struct(
+                p.alias("page_number"),
+                F.filter(F.col("spans"),
+                         lambda s: s["page_number"] == p)
+                .alias("paragraphs"))),
+        1, F.col("n_pages"))
+    doc = F.struct(F.col("url"), F.col("n_pages"), F.col("mismatch_flag"),
+                   pages.alias("pages"), F.col("sections"))
+    return F.to_json(doc, {"ignoreNullFields": "false"})
+
+
+def q_extract_document_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 driver query: per-url Document JSON, projected to a stable
+    (sha256, length) pair so the golden oracle stays compact."""
+    pages = corpus.pages_df(spark, _n_docs(sf_dir))
+    out = pipeline.extract(pages)
+    j = document_json_col()
+    return out.select(
+        "url",
+        F.sha2(j.cast("binary"), 256).alias("json_sha256"),
+        F.length(j).alias("json_len"))
+
+
 def q_extract_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decomposed relational pipeline (parse → classify → window ids →
     placeholder alignment → grouped reassembly — one Spark operator per
@@ -74,8 +130,20 @@ def q_extract_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY = {
-    "extract_text": (q_extract_text, None),
-    "extract_relational": (q_extract_relational, None),
-    "extract_nodes": (q_extract_nodes, None),
-    "extract_sections": (q_extract_sections, None),
+    "extract_text": (q_extract_text, _golden_sql(
+        "extract_text",
+        "url, text_sha256, text_len, n_spans, n_sections, n_pages, "
+        "mismatch_flag")),
+    "extract_relational": (q_extract_relational, _golden_sql(
+        "extract_relational",
+        "url, text_sha256, text_len, mismatch_flag")),
+    "extract_nodes": (q_extract_nodes, _golden_sql(
+        "extract_nodes",
+        "kind, role, keep, n_blocks, total_text_len")),
+    "extract_sections": (q_extract_sections, _golden_sql(
+        "extract_sections",
+        "url, section_id, n_paragraphs, n_tables, n_figures")),
+    "extract_document_json": (q_extract_document_json, _golden_sql(
+        "extract_document_json",
+        "url, json_sha256, json_len")),
 }

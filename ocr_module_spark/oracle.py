@@ -28,6 +28,7 @@ Semantics grafted from the reference (citations per step):
 
 from __future__ import annotations
 
+import json
 from typing import Dict, List, Optional
 
 from .blocklist import is_blocklist, parse_blocklist
@@ -59,6 +60,46 @@ def rewrite_placeholders(text: str, start_index: int) -> str:
         out.append(f"<formula_{start_index + i}/>")
         out.append(rest)
     return "".join(out)
+
+
+def document_to_json(result: Dict) -> str:
+    """Nested Document-shaped JSON (S9): one JSON document per url with
+    the dual page/section view, mirroring the reference's
+    ``Document.to_json`` surface (entities/__init__.py:40-48 — pages
+    partition elements physically, sections logically; binary payloads
+    excluded per page_models.py:62-65).
+
+    Serialization format is pinned: compact separators, raw UTF-8
+    (no \\u escapes for non-ASCII), null fields present — chosen to be
+    byte-identical with Spark's ``to_json(struct(...),
+    ignoreNullFields=false)`` (Jackson), which tests assert over the
+    corpus. Every page 0..n_pages-1 appears even when it has no kept
+    paragraphs.
+    """
+    pages = []
+    for p in range(result["n_pages"]):
+        paras = [
+            {"paragraph_id": s["paragraph_id"],
+             "page_number": s["page_number"],
+             "role": s["role"],
+             "bbox": s["bbox"],
+             "content": s["content"]}
+            for s in result["spans"] if s["page_number"] == p
+        ]
+        pages.append({"page_number": p, "paragraphs": paras})
+    doc = {
+        "url": result["url"],
+        "n_pages": result["n_pages"],
+        "mismatch_flag": result["mismatch_flag"],
+        "pages": pages,
+        "sections": [
+            {"section_id": s["section_id"],
+             "paragraph_ids": s["paragraph_ids"],
+             "table_ids": s["table_ids"],
+             "figure_ids": s["figure_ids"]}
+            for s in result["sections"]],
+    }
+    return json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
 
 
 def extract_document(url: str, payload: Optional[bytes]) -> Dict:

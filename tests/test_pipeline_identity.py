@@ -138,3 +138,18 @@ def test_null_html_payload_yields_empty_document(spark):
     r = pipeline.extract(df).collect()[0]
     assert r["text"] == "" and r["spans"] == [] and r["n_pages"] == 0
     assert r["error"] is None  # empty, not failed
+
+
+def test_document_json_byte_identity(spark, pages):
+    """S9: the Spark-native to_json(struct(...)) Document column must be
+    byte-identical to the pure-Python oracle.document_to_json — pinning
+    Jackson-vs-json.dumps serialization (compact separators, raw UTF-8,
+    nulls present, double formatting) across every corpus shape incl.
+    CJK/emoji (H6), zero-page (H7), and multi-page bboxed P1 docs."""
+    from ocr_module_spark.operators.extraction import document_json_col
+    got = {r["url"]: r["j"] for r in
+           pipeline.extract(pages)
+           .select("url", document_json_col().alias("j")).collect()}
+    for r in corpus.rows(N_DOCS):
+        e = oracle.extract_document(r["url"], r["html"])
+        assert got[r["url"]] == oracle.document_to_json(e), r["url"]
