@@ -75,6 +75,7 @@ _VOID_TAGS = {
     "img", "br", "hr", "meta", "link", "input", "area", "base",
     "col", "embed", "source", "track", "wbr",
 }
+_VOID_NONIMG = _VOID_TAGS - {"img"}
 
 
 def _norm(text: str) -> str:
@@ -157,11 +158,18 @@ class _Extractor(HTMLParser):
     _F_FOOTNOTE = 16
     _F_FORMULABLOCK = 32
 
+    # class-free fast path: flags depend only on the tag (the common case
+    # by far — profiled ~95% of pushes); must stay consistent with
+    # _flags_for's cls='' branch
+    _TAG_FLAGS = {"a": 1, "footer": 4, "nav": 8, "header": 8}
+
     def _flags_for(self, tag: str, cls: str) -> int:
+        if not cls:
+            return self._TAG_FLAGS.get(tag, 0)
         f = 0
         if tag == "a":
             f |= self._F_A
-        classes = cls.split() if cls else ()
+        classes = cls.split()
         if tag == "span" and "formula" in classes:
             f |= self._F_SPAN
         if tag in _FOOTER_TAGS or "footer" in classes:
@@ -196,6 +204,18 @@ class _Extractor(HTMLParser):
         # identical decision order to the original set-based version; the
         # stack contribution comes from the maintained counters, the
         # candidate element's own tag/class is evaluated here
+        if (not own_class and not self._formulablock_ctx
+                and not self._footnote_ctx and not self._footer_ctx
+                and not self._header_ctx):
+            # common case: no class attr, no open role context — the role
+            # depends only on the tag (same outcomes as the full chain)
+            if tag in _HEADING_TAGS:
+                return "sectionHeading"
+            if tag in _FOOTER_TAGS:
+                return "pageFooter"
+            if tag in _HEADER_TAGS:
+                return "pageHeader"
+            return None
         own = own_class.split() if own_class else ()
         if self._formulablock_ctx or "formulablock" in own:
             return "formulaBlock"
@@ -257,7 +277,7 @@ class _Extractor(HTMLParser):
 
     # -- HTMLParser hooks ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        if tag in _VOID_TAGS and tag != "img":
+        if tag in _VOID_NONIMG:
             return
         if self._ignore_depth:
             # only same-tag nesting deepens the ignored subtree: void or
@@ -269,7 +289,7 @@ class _Extractor(HTMLParser):
             self._ignore_tag = tag
             self._ignore_depth = 1
             return
-        cls = self._classes(attrs)
+        cls = self._classes(attrs) if attrs else ""
 
         if tag == "img":
             if self._table_depth == 0:

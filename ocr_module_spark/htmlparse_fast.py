@@ -59,46 +59,48 @@ def tokenize_fast(text: str, extractor) -> bool:
     # single pass: validate as we emit. A mid-document bail-out is safe
     # because the caller discards this extractor entirely and re-parses
     # the whole document with the stdlib path on False.
+    #
+    # re.split with the 3 capturing groups yields
+    # [data, end, name, attrs, data, end, name, attrs, ..., data]:
+    # one flat list scan instead of per-token Match objects + .group()
+    # calls (~10% of the whole parse in profiles).
     handle_data = extractor.handle_data
     handle_starttag = extractor.handle_starttag
     handle_endtag = extractor.handle_endtag
     unescape = _html.unescape
-    pos = 0
-    for m in _TOKEN_RE.finditer(text):
-        end, name, attrs_raw = m.group(1, 2, 3)
-        seg = text[pos:m.start()]
+    parts = _TOKEN_RE.split(text)
+    n = len(parts)
+    i = 0
+    while True:
+        seg = parts[i]
         if seg:
             if "<" in seg:
                 return False
             handle_data(unescape(seg) if "&" in seg else seg)
+        if i + 1 >= n:
+            return True
+        end, name, attrs_raw = parts[i + 1], parts[i + 2], parts[i + 3]
         if end:
             # end tags take no attributes in the subset
             if attrs_raw and attrs_raw.strip():
                 return False
             handle_endtag(name.lower())
+        elif attrs_raw:
+            if not _ATTRS_OK_RE.fullmatch(attrs_raw):
+                return False
+            attrs = [
+                (a.group(1).lower(),
+                 unescape(a.group(2)) if a.group(2) is not None else None)
+                for a in _ATTR_RE.finditer(attrs_raw)
+            ]
+            name = name.lower()
+            handle_starttag(name, attrs)
+            if attrs_raw.endswith("/"):
+                # html.parser handle_startendtag default: start then end
+                handle_endtag(name)
         else:
-            if attrs_raw:
-                if not _ATTRS_OK_RE.fullmatch(attrs_raw):
-                    return False
-                attrs = [
-                    (a.group(1).lower(),
-                     unescape(a.group(2)) if a.group(2) is not None else None)
-                    for a in _ATTR_RE.finditer(attrs_raw)
-                ]
-                name = name.lower()
-                handle_starttag(name, attrs)
-                if attrs_raw.endswith("/"):
-                    # html.parser handle_startendtag default: start then end
-                    handle_endtag(name)
-            else:
-                handle_starttag(name.lower(), [])
-        pos = m.end()
-    tail = text[pos:]
-    if tail:
-        if "<" in tail:
-            return False
-        handle_data(unescape(tail) if "&" in tail else tail)
-    return True
+            handle_starttag(name.lower(), [])
+        i += 4
 
 
 def parse_html_fast(payload: bytes) -> Optional[object]:
