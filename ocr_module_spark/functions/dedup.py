@@ -497,7 +497,46 @@ def _sql_cc() -> str:
 SQL_DEDUP_CC_CLUSTERS = _sql_cc()
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: one keep/drop decision per
+    document. Docs in a near-dup cluster keep only the cluster's min
+    doc_id (the canonical survivor); docs in no cluster are kept. This is
+    the frame a training pipeline semi-joins the corpus against —
+    candidates (LSH) → clusters (CC) → keep-list → filtered corpus. One
+    extra join over the cluster labels; the corpus side stays a scan +
+    broadcast-able decision join at 10^12 rows (the decision frame is
+    |clustered docs| rows, tiny relative to the corpus)."""
+    edges = _lsh_edges(spark, sf_dir)
+    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
+    labels = cc_labels(sym, CC_ROUNDS)
+    keepers = labels.groupBy("label").agg(F.min("node").alias("keeper"))
+    decision = (labels.join(keepers, "label")
+                .select(F.col("node").alias("doc_id"),
+                        (F.col("node") == F.col("keeper")).alias("keep")))
+    d = _docs(spark, sf_dir).select("doc_id")
+    return (d.join(decision, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("keep"), F.lit(True)).alias("keep")))
+
+
+def _sql_keep_list() -> str:
+    base = SQL_DEDUP_CC_CLUSTERS.rsplit("\nSELECT", 1)[0]
+    return (base + f""",
+keepers AS (SELECT label, min(node) AS keeper
+            FROM l{CC_ROUNDS} GROUP BY label),
+decision AS (SELECT l.node AS doc_id, l.node = k.keeper AS keep
+             FROM l{CC_ROUNDS} l JOIN keepers k USING (label))
+SELECT d.doc_id, coalesce(dec.keep, true) AS keep
+FROM documents d LEFT JOIN decision dec ON d.doc_id = dec.doc_id
+""")
+
+
+SQL_DEDUP_KEEP_LIST = _sql_keep_list()
+
+
 REGISTRY = {
+    "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
     "dedup_cc_clusters": (q_dedup_cc_clusters, SQL_DEDUP_CC_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

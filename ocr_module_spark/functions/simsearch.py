@@ -235,7 +235,37 @@ ORDER BY dot DESC, a.vec_id LIMIT {TOP_K}
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the bucketed ANN against the
+    brute-force ground truth — 'measure, don't guess' as an operator.
+    A pipeline tuning SIGN_BITS/bands reruns exactly this on a sample; at
+    scale the brute-force side runs on a small sampled query set while
+    the ANN side is the production index, so the evaluation cost is
+    bounded by the sample, not the corpus."""
+    truth = q_knn_brute_cosine(spark, sf_dir).select("vec_id")
+    approx = q_ann_bucketed_knn(spark, sf_dir).select("vec_id")
+    hits = truth.join(approx, "vec_id")
+    return hits.agg(
+        F.lit(TOP_K).alias("k"),
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.count("*") / TOP_K, 4).alias("recall_at_k"))
+
+
+SQL_ANN_RECALL_EVAL = f"""
+WITH truth AS (
+  {SQL_KNN_BRUTE_COSINE.strip()}
+), approx AS (
+  {SQL_ANN_BUCKETED_KNN.strip()}
+)
+SELECT {TOP_K} AS k,
+       count(*)::BIGINT AS n_hits,
+       round(count(*) / {TOP_K}, 4) AS recall_at_k
+FROM truth t JOIN approx a ON t.vec_id = a.vec_id
+"""
+
+
 REGISTRY = {
+    "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
     "knn_brute_cosine": (q_knn_brute_cosine, SQL_KNN_BRUTE_COSINE),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "ann_sign_buckets": (q_ann_sign_buckets, SQL_ANN_SIGN_BUCKETS),

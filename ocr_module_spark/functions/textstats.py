@@ -287,7 +287,86 @@ FROM m
 """
 
 
+VOCAB_TOP_K = 50
+SAMPLE_RATE_EN = 40          # percent kept for the over-represented stratum
+SAMPLE_RATE_OTHER = 80       # percent kept for everything else
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary top-k: lowercased whitespace tokens counted
+    corpus-wide, top VOCAB_TOP_K by frequency (ties broken by word).
+    The tokenizer-training / frequency-cutoff primitive. Scale shape:
+    explode → two-phase hash aggregation (map-side partial combine soaks
+    up hot-word skew before the shuffle — the heaviest word arrives at
+    the reducer once per map partition, not once per occurrence), then a
+    TakeOrdered top-k, never a global sort."""
+    d = _docs(spark, sf_dir).withColumn("w", _words())
+    counts = (d.select(F.explode("w").alias("word"))
+              .select(F.lower("word").alias("word"))
+              .groupBy("word").agg(F.count("*").alias("n_occurrences")))
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("word")) \
+        .limit(VOCAB_TOP_K)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH d AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+)
+SELECT lower(unnest.word) AS word, count(*) AS n_occurrences
+FROM d, unnest(w) AS unnest(word)
+GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT {VOCAB_TOP_K}
+"""
+
+
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: keep a doc
+    iff hash(doc_id) mod 100 < the stratum's rate (down-sample the
+    over-represented language, keep more of the rest). Pure stateless
+    filter — runs at scan speed with zero shuffles, reproducible across
+    runs/retries/engines (no RNG state), and the rate table is a
+    broadcast-sized config. The md5-derived hash is the portable stand-in
+    for xxhash64 (cross-engine verifiability, one-line swap at scale)."""
+    d = _docs(spark, sf_dir)
+    h = _hex4_spark_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN) \
+        .otherwise(SAMPLE_RATE_OTHER)
+    return (d.where(F.pmod(h, F.lit(100)) < rate)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+def _hex4_spark_col(col):
+    digits = "0123456789abcdef"
+    total = F.lit(0)
+    for pos in range(4):
+        total = total + (F.instr(F.lit(digits),
+                                 F.substring(col, pos + 1, 1)) - 1) \
+            * (16 ** (3 - pos))
+    return total.cast("long")
+
+
+SQL_SAMPLE_STRATIFIED_HASH = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} % 100 AS hb,
+         CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
+              ELSE {SAMPLE_RATE_OTHER} END AS rate
+  FROM documents
+)
+SELECT lang, count(*) AS n_sampled,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM h WHERE hb < rate GROUP BY lang
+"""
+
+
 REGISTRY = {
+    "text_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "sample_stratified_hash": (q_sample_stratified_hash,
+                               SQL_SAMPLE_STRATIFIED_HASH),
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "text_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "text_bpe_token_estimate": (q_bpe_token_estimate, SQL_BPE_TOKEN_ESTIMATE),

@@ -42,6 +42,9 @@ DOC_QUERIES = [
     "text_rolling_fingerprint",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "dedup_keep_list",
+    "text_vocab_topk",
+    "sample_stratified_hash",
 ]
 
 
