@@ -41,12 +41,17 @@ def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("vec").alias("qvec")))
+    # try_divide: a zero-norm vector yields cosine NULL (exactly DuckDB's
+    # float division-by-zero semantics) instead of an ANSI
+    # DIVIDE_BY_ZERO failing the whole job — zero vectors are routine in
+    # real embedding corpora (hostile-corpus regression)
     scored = (e.where(F.col("vec_id") != QUERY_VEC_ID)
               .crossJoin(F.broadcast(q))
               .select("vec_id", "label",
-                      F.round(_dot("vec", "qvec") /
-                              (F.sqrt(_dot("vec", "vec")) *
-                               F.sqrt(_dot("qvec", "qvec"))), 4).alias("cosine")))
+                      F.round(F.try_divide(
+                          _dot("vec", "qvec"),
+                          F.sqrt(_dot("vec", "vec")) *
+                          F.sqrt(_dot("qvec", "qvec"))), 4).alias("cosine")))
     return (scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
             .limit(TOP_K))
 

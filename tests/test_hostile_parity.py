@@ -45,6 +45,15 @@ DOC_QUERIES = [
     "dedup_keep_list",
     "text_vocab_topk",
     "sample_stratified_hash",
+    # embeddings-driven (hostile embeddings: exact-dup of vec 0, all-zero
+    # vector - the zero norm killed knn under ANSI before try_divide -
+    # and a tiny-magnitude vector)
+    "knn_brute_cosine",
+    "ann_sign_buckets",
+    "ann_bucketed_knn",
+    "ann_ivf_probe",
+    "ann_recall_eval",
+    "dedup_embedding_cosine",
 ]
 
 

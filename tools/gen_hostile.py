@@ -33,7 +33,7 @@ SRC = pathlib.Path("/root/testdata/sf0.001")
 DST = REPO / ".localdata" / "sf0.001"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "embeddings"]
+          "lineitem", "events"]
 
 # (text, lang, source, n_chars) — n_chars deliberately wrong for some rows
 # (mismatch-audit true branch) and right for others; doc_ids continue the
@@ -74,6 +74,25 @@ def main() -> int:
                     [base + 1 + k, text, lang, source, n_chars])
     out = str(DST / "documents.parquet").replace("'", "''")
     con.execute(f"COPY docs TO '{out}' (FORMAT PARQUET)")
+
+    # hostile embeddings: an exact duplicate of vec 0 (cosine-1.0 pair),
+    # an all-zero vector (zero norm — division/sign-bucket edge), and a
+    # tiny-magnitude vector; dimension stays uniform (64)
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM read_parquet(?)",
+        [str(SRC / "embeddings.parquet")])
+    ebase = con.execute("SELECT max(vec_id) FROM emb").fetchone()[0]
+    con.execute(
+        "INSERT INTO emb SELECT ? AS vec_id, embedding, 99 AS label "
+        "FROM emb WHERE vec_id = 0", [ebase + 1])
+    con.execute(
+        "INSERT INTO emb VALUES (?, ?, 99)",
+        [ebase + 2, [0.0] * 64])
+    con.execute(
+        "INSERT INTO emb VALUES (?, ?, 99)",
+        [ebase + 3, [1e-6] * 64])
+    eout = str(DST / "embeddings.parquet").replace("'", "''")
+    con.execute(f"COPY emb TO '{eout}' (FORMAT PARQUET)")
     n = con.execute("SELECT count(*) FROM docs").fetchone()[0]
     print(f"wrote {DST} (documents: {n} rows, "
           f"{len(HOSTILE_ROWS)} hostile)")
