@@ -263,9 +263,16 @@ FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.i = b.i
 def q_json_pointer_extract(spark, sf_dir):
     """F11/J8 JSON payload map join: parse the JSON props column, extract a
     typed key, aggregate (reference to_dict/from_dict surface,
-    entities/__init__.py:40-48)."""
+    entities/__init__.py:40-48).
+
+    Total on hostile payloads (NULL / malformed JSON / missing key /
+    non-numeric value → NULL, skipped by the aggregates) on BOTH engines:
+    Spark get_json_object is already NULL-on-malformed but ANSI cast
+    throws on a non-numeric value (try_cast); DuckDB json_extract_string
+    THROWS on malformed JSON (json_valid guard) and CAST throws on
+    non-numeric (TRY_CAST)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
             .agg(F.round(F.avg("k"), 4).alias("avg_k"),
@@ -273,10 +280,15 @@ def q_json_pointer_extract(spark, sf_dir):
 
 
 SQL_JSON_POINTER_EXTRACT = """
-SELECT event_type,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-FROM events GROUP BY event_type
+WITH p AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM p GROUP BY event_type
 """
 
 

@@ -54,6 +54,15 @@ DOC_QUERIES = [
     "ann_ivf_probe",
     "ann_recall_eval",
     "dedup_embedding_cosine",
+    # events-driven (hostile events: NULL/malformed/key-missing JSON
+    # props - Spark's ANSI cast threw before try_cast and DuckDB's
+    # json_extract_string throws without a json_valid guard - plus NULL
+    # value / user_id / event_type rows)
+    "json_pointer_extract",
+    "agg_usage_stats",
+    "agg_salted_skew",
+    "agg_batch_prompt_assembly",
+    "join_asof_ordinal",
 ]
 
 

@@ -33,7 +33,7 @@ SRC = pathlib.Path("/root/testdata/sf0.001")
 DST = REPO / ".localdata" / "sf0.001"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events"]
+          "lineitem"]
 
 # (text, lang, source, n_chars) — n_chars deliberately wrong for some rows
 # (mismatch-audit true branch) and right for others; doc_ids continue the
@@ -93,6 +93,28 @@ def main() -> int:
         [ebase + 3, [1e-6] * 64])
     eout = str(DST / "embeddings.parquet").replace("'", "''")
     con.execute(f"COPY emb TO '{eout}' (FORMAT PARQUET)")
+
+    # hostile events: NULL / malformed / key-missing JSON props, NULL
+    # value, NULL user_id, NULL event_type — exercises every events-driven
+    # aggregation's NULL-group semantics
+    con.execute(
+        "CREATE TABLE ev AS SELECT * FROM read_parquet(?)",
+        [str(SRC / "events.parquet")])
+    vbase = con.execute("SELECT max(event_id) FROM ev").fetchone()[0]
+    hostile_events = [
+        (None, "click", 12.5, None),              # NULL user + NULL props
+        (7, None, None, "not json at all"),       # NULL type, NULL value
+        (8, "hostile", 3.25, '{"other": 1}'),     # valid json, key missing
+        (8, "hostile", -1.0, '{"k": "notint"}'),  # non-numeric k
+        (None, None, None, None),                 # everything NULL
+        (9, "hostile", 0.0, '{"k": 42}'),
+    ]
+    for k, (uid, etype, val, props) in enumerate(hostile_events):
+        con.execute(
+            "INSERT INTO ev VALUES (?, TIMESTAMP '2024-06-01 00:00:00', "
+            "?, ?, ?, ?)", [vbase + 1 + k, uid, etype, val, props])
+    vout = str(DST / "events.parquet").replace("'", "''")
+    con.execute(f"COPY ev TO '{vout}' (FORMAT PARQUET)")
     n = con.execute("SELECT count(*) FROM docs").fetchone()[0]
     print(f"wrote {DST} (documents: {n} rows, "
           f"{len(HOSTILE_ROWS)} hostile)")
