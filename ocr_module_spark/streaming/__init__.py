@@ -9,5 +9,6 @@ exactly-once file progress.
 from .incremental import (  # noqa: F401
     run_incremental_extraction,
     stream_crawl_metrics,
+    stream_dedup_first_seen,
     stream_pages,
 )

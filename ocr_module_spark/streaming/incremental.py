@@ -72,6 +72,61 @@ def run_incremental_extraction(spark: SparkSession, landing_dir: str,
     q.stop()
 
 
+DEDUP_OUT_SCHEMA = "fp string, url string, first_seen_epoch long"
+DEDUP_STATE_SCHEMA = "seen int"
+
+
+def stream_dedup_first_seen(pages_stream: DataFrame,
+                            ttl_minutes: Optional[int] = None) -> DataFrame:
+    """Streaming exact dedup with cross-batch state: the first document
+    bearing each content fingerprint is emitted, every later duplicate —
+    in the same epoch or any later one — is dropped. The custom stateful
+    operator of §2.8, built on ``applyInPandasWithState``:
+
+    * key = md5(payload) — state is ONE int per distinct fingerprint,
+      sharded by the state-store partitioning; at 10^12 docs the state is
+      bounded by distinct content, not rows, and a ``ttl_minutes``
+      processing-time timeout bounds it further for open-ended streams
+      (crawl dedup usually only needs a recency window);
+    * within an epoch the winner is deterministic (min url), so replays
+      reproduce the same survivor set;
+    * exactly-once: state lives in the streaming checkpoint — a restarted
+      query resumes knowing everything it already emitted.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = pages_stream.select(
+        F.md5(F.coalesce(F.col("html"),
+                         F.lit(b""))).alias("fp"),
+        "url")
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["url"].min()
+                best = cand if best is None else min(best, cand)
+        if best is not None and not state.exists:
+            state.update((1,))
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            yield pd.DataFrame(
+                {"fp": [key[0]], "url": [best],
+                 "first_seen_epoch": [0]})
+        elif state.exists and ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_minutes is not None else GroupStateTimeout.NoTimeout)
+    return (keyed.groupBy("fp")
+            .applyInPandasWithState(first_seen, DEDUP_OUT_SCHEMA,
+                                    DEDUP_STATE_SCHEMA, "append", timeout))
+
+
 def stream_crawl_metrics(pages_stream: DataFrame,
                          window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:

@@ -92,3 +92,58 @@ def test_windowed_metrics_with_watermark(spark, dirs):
     for r in w:
         assert r["bytes_in"] > 0
         assert r["window_end"] > r["window_start"]
+
+
+def test_stream_dedup_first_seen_across_restarts(spark, dirs):
+    """Cross-batch stateful dedup (applyInPandasWithState): duplicates of
+    content seen in a PREVIOUS run (state restored from the checkpoint)
+    are suppressed; each fingerprint is emitted exactly once with a
+    deterministic (min-url) winner."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from ocr_module_spark.schemas import PAGES_SCHEMA
+    from ocr_module_spark.streaming import stream_dedup_first_seen, stream_pages
+
+    def drop(name, recs):
+        pdf = pd.DataFrame.from_records(
+            recs, columns=["url", "warc_ts", "html", "text", "lang"])
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(
+                os.path.join(dirs["landing"], name))
+
+    def row(url, i):
+        r = corpus.row_for(i)
+        r["url"] = url
+        return r
+
+    out_dir = os.path.join(dirs["out"], "dedup")
+
+    def drain():
+        q = (stream_dedup_first_seen(stream_pages(spark, dirs["landing"]))
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", dirs["ckpt"])
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+
+    # run 1: 20 distinct payloads, each under two urls (in-epoch dups)
+    drop("b0", [row(f"https://a.example/d{i}", i) for i in range(20)]
+         + [row(f"https://b.example/d{i}", i) for i in range(20)])
+    drain()
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 20
+    # deterministic winner: min url (a.example sorts before b.example)
+    assert all(r["url"].startswith("https://a.example/")
+               for r in got1.collect())
+
+    # run 2: same 20 payloads again under new urls (cross-run dups,
+    # must be suppressed by checkpointed state) + 5 genuinely new docs
+    drop("b1", [row(f"https://c.example/d{i}", i) for i in range(20)]
+         + [row(f"https://c.example/n{i}", 1000 + i) for i in range(5)])
+    drain()
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 25, got2.collect()
+    new_urls = {r["url"] for r in got2.collect()} - \
+        {r["url"] for r in got1.collect()}
+    assert all("c.example/n" in u for u in new_urls)
