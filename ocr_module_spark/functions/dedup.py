@@ -112,7 +112,17 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it collides in ANY band). This is the operator that makes pair
     verification linear-ish at 10^12 docs: the pair universe is bounded
     by banding (sum of bucket-size-choose-2), never all-pairs; the
-    equi-join key is (band, sig)."""
+    equi-join key is (band, sig).
+
+    Scale dial note: this corpus uses b=N_BANDS bands of r=1 minhash
+    each (P[candidate] = 1-(1-s)^b). On a real crawl, raise r (concat r
+    minhashes per band key: P = 1-(1-s^r)^b) to push the S-curve right
+    and keep buckets small — the band key is just a longer string, the
+    join shape is identical. On the synthetic corpus the candidate
+    volume is dominated by TRUE similarity, not banding slop (30-word
+    vocabulary → 94% of all pairs genuinely pass jaccard ≥ 0.2 at
+    sf0.01; r=2 banding was measured to trim candidates only ~35%), so
+    the demo keeps r=1."""
     stacked = _stacked_signatures(spark, sf_dir).localCheckpoint(eager=True)
     a = stacked.select("band", "sig", F.col("doc_id").alias("doc_a"))
     b = stacked.select("band", "sig", F.col("doc_id").alias("doc_b"))
