@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     ap.add_argument("--repartition", type=int, default=None,
                     help="salted repartition width for skew-laid-out inputs "
                          "(default: scan-aligned, no pre-parse shuffle)")
+    ap.add_argument("--sink", choices=("parquet", "iceberg"),
+                    default="parquet",
+                    help="iceberg needs --table and the runtime jar "
+                         "(see sinks.py header for the spark-submit conf)")
+    ap.add_argument("--table", default=None,
+                    help="Iceberg table identifier (catalog.db.table)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,7 +53,8 @@ def main(argv=None) -> int:
 
     pages = spark.read.parquet(args.input)
     metrics = sinks.run_extraction(spark, pages, args.output,
-                                   num_partitions=args.repartition)
+                                   num_partitions=args.repartition,
+                                   sink=args.sink, table=args.table)
     print(json.dumps(metrics))
     spark.stop()
     return 0
