@@ -141,6 +141,35 @@ FROM f
 # feature extraction: Arrow-batched Python (the stubbed decode seam)
 # ---------------------------------------------------------------------------
 
+REGION_MAGIC = b"FPNG"
+
+
+def extract_image_region(payload: bytes, page_number: int,
+                         bbox) -> bytes | None:
+    """S5: deterministic stand-in for the reference's pixmap crop
+    (pymupdf_image_extractor.py:15-50 — inch bbox ×72 → pt clip (P7),
+    ×2 matrix / 300 dpi → PNG bytes). No raster codec exists in this
+    sandbox (real decode is the ``_decode_real`` seam), so the region
+    payload is a pure deterministic function of (payload bytes, page,
+    pt-space bbox): magic + packed pt bbox + content digest — enough to
+    pin schema, sizes and byte-level determinism end-to-end.
+
+    The Spark-side design is the real point: the crop runs INSIDE the
+    parse stage where the payload is already in hand. The reference
+    re-opens the PDF once per crop (pymupdf_image_extractor.py:33);
+    at 10^12 documents that is a second full scan plus a join — here it
+    is zero extra I/O and zero shuffles.
+    """
+    import struct
+    if payload is None or bbox is None:
+        return None
+    pts = [x * 72.0 for x in bbox]  # P7: inch -> pt
+    key = f"{page_number}|" + ",".join(f"{p:.4f}" for p in pts)
+    import hashlib
+    digest = hashlib.md5(payload + key.encode("utf-8")).digest()
+    return REGION_MAGIC + struct.pack("<4f", *pts) + digest
+
+
 def _decode_real(payload: bytes):  # pragma: no cover - deployment seam
     """Real media decode (PIL/ffmpeg/soundfile). Not available in this
     sandbox — swap in on a real deployment."""

@@ -115,6 +115,49 @@ def q_extract_document_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(j).alias("json_len"))
 
 
+REGIONS_SCHEMA = ("url string, page_number int, block_no int, "
+                  "region_sha256 string, region_len int")
+
+
+def q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 image-region extraction: every bboxed figure block (the
+    PDF-derived P1 docs) yields a cropped region payload — computed
+    inside the SAME Arrow parse stage that already holds the payload
+    bytes (zero extra I/O; the reference re-opens the source per crop,
+    pymupdf_image_extractor.py:33). The crop itself is the deterministic
+    fake behind the codec seam (multimodal.extract_image_region); the
+    query projects (sha256, length) of the region bytes so the golden
+    oracle pins the bytes without committing them."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..deploy import ensure_pyfiles
+    from ..functions.multimodal import extract_image_region
+    from .. import oracle
+    ensure_pyfiles(spark)
+    pages = corpus.pages_df(spark, _n_docs(sf_dir))
+
+    def batches(it):
+        cols = ["url", "page_number", "block_no", "region_sha256",
+                "region_len"]
+        for pdf in it:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                raw = bytes(payload) if payload is not None else None
+                for b in oracle.parse_payload(raw).blocks:
+                    if b.kind == "figure" and b.bbox is not None:
+                        rb = extract_image_region(raw, b.page_number,
+                                                  b.bbox)
+                        recs.append((url, b.page_number, b.block_no,
+                                     hashlib.sha256(rb).hexdigest(),
+                                     len(rb)))
+            yield pd.DataFrame.from_records(recs, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=REGIONS_SCHEMA)
+
+
 def q_extract_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decomposed relational pipeline (parse → classify → window ids →
     placeholder alignment → grouped reassembly — one Spark operator per
@@ -146,4 +189,7 @@ REGISTRY = {
     "extract_document_json": (q_extract_document_json, _golden_sql(
         "extract_document_json",
         "url, json_sha256, json_len")),
+    "extract_regions": (q_extract_regions, _golden_sql(
+        "extract_regions",
+        "url, page_number, block_no, region_sha256, region_len")),
 }

@@ -178,3 +178,37 @@ def test_cc_bounded_rounds_match_converged(spark, sf_dir):
     converged = {(r["node"], r["label"])
                  for r in cc_labels(sym, 0, converge=True).collect()}
     assert bounded == converged
+
+
+def test_extract_image_region_deterministic_and_typed():
+    """S5 region crop stand-in: magic header, pt-space bbox round-trips
+    (P7 inch->pt), deterministic, distinct per (page, bbox, payload)."""
+    import struct
+    from ocr_module_spark.functions.multimodal import (
+        REGION_MAGIC, extract_image_region)
+    payload = b'{"format": "blocks"}'
+    bbox = [1.0, 2.0, 3.5, 5.25]
+    r1 = extract_image_region(payload, 0, bbox)
+    assert r1 == extract_image_region(payload, 0, bbox)
+    assert r1.startswith(REGION_MAGIC)
+    pts = struct.unpack("<4f", r1[4:20])
+    assert pts == (72.0, 144.0, 252.0, 378.0)
+    assert extract_image_region(payload, 1, bbox) != r1
+    assert extract_image_region(b"other", 0, bbox) != r1
+    assert extract_image_region(None, 0, bbox) is None
+    assert extract_image_region(payload, 0, None) is None
+
+
+def test_extract_regions_query_matches_parser(spark, sf_dir):
+    """Every bboxed figure block of the corpus yields exactly one region
+    row with the right length (4 magic + 16 bbox + 16 digest)."""
+    from ocr_module_spark import corpus, oracle
+    from ocr_module_spark.operators.extraction import q_extract_regions
+    rows = q_extract_regions(spark, sf_dir).collect()
+    assert rows and all(r["region_len"] == 36 for r in rows)
+    expected = 0
+    for i in range(200):  # sf0.001 -> n=200
+        for b in oracle.parse_payload(corpus.payload_for(i)).blocks:
+            if b.kind == "figure" and b.bbox is not None:
+                expected += 1
+    assert len(rows) == expected

@@ -38,6 +38,7 @@ sys.path.insert(0, str(REPO))
 
 from ocr_module_spark import corpus, oracle  # noqa: E402
 from ocr_module_spark.classify import keep_block  # noqa: E402
+from ocr_module_spark.functions.multimodal import extract_image_region  # noqa: E402
 
 GOLDEN_DIR = REPO / "golden"
 
@@ -52,6 +53,7 @@ def _sha(s: str) -> str:
 def compute_rows(n: int):
     """One pass over the n-doc corpus -> per-query golden row lists."""
     text_rows, rel_rows, sec_rows, json_rows = [], [], [], []
+    region_rows = []
     node_agg: dict = {}
     for i in range(n):
         url, payload = corpus.url_for(i), corpus.payload_for(i)
@@ -77,6 +79,12 @@ def compute_rows(n: int):
             k = (b.kind, b.role, keep)
             cnt, tot = node_agg.get(k, (0, 0))
             node_agg[k] = (cnt + 1, tot + b.text_len)
+            # S5: region extraction for bboxed figure blocks
+            if b.kind == "figure" and b.bbox is not None:
+                rb = extract_image_region(payload, b.page_number, b.bbox)
+                region_rows.append((url, b.page_number, b.block_no,
+                                    hashlib.sha256(rb).hexdigest(),
+                                    len(rb)))
     node_rows = [(k, role, keep, cnt, tot)
                  for (k, role, keep), (cnt, tot) in sorted(
                      node_agg.items(), key=lambda kv: (
@@ -87,6 +95,7 @@ def compute_rows(n: int):
         "extract_sections": sec_rows,
         "extract_document_json": json_rows,
         "extract_nodes": node_rows,
+        "extract_regions": region_rows,
     }
 
 
@@ -111,6 +120,10 @@ SCHEMAS = {
         ("kind", pa.string()), ("role", pa.string()), ("keep", pa.bool_()),
         ("n_blocks", pa.int64()), ("total_text_len", pa.int64()),
         ("corpus_tag", pa.int64())]),
+    "extract_regions": pa.schema([
+        ("url", pa.string()), ("page_number", pa.int32()),
+        ("block_no", pa.int32()), ("region_sha256", pa.string()),
+        ("region_len", pa.int32()), ("corpus_tag", pa.int64())]),
 }
 
 
