@@ -29,7 +29,16 @@ Semantics grafted from the reference (citations per step):
 from __future__ import annotations
 
 import json
+import re
 from typing import Dict, List, Optional
+
+# Jackson (Spark to_json) writes control-char escapes with UPPERCASE hex
+# (backslash-u001F); json.dumps writes lowercase. Uppercase exactly the real
+# escapes: a \u00xx whose run of preceding backslashes has even length
+# (an odd run means the backslash itself is escaped content, e.g. a
+# literal '\' + 'u001f' in a span serializes as '\\u001f' and must NOT
+# be touched).
+_CTRL_ESC_RE = re.compile(r"(?<!\\)((?:\\\\)*)\\u00([0-9a-f]{2})")
 
 from .blocklist import is_blocklist, parse_blocklist
 from .classify import keep_block
@@ -99,7 +108,9 @@ def document_to_json(result: Dict) -> str:
              "figure_ids": s["figure_ids"]}
             for s in result["sections"]],
     }
-    return json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+    j = json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+    return _CTRL_ESC_RE.sub(
+        lambda m: m.group(1) + "\\u00" + m.group(2).upper(), j)
 
 
 def extract_document(url: str, payload: Optional[bytes]) -> Dict:

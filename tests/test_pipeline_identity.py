@@ -153,3 +153,38 @@ def test_document_json_byte_identity(spark, pages):
     for r in corpus.rows(N_DOCS):
         e = oracle.extract_document(r["url"], r["html"])
         assert got[r["url"]] == oracle.document_to_json(e), r["url"]
+
+
+def test_document_json_adversarial_escaping(spark):
+    """Jackson-vs-json.dumps byte identity on strings the corpus never
+    contains: control chars (Jackson uses UPPERCASE hex escapes - pinned
+    in oracle.document_to_json), quotes, backslashes (incl. a literal
+    backslash followed by 'u001f', which must NOT be re-cased), DEL,
+    U+2028/29, astral plane, lone high codepoints."""
+    from ocr_module_spark.operators.extraction import document_json_col
+    from ocr_module_spark.schemas import EXTRACT_SCHEMA
+
+    adversarial = [
+        'plain', 'quote " here', "back\\slash", "literal \\u001f text",
+        'tab\there', 'nl\nhere', 'ctrl\x01\x02\x1f', 'del\x7f',
+        'u2028   u2029  ', 'emoji \U0001F680 cjk 日本語',
+        'nbsp \xa0', "apos ' and /", 'astral \U0010FFFF', '\x0b\x0c',
+    ]
+    rows, expected = [], {}
+    for i, s in enumerate(adversarial):
+        url = f"u{i}"
+        span = {"paragraph_id": 0, "page_number": 0, "role": None,
+                "bbox": [1.0, 2.25, 3.5, 4.0] if i % 2 else None,
+                "content": s}
+        sec = {"section_id": 0, "paragraph_ids": [0], "table_ids": [],
+               "figure_ids": []}
+        r = {"url": url, "text": s, "spans": [span], "sections": [sec],
+             "n_pages": 1, "mismatch_flag": False}
+        expected[url] = oracle.document_to_json(r)
+        rows.append((url, s, [(0, 0, None, span["bbox"], s)],
+                     [(0, [0], [], [])], 1, False, None))
+    df = spark.createDataFrame(rows, EXTRACT_SCHEMA)
+    got = {r["url"]: r["j"] for r in
+           df.select("url", document_json_col().alias("j")).collect()}
+    for url, exp in expected.items():
+        assert got[url] == exp, (url, got[url], exp)
