@@ -102,6 +102,11 @@ def main() -> int:
         "cpus": cpus,
         "extract_docs": n_docs,
         "extract_docs_sec": extract_docs_sec,
+        # host contamination marker: this VM has noisy neighbors (load
+        # observed up to 4.0 with zero local processes; such windows
+        # inflate the suite ~3x). Compare against BENCH.md's drift band
+        # with this in hand.
+        "host_load_avg_1m": round(os.getloadavg()[0], 2),
     }
     spark.stop()
     print(json.dumps(out))
