@@ -363,7 +363,76 @@ FROM h WHERE hb < rate GROUP BY lang
 """
 
 
+TIER_HI_MIN_WORDS = 40
+TIER_HI_STOP_PCT = 3         # stopword ratio >= 3% for the top tier
+
+
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tier extraction: every document assigned a quality tier —
+    the pre-training curation decision (high → keep verbatim, mid →
+    keep with down-weighting, low → drop) built from the same integer-
+    scaled signals as the Gopher-style filter:
+
+    * low  — fails the hard quality filter (any drop reason);
+    * high — passes AND has ≥ {TIER_HI_MIN_WORDS} words AND stopword
+      ratio ≥ {TIER_HI_STOP_PCT}% (fluent running text);
+    * mid  — everything else that passes.
+
+    One scan-speed projection plus a rollup (count + total tokens per
+    tier × lang — the token-budget planning numbers); no FP rounding,
+    so the DuckDB oracle is exact."""
+    d = _docs(spark, sf_dir).withColumn("w", _words())
+    n_words = F.size("w")
+    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
+    fails = ((n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+             | (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10)
+             | (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
+             | (n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)))
+    hi = ((n_words >= TIER_HI_MIN_WORDS)
+          & (n_stop * 100 >= n_words * TIER_HI_STOP_PCT))
+    tier = (F.when(F.coalesce(fails, F.lit(True)), "low")
+            .when(hi, "high").otherwise("mid"))
+    return (d.select("lang", tier.alias("tier"),
+                     F.coalesce(n_words, F.lit(0)).alias("nw"))
+            .groupBy("tier", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nw").cast("long").alias("total_words")))
+
+
+SQL_QUALITY_TIERS = f"""
+WITH d AS (
+  SELECT lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), sig AS (
+  SELECT lang, len(w) AS n_words,
+         length(text) * 10 / greatest(len(w), 1) AS avg_wlen_x10,
+         len(list_filter(w, x -> lower(x) IN ({_SW_LIST}))) AS n_stop
+  FROM d
+), t AS (
+  SELECT lang, coalesce(n_words, 0) AS nw,
+         CASE WHEN coalesce(
+                n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}
+                OR avg_wlen_x10 < {QF_MIN_AVG_WLEN * 10}
+                OR avg_wlen_x10 > {QF_MAX_AVG_WLEN * 10}
+                OR n_stop * 100 < n_words * {int(QF_MIN_STOPWORD_RATIO * 100)},
+                true)
+              THEN 'low'
+              WHEN n_words >= {TIER_HI_MIN_WORDS}
+                   AND n_stop * 100 >= n_words * {TIER_HI_STOP_PCT}
+              THEN 'high' ELSE 'mid' END AS tier
+  FROM sig
+)
+SELECT tier, lang, count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_words
+FROM t GROUP BY tier, lang
+"""
+
+
 REGISTRY = {
+    "text_quality_tiers": (q_quality_tiers, SQL_QUALITY_TIERS),
     "text_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "sample_stratified_hash": (q_sample_stratified_hash,
                                SQL_SAMPLE_STRATIFIED_HASH),

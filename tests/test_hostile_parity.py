@@ -44,6 +44,7 @@ DOC_QUERIES = [
     "dedup_minhash_signatures",
     "dedup_keep_list",
     "text_vocab_topk",
+    "text_quality_tiers",
     "sample_stratified_hash",
     # embeddings-driven (hostile embeddings: exact-dup of vec 0, all-zero
     # vector - the zero norm killed knn under ANSI before try_divide -

@@ -138,3 +138,41 @@ def test_extraction_queries_have_no_python_row_udf(spark, sf):
     for q in (E.q_extract_text, E.q_extract_nodes, E.q_extract_sections):
         plan = _plan(q(spark, sf))
         assert "BatchEvalPython" not in plan, plan
+
+
+def test_bucketed_join_is_co_located_no_shuffle(spark, sf):
+    """Bucketing for co-located joins (SURVEY §4.2: the Iceberg
+    bucket(url) layout, Spark-native form): two tables bucketed on the
+    join key join with ZERO exchanges — at 100 TB this converts the
+    biggest repeated shuffle (fact-fact joins on a shared key) into
+    bucket-aligned local scans. Broadcast is disabled for the assertion
+    so the no-shuffle property comes from bucketing, not table size."""
+    from pyspark.sql import functions as F
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    (od.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable("b_orders"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("b_orders")
+             .join(spark.table("b_lineitem"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .groupBy("o_orderstatus")
+             .agg(F.count("*").alias("n")))
+        j.collect()
+        plan = _plan(j).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan, plan
+        # the join itself reads bucket-aligned scans: no exchange below
+        # it (the only exchange allowed is the final groupBy rollup)
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_part, join_part
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
