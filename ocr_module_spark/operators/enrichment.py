@@ -25,7 +25,7 @@ translate_section_formula_id.py:111-122.
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, List
+from typing import Callable, List
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
