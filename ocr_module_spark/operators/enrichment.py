@@ -2,9 +2,13 @@
 (``TranslateClient.translate_document``, SURVEY.md §3.2) re-expressed as
 one lazy Spark chain:
 
-    chunk (W3) → batch-prompt assembly (A8) → enrichment fn → response
-    disassembly (A9) → positional zip join (J9) → identity-fallback
-    left join (J6), with the empty/short-section short-circuit (Q2).
+    chunk (W3) → batch-prompt assembly (A8) → enrichment fn → KEYED
+    response disassembly (A9; pieces matched back by the paragraph-id
+    parsed from their marker — J8-style map join, with J9's positional
+    zip certified separately by q_join_positional_zip) →
+    identity-fallback (J6), with the empty/short-section short-circuit
+    (Q2) as a per-chunk ``when()`` (or a literal branch split for
+    RPC-shaped seams, ``split_branches=True``).
 
 No external translation service exists in this engine (SURVEY.md §7.3);
 the enrichment slot is pluggable and ships with deterministic local
