@@ -259,7 +259,49 @@ FROM a d LEFT JOIN m ON d.doc_id = m.doc_id
 """
 
 
+RESIZE_TARGET = 96          # target "pixels" (bytes) after resample
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize over the opaque payload: nearest-neighbor 1-D
+    resample to RESIZE_TARGET samples — sample i comes from source
+    position floor(i*n/target), the exact index arithmetic of an image
+    nearest-neighbor resize, applied to the byte stream since no raster
+    codec exists in this sandbox (a real deployment decodes in
+    ``_decode_real`` and resizes pixels; the indexing, schema and
+    columnar shape are what this query pins). All JVM-side expression
+    work — the payload never enters Python, works for both down- and
+    up-sampling (n < target duplicates samples). ascii-filtered like the
+    other byte-slicing oracles (byte == char positions pinned on both
+    engines)."""
+    d = (_docs_media(spark, sf_dir)
+         .where(F.octet_length("text") == F.length("text"))
+         .where(F.length("text") > 0))
+    n = F.length("text")
+    resized = F.expr(
+        f"array_join(transform(sequence(0, {RESIZE_TARGET - 1}), "
+        f"i -> substring(text, cast((i * length(text)) div {RESIZE_TARGET} "
+        "as int) + 1, 1)), '')")
+    return d.select(
+        "doc_id", n.alias("src_len"),
+        F.lit(RESIZE_TARGET).alias("dst_len"),
+        F.md5(resized.cast("binary")).alias("resized_checksum"))
+
+
+SQL_MM_RESIZE = f"""
+SELECT doc_id, length(text) AS src_len, {RESIZE_TARGET} AS dst_len,
+       md5(list_aggregate(list_transform(range(0, {RESIZE_TARGET}),
+             i -> substr(text,
+                         CAST((i * length(text)) // {RESIZE_TARGET}
+                              AS INTEGER) + 1, 1)),
+           'string_agg', '')) AS resized_checksum
+FROM documents
+WHERE strlen(text) = length(text) AND length(text) > 0
+"""
+
+
 REGISTRY = {
+    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
     "mm_metadata": (q_mm_metadata, SQL_MM_METADATA),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_features": (q_mm_features, SQL_MM_FEATURES),

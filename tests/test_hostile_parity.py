@@ -31,6 +31,7 @@ DOC_QUERIES = [
     "join_positional_zip",
     "window_greedy_chunking",
     "mm_metadata",
+    "mm_resize",
     "mm_frame_sample",
     "mm_features",
     "text_token_count",
