@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .hashing import hex4_col, hex4_sql_duck
+
 N_BANDS = 4
 JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 16
@@ -191,23 +193,13 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def _hex4_to_int(col):
-    """Portable hex→int for the first 4 hex chars of an md5 (16 bits)."""
-    digits = "0123456789abcdef"
-    total = F.lit(0)
-    for pos in range(4):
-        total = total + (F.instr(F.lit(digits),
-                                 F.substring(col, pos + 1, 1)) - 1) * (16 ** (3 - pos))
-    return total
-
-
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: bit b is the sign of the sum over distinct tokens of
     (+1 if bit b of the token hash else -1)."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(
         F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"))
-    h = _hex4_to_int(F.md5(F.col("w").cast("binary")))
+    h = hex4_col(F.md5(F.col("w").cast("binary")))
     tok = tok.withColumn("h", h)
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
@@ -221,18 +213,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def _sql_hex4(expr: str) -> str:
-    parts = [
-        f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
-        for p in range(4)
-    ]
-    return "(" + " + ".join(parts) + ")"
-
-
 SQL_DEDUP_SIMHASH = (
     "WITH tok AS (SELECT doc_id, unnest(list_distinct("
     "string_split_regex(trim(text), '\\s+'))) AS w FROM documents),\n"
-    "h AS (SELECT doc_id, " + _sql_hex4("md5(w)") + " AS h FROM tok),\n"
+    "h AS (SELECT doc_id, " + hex4_sql_duck("md5(w)") + " AS h FROM tok),\n"
     "sums AS (SELECT doc_id, "
     + ", ".join(
         f"sum(CASE WHEN (h // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}"

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .hashing import hex4_col, hex4_sql_duck, hex4_sql_spark
+
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
@@ -170,7 +172,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("w", _words())
          .withColumn("h", F.expr(
              "transform(w, x -> cast("
-             + _hex4_sql_spark("md5(cast(x as binary))")
+             + hex4_sql_spark("md5(cast(x as binary))")
              + " as bigint))")))
     win = F.expr(
         f"transform(sequence(0, size(h) - {RH_K}), i -> "
@@ -184,25 +186,6 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size("h").alias("n_words"))
 
 
-def _hex4_sql_spark(expr: str) -> str:
-    """First 4 hex chars of an md5 as int, as a Spark SQL string expr."""
-    parts = [
-        f"(instr('0123456789abcdef', substring({expr}, {p + 1}, 1)) - 1)"
-        f" * {16 ** (3 - p)}"
-        for p in range(4)
-    ]
-    return "(" + " + ".join(parts) + ")"
-
-
-def _hex4_sql_duck(expr: str) -> str:
-    parts = [
-        f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
-        f" * {16 ** (3 - p)}"
-        for p in range(4)
-    ]
-    return "(" + " + ".join(parts) + ")"
-
-
 SQL_ROLLING_FINGERPRINT = f"""
 WITH d AS (
   SELECT doc_id,
@@ -211,7 +194,7 @@ WITH d AS (
   FROM documents
 ), h AS (
   SELECT doc_id,
-         list_transform(w, x -> {_hex4_sql_duck('md5(x)')}) AS h
+         list_transform(w, x -> {hex4_sql_duck('md5(x)')}) AS h
   FROM d
 ), fp AS (
   SELECT doc_id, len(h) AS n_words,
@@ -329,7 +312,7 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized config. The md5-derived hash is the portable stand-in
     for xxhash64 (cross-engine verifiability, one-line swap at scale)."""
     d = _docs(spark, sf_dir)
-    h = _hex4_spark_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    h = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
     rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN) \
         .otherwise(SAMPLE_RATE_OTHER)
     return (d.where(F.pmod(h, F.lit(100)) < rate)
@@ -339,20 +322,10 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("last_doc")))
 
 
-def _hex4_spark_col(col):
-    digits = "0123456789abcdef"
-    total = F.lit(0)
-    for pos in range(4):
-        total = total + (F.instr(F.lit(digits),
-                                 F.substring(col, pos + 1, 1)) - 1) \
-            * (16 ** (3 - pos))
-    return total.cast("long")
-
-
 SQL_SAMPLE_STRATIFIED_HASH = f"""
 WITH h AS (
   SELECT doc_id, lang,
-         {_hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} % 100 AS hb,
+         {hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} % 100 AS hb,
          CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
               ELSE {SAMPLE_RATE_OTHER} END AS rate
   FROM documents
