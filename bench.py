@@ -73,7 +73,13 @@ def main() -> int:
         extra["spark.local.dir"] = "/dev/shm/spark-local"
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus,
                       extra_conf=extra)
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    # demo queries trimmed from the 50-entry driver registry but kept in
+    # the headline suite for cross-round comparability
+    from ocr_module_spark.functions.dedup import q_dedup_minhash
+    from ocr_module_spark.functions.simsearch import q_knn_brute_cosine
+    qs.setdefault("dedup_minhash_signatures", q_dedup_minhash)
+    qs.setdefault("knn_brute_cosine", q_knn_brute_cosine)
 
     # warm up the JVM + Python worker pool so the first timed query doesn't
     # pay one-time startup (exactly what a long-running cluster job amortizes)

@@ -9,11 +9,11 @@ value-hash comparison is exact.
 
 from __future__ import annotations
 
-from . import dedup, multimodal, simsearch, textstats
+from . import decontam, dedup, multimodal, simsearch, textstats
 
 
 def registry():
     out = {}
-    for mod in (textstats, dedup, simsearch, multimodal):
+    for mod in (textstats, dedup, simsearch, multimodal, decontam):
         out.update(mod.REGISTRY)
     return out

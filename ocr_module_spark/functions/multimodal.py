@@ -72,6 +72,26 @@ def media_metadata_cols(payload: str = "payload"):
     ]
 
 
+RESIZE_TARGET = 96          # target "pixels" (bytes) after resample
+
+
+def resized_checksum_col():
+    """Nearest-neighbor 1-D resample of the payload to RESIZE_TARGET
+    samples, digested: sample i comes from source position
+    floor(i*n/target) — the exact index arithmetic of an image
+    nearest-neighbor resize, applied to the byte stream since no raster
+    codec exists in this sandbox (a real deployment decodes in
+    ``_decode_real`` and resizes pixels; the indexing and columnar shape
+    are what this pins). All JVM-side — the payload never enters
+    Python; works for both down- and up-sampling (n < target duplicates
+    samples); NULL for empty payloads."""
+    resized = F.expr(
+        f"array_join(transform(sequence(0, {RESIZE_TARGET - 1}), "
+        f"i -> substring(text, cast((i * length(text)) div {RESIZE_TARGET} "
+        "as int) + 1, 1)), '')")
+    return F.when(F.length("text") > 0, F.md5(resized.cast("binary")))
+
+
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata extraction (size/checksum/mime sniff)."""
     d = _docs_media(spark, sf_dir)
@@ -141,18 +161,36 @@ FROM f
 # feature extraction: Arrow-batched Python (the stubbed decode seam)
 # ---------------------------------------------------------------------------
 
-REGION_MAGIC = b"FPNG"
+from .png import SIGNATURE as REGION_MAGIC  # regions are real PNG bytes
+
+REGION_DPI = 4              # synthetic raster resolution (px per inch)
+REGION_MAX_PX = 24          # dimension clamp keeps goldens compact
+
+
+def region_dims(bbox) -> tuple[int, int]:
+    """Pixel dims of the synthetic crop raster: REGION_DPI px per inch
+    of bbox extent, clamped to [1, REGION_MAX_PX] — the deterministic
+    stand-in for the reference's x2 matrix / 300 dpi render scale
+    (pymupdf_image_extractor.py:40-41)."""
+    import math
+    w = max(1, min(REGION_MAX_PX, math.ceil((bbox[2] - bbox[0]) * REGION_DPI)))
+    h = max(1, min(REGION_MAX_PX, math.ceil((bbox[3] - bbox[1]) * REGION_DPI)))
+    return w, h
 
 
 def extract_image_region(payload: bytes, page_number: int,
                          bbox) -> bytes | None:
-    """S5: deterministic stand-in for the reference's pixmap crop
+    """S5: the reference's pixmap crop emits real PNG bytes
     (pymupdf_image_extractor.py:15-50 — inch bbox ×72 → pt clip (P7),
-    ×2 matrix / 300 dpi → PNG bytes). No raster codec exists in this
-    sandbox (real decode is the ``_decode_real`` seam), so the region
-    payload is a pure deterministic function of (payload bytes, page,
-    pt-space bbox): magic + packed pt bbox + content digest — enough to
-    pin schema, sizes and byte-level determinism end-to-end.
+    ×2 matrix / 300 dpi → PNG). No raster codec exists in this sandbox,
+    so the PIXELS are a deterministic synthetic raster (the md5 digest
+    stream of payload + page + pt bbox, tiled to fill) — but the
+    CONTAINER is a valid, decodable 8-bit RGB PNG from the stdlib-only
+    encoder (functions/png.py), with the pt-space bbox carried in a
+    tEXt chunk. Downstream consumers get real image bytes; tests decode
+    them back and verify the pixel stream (round-trip gate). A real
+    deployment swaps only the pixel source (``_decode_real``), never
+    the container or the Spark plumbing.
 
     The Spark-side design is the real point: the crop runs INSIDE the
     parse stage where the payload is already in hand. The reference
@@ -160,14 +198,20 @@ def extract_image_region(payload: bytes, page_number: int,
     at 10^12 documents that is a second full scan plus a join — here it
     is zero extra I/O and zero shuffles.
     """
-    import struct
+    import hashlib
+
+    from .png import encode_png
     if payload is None or bbox is None:
         return None
     pts = [x * 72.0 for x in bbox]  # P7: inch -> pt
-    key = f"{page_number}|" + ",".join(f"{p:.4f}" for p in pts)
-    import hashlib
+    bbox_txt = ",".join(f"{p:.4f}" for p in pts)
+    key = f"{page_number}|{bbox_txt}"
     digest = hashlib.md5(payload + key.encode("utf-8")).digest()
-    return REGION_MAGIC + struct.pack("<4f", *pts) + digest
+    w, h = region_dims(bbox)
+    n = w * h * 3
+    rgb = (digest * (n // len(digest) + 1))[:n]
+    return encode_png(w, h, rgb, text={"bbox_pt": bbox_txt,
+                                       "page": str(page_number)})
 
 
 def _decode_real(payload: bytes):  # pragma: no cover - deployment seam
@@ -225,20 +269,32 @@ def media_features(df: DataFrame, payload_col: str = "payload",
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction demo: first two fake features are SQL-mirrorable
-    (length mod 997, mean byte), so the Arrow plumbing is oracle-checked.
-    Both engines filter to ascii-only docs (byte == char semantics pinned,
-    see q_mm_frame_sample)."""
+    """The combined media pipeline row (one driver entry pinning three
+    ops over the same payload — the registry must fit the driver's
+    50-row check window, and these share grain + ascii filter):
+
+    * metadata (size/checksum/mime sniff) — JVM columns at scan speed;
+    * Arrow-batched feature extraction — first two fake features are
+      SQL-mirrorable (length mod 997, mean byte), oracle-checking the
+      mapInPandas plumbing;
+    * nearest-neighbor resample (see resized_checksum_col) — JVM index
+      arithmetic, the payload never enters Python.
+
+    Both engines filter to ascii-only docs (byte == char semantics
+    pinned, see q_mm_frame_sample)."""
     d = _docs_media(spark, sf_dir).where(
         F.octet_length("text") == F.length("text"))
     feats = media_features(d)
-    return feats.select(
-        "doc_id",
-        F.element_at("features", 1).alias("f_len"),
-        F.element_at("features", 2).alias("f_mean_byte"))
+    meta = d.select("doc_id", *media_metadata_cols(),
+                    resized_checksum_col().alias("resized_checksum"))
+    return (feats.join(meta, "doc_id")
+            .select("doc_id",
+                    F.element_at("features", 1).alias("f_len"),
+                    F.element_at("features", 2).alias("f_mean_byte"),
+                    "n_bytes", "checksum", "mime", "resized_checksum"))
 
 
-SQL_MM_FEATURES = """
+SQL_MM_FEATURES = f"""
 -- the synthesized payload is ASCII text, so byte value == ascii(char)
 WITH a AS (
   SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)
@@ -254,55 +310,28 @@ WITH a AS (
 )
 SELECT d.doc_id,
        CAST(coalesce(m.n, 0) % 997 AS DOUBLE) AS f_len,
-       CAST(coalesce(m.mean_byte, 0.0) AS DOUBLE) AS f_mean_byte
+       CAST(coalesce(m.mean_byte, 0.0) AS DOUBLE) AS f_mean_byte,
+       octet_length(encode(d.text)) AS n_bytes,
+       md5(d.text) AS checksum,
+       CASE WHEN substr(d.text, 1, 4) IN ('<htm', '<!do') THEN 'text/html'
+            WHEN substr(d.text, 1, 4) = '%PDF' THEN 'application/pdf'
+            WHEN substr(d.text, 1, 1) = '{{' THEN 'application/json'
+            ELSE 'application/octet-stream' END AS mime,
+       CASE WHEN length(d.text) > 0 THEN
+         md5(list_aggregate(list_transform(range(0, {RESIZE_TARGET}),
+               i -> substr(d.text,
+                           CAST((i * length(d.text)) // {RESIZE_TARGET}
+                                AS INTEGER) + 1, 1)),
+             'string_agg', '')) END AS resized_checksum
 FROM a d LEFT JOIN m ON d.doc_id = m.doc_id
 """
 
 
-RESIZE_TARGET = 96          # target "pixels" (bytes) after resample
-
-
-def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media resize over the opaque payload: nearest-neighbor 1-D
-    resample to RESIZE_TARGET samples — sample i comes from source
-    position floor(i*n/target), the exact index arithmetic of an image
-    nearest-neighbor resize, applied to the byte stream since no raster
-    codec exists in this sandbox (a real deployment decodes in
-    ``_decode_real`` and resizes pixels; the indexing, schema and
-    columnar shape are what this query pins). All JVM-side expression
-    work — the payload never enters Python, works for both down- and
-    up-sampling (n < target duplicates samples). ascii-filtered like the
-    other byte-slicing oracles (byte == char positions pinned on both
-    engines)."""
-    d = (_docs_media(spark, sf_dir)
-         .where(F.octet_length("text") == F.length("text"))
-         .where(F.length("text") > 0))
-    n = F.length("text")
-    resized = F.expr(
-        f"array_join(transform(sequence(0, {RESIZE_TARGET - 1}), "
-        f"i -> substring(text, cast((i * length(text)) div {RESIZE_TARGET} "
-        "as int) + 1, 1)), '')")
-    return d.select(
-        "doc_id", n.alias("src_len"),
-        F.lit(RESIZE_TARGET).alias("dst_len"),
-        F.md5(resized.cast("binary")).alias("resized_checksum"))
-
-
-SQL_MM_RESIZE = f"""
-SELECT doc_id, length(text) AS src_len, {RESIZE_TARGET} AS dst_len,
-       md5(list_aggregate(list_transform(range(0, {RESIZE_TARGET}),
-             i -> substr(text,
-                         CAST((i * length(text)) // {RESIZE_TARGET}
-                              AS INTEGER) + 1, 1)),
-           'string_agg', '')) AS resized_checksum
-FROM documents
-WHERE strlen(text) = length(text) AND length(text) > 0
-"""
-
-
+# mm_metadata and mm_resize are folded into the q_mm_features driver row
+# (same per-doc grain and ascii filter; the registry must fit the
+# driver's 50-row check window) — their operator functions remain the
+# tested building blocks.
 REGISTRY = {
-    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "mm_metadata": (q_mm_metadata, SQL_MM_METADATA),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_features": (q_mm_features, SQL_MM_FEATURES),
 }

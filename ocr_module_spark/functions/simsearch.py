@@ -240,39 +240,124 @@ ORDER BY dot DESC, a.vec_id LIMIT {TOP_K}
 """
 
 
+SAMPLE_MOD = 8              # recall eval: 1-in-SAMPLE_MOD hash-sampled queries
+RECALL_EVAL_BITS = 4        # bucket width under eval: 2^bits ~ n/target_bucket
+#   (500-vector corpus -> 16 buckets of ~31: a top-10 can actually fill;
+#   the production 8-bit key would leave ~2 candidates per bucket here —
+#   the eval measures the dial AT the corpus size it runs on)
+
+
+def sampled_query_ids():
+    """Deterministic hash-sample membership for the recall-eval probe set
+    (~n/SAMPLE_MOD queries — ≥50 at sf0.01): the same stateless
+    hash-mod filter as textstats.q_sample_stratified_hash, so the probe
+    set is reproducible across runs/engines and its size scales with the
+    corpus, never with a hardwired id list."""
+    from .hashing import hex4_col
+    h = hex4_col(F.md5(F.col("vec_id").cast("string").cast("binary")))
+    return F.pmod(h, F.lit(SAMPLE_MOD)) == 0
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: recall@k of the bucketed ANN against the
-    brute-force ground truth — 'measure, don't guess' as an operator.
-    A pipeline tuning SIGN_BITS/bands reruns exactly this on a sample; at
-    scale the brute-force side runs on a small sampled query set while
-    the ANN side is the production index, so the evaluation cost is
-    bounded by the sample, not the corpus."""
-    truth = q_knn_brute_cosine(spark, sf_dir).select("vec_id")
-    approx = q_ann_bucketed_knn(spark, sf_dir).select("vec_id")
-    hits = truth.join(approx, "vec_id")
+    """ANN quality evaluation: recall@k of the sign-bucketed ANN against
+    brute-force ground truth over a HASH-SAMPLED probe set — 'measure,
+    don't guess' as an operator, with the brute-force cost bounded by
+    the sample, not the corpus.
+
+    Both sides are batch-query joins (the decontam.q_decon_embedding_knn
+    shape): the sampled probe frame (n/SAMPLE_MOD rows) is BROADCAST, so
+    the corpus scans once per side and never shuffles for the join —
+    brute side work is |sample| x |corpus| dot products (the bounded
+    eval budget), ANN side is bucket collisions only. The probe filter
+    is a derived hash expression, so it evaluates in the scan stage but
+    cannot reach parquet row-group pruning (only raw-column predicates
+    push down); a production run stores the sample key as a partition
+    column to prune at the source. Recall = |truth ∩ approx| over all
+    sampled queries."""
+    e = _emb(spark, sf_dir)
+    q = (e.where(sampled_query_ids())
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("vec").alias("qvec"),
+                 _sign_bucket("vec", RECALL_EVAL_BITS).alias("qbucket")))
+
+    def topk(cands: DataFrame) -> DataFrame:
+        rk = F.row_number().over(
+            W.partitionBy("query_id")
+            .orderBy(F.col("dot").desc(), F.col("vec_id")))
+        return (cands.withColumn("rank", rk)
+                .where(F.col("rank") <= TOP_K)
+                .select("query_id", "vec_id"))
+
+    scored = F.round(_dot("vec", "qvec"), 4).alias("dot")
+    truth = topk(e.crossJoin(F.broadcast(q))
+                 .where(F.col("vec_id") != F.col("query_id"))
+                 .select("query_id", "vec_id", scored))
+    approx = topk(e.withColumn("bucket",
+                                 _sign_bucket("vec", RECALL_EVAL_BITS))
+                  .join(F.broadcast(q),
+                        F.col("bucket") == F.col("qbucket"))
+                  .where(F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", "vec_id", scored))
+    hits = truth.join(approx, ["query_id", "vec_id"])
+    n_q = q.count()
     return hits.agg(
         F.lit(TOP_K).alias("k"),
+        F.lit(n_q).cast("long").alias("n_queries"),
         F.count("*").cast("long").alias("n_hits"),
-        F.round(F.count("*") / TOP_K, 4).alias("recall_at_k"))
+        F.round(F.count("*") / (n_q * TOP_K), 4).alias("recall_at_k"))
 
 
-SQL_ANN_RECALL_EVAL = f"""
-WITH truth AS (
-  {SQL_KNN_BRUTE_COSINE.strip()}
+def _sql_recall_eval() -> str:
+    from .hashing import hex4_sql_duck
+    bucket = ("(" + " + ".join(
+        f"CASE WHEN embedding[{b + 1}] >= 0 THEN {2 ** b} ELSE 0 END"
+        for b in range(RECALL_EVAL_BITS)) + ")::INTEGER")
+    sample = (hex4_sql_duck("md5(CAST(vec_id AS VARCHAR))")
+              + f" % {SAMPLE_MOD} = 0")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qvec, bucket AS qbucket
+  FROM e WHERE {sample}
+), truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(e.v, q.qvec), 4) DESC,
+                      e.vec_id) AS rank
+    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+  WHERE rank <= {TOP_K}
 ), approx AS (
-  {SQL_ANN_BUCKETED_KNN.strip()}
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(e.v, q.qvec), 4) DESC,
+                      e.vec_id) AS rank
+    FROM e JOIN q ON e.bucket = q.qbucket WHERE e.vec_id <> q.query_id)
+  WHERE rank <= {TOP_K}
 )
 SELECT {TOP_K} AS k,
+       (SELECT count(*) FROM q)::BIGINT AS n_queries,
        count(*)::BIGINT AS n_hits,
-       round(count(*) / {TOP_K}, 4) AS recall_at_k
-FROM truth t JOIN approx a ON t.vec_id = a.vec_id
+       round(count(*) / ((SELECT count(*) FROM q) * {TOP_K}), 4)
+         AS recall_at_k
+FROM truth t JOIN approx a USING (query_id, vec_id)
 """
 
 
+SQL_ANN_RECALL_EVAL = _sql_recall_eval()
+
+
+# knn_brute_cosine / ann_sign_buckets / ann_bucketed_knn keep their demo
+# queries for tests and bench, but are no longer separate driver rows:
+# the single-query demos are strictly subsumed by the batch-query shapes
+# (decontam.q_decon_embedding_knn joins a query SET on the same bucket
+# keys; q_ann_recall_eval drives brute + bucketed over the sampled probe
+# set), and the registry must fit the driver's 50-row check window so
+# every operator gets a driver-green correctness row.
 REGISTRY = {
     "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
-    "knn_brute_cosine": (q_knn_brute_cosine, SQL_KNN_BRUTE_COSINE),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
-    "ann_sign_buckets": (q_ann_sign_buckets, SQL_ANN_SIGN_BUCKETS),
-    "ann_bucketed_knn": (q_ann_bucketed_knn, SQL_ANN_BUCKETED_KNN),
 }

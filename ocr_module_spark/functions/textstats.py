@@ -17,6 +17,12 @@ from .hashing import hex4_col, hex4_sql_duck, hex4_sql_spark
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
+QF_MIN_WORDS = 15
+QF_MAX_WORDS = 100000
+QF_MIN_AVG_WLEN = 2
+QF_MAX_AVG_WLEN = 12
+QF_MIN_STOPWORD_RATIO = 0.01
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -53,6 +59,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.expr(
         f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
     n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0))
+    # Gopher-style hard keep/drop verdict folded into the same scan (the
+    # former text_quality_filter driver row): reason bitmask 1=word
+    # count, 2=degenerate avg word length, 4=stopword ratio; integer-
+    # scaled ratios so both engines agree exactly
+    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
+    r_words = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+    r_wlen = (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10) | \
+             (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
+    r_stop = n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)
+    reasons = (F.when(r_words, 1).otherwise(0)
+               + F.when(r_wlen, 2).otherwise(0)
+               + F.when(r_stop, 4).otherwise(0))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -61,10 +79,27 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_stop / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
         F.round(F.length("text") / F.greatest(n_words, F.lit(1)), 4)
         .alias("avg_word_len"),
+        reasons.cast("int").alias("drop_reasons"),
+        (reasons == 0).alias("keep"),
     )
 
 
-SQL_QUALITY_SCORE = f"""
+_SQL_QF_REASONS = (
+    f"(CASE WHEN len(w) < {QF_MIN_WORDS} OR len(w) > {QF_MAX_WORDS}"
+    f" THEN 1 ELSE 0 END"
+    f" + CASE WHEN (length(text) * 10.0) / greatest(len(w), 1)"
+    f" < {QF_MIN_AVG_WLEN * 10}"
+    f" OR (length(text) * 10.0) / greatest(len(w), 1)"
+    f" > {QF_MAX_AVG_WLEN * 10} THEN 2 ELSE 0 END"
+    f" + CASE WHEN len(list_filter(w, x -> lower(x) IN ({{sw}}))) * 100"
+    f" < len(w) * {{min_stop}} THEN 4 ELSE 0 END)"
+)
+
+
+def _sql_quality_score() -> str:
+    reasons = _SQL_QF_REASONS.format(
+        sw=_SW_LIST, min_stop=int(QF_MIN_STOPWORD_RATIO * 100))
+    return f"""
 WITH d AS (
   SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -77,9 +112,14 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[.!?]')) AS n_punct,
        round(len(list_filter(w, x -> lower(x) IN ({_SW_LIST})))
              / greatest(len(w), 1), 4) AS stopword_ratio,
-       round(length(text) / greatest(len(w), 1), 4) AS avg_word_len
+       round(length(text) / greatest(len(w), 1), 4) AS avg_word_len,
+       {reasons}::INTEGER AS drop_reasons,
+       {reasons} = 0 AS keep
 FROM d
 """
+
+
+SQL_QUALITY_SCORE = _sql_quality_score()
 
 
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +185,9 @@ def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(toks).alias("n_bpe_tokens"),
+        # n_ws_tokens: the whitespace tokenizer (A4 analogue; absorbs the
+        # former text_token_count driver row — same grain, one scan)
+        F.size(_words()).alias("n_ws_tokens"),
         (F.size(toks) - F.size(_words())).alias("tokens_minus_words"))
 
 
@@ -157,6 +200,7 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, n_bpe AS n_bpe_tokens,
+       n_words AS n_ws_tokens,
        n_bpe - n_words AS tokens_minus_words
 FROM d
 """
@@ -182,8 +226,15 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty/whitespace-only docs, matching the oracle's h[1] on empty list
     fp = F.when(F.size("h") >= RH_K, F.array_min(win)) \
           .otherwise(F.try_element_at("h", F.lit(1)))
+    # whole-doc md5 fingerprint + coarse length band folded into the same
+    # scan (the former text_fingerprint driver row): the cheap exact-dup
+    # first-stage key next to the edit-robust rolling one
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return d.select("doc_id", fp.cast("long").alias("fingerprint"),
-                    F.size("h").alias("n_words"))
+                    F.size("h").alias("n_words"),
+                    F.md5(norm.cast("binary")).alias("norm_md5"),
+                    (F.floor(F.length("text") / 64) * 64).cast("long")
+                    .alias("len_band"))
 
 
 SQL_ROLLING_FINGERPRINT = f"""
@@ -205,15 +256,11 @@ WITH d AS (
          ELSE h[1] END AS fingerprint
   FROM h
 )
-SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint, n_words FROM fp
+SELECT f.doc_id, CAST(f.fingerprint AS BIGINT) AS fingerprint, f.n_words,
+       md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS norm_md5,
+       (length(d.text) // 64) * 64 AS len_band
+FROM fp f JOIN documents d ON f.doc_id = d.doc_id
 """
-
-
-QF_MIN_WORDS = 15
-QF_MAX_WORDS = 100000
-QF_MIN_AVG_WLEN = 2
-QF_MAX_AVG_WLEN = 12
-QF_MIN_STOPWORD_RATIO = 0.01
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,17 +451,20 @@ FROM t GROUP BY tier, lang
 """
 
 
+# text_token_count, text_quality_filter and text_fingerprint are folded
+# into text_bpe_token_estimate (n_ws_tokens), text_quality_score
+# (drop_reasons/keep) and text_rolling_fingerprint (norm_md5/len_band)
+# respectively — same grain, one scan each; the registry must fit the
+# driver's 50-row check window. The standalone operator functions remain
+# (hostile-corpus parity still drives them directly).
 REGISTRY = {
     "text_quality_tiers": (q_quality_tiers, SQL_QUALITY_TIERS),
     "text_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "sample_stratified_hash": (q_sample_stratified_hash,
                                SQL_SAMPLE_STRATIFIED_HASH),
-    "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "text_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "text_bpe_token_estimate": (q_bpe_token_estimate, SQL_BPE_TOKEN_ESTIMATE),
     "text_rolling_fingerprint": (q_rolling_fingerprint,
                                  SQL_ROLLING_FINGERPRINT),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "text_lang_guess": (q_lang_guess, SQL_LANG_GUESS),
-    "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
 }

@@ -31,9 +31,8 @@ DOC_QUERIES = [
     "join_positional_zip",
     "window_greedy_chunking",
     "mm_metadata",
-    "mm_resize",
     "mm_frame_sample",
-    "mm_features",
+    "mm_features",         # + folded-in metadata/resize columns
     "text_token_count",
     "text_bpe_token_estimate",
     "text_quality_score",
@@ -65,7 +64,36 @@ DOC_QUERIES = [
     "agg_salted_skew",
     "agg_batch_prompt_assembly",
     "join_asof_ordinal",
+    # decontamination joins (documents + embeddings probe sides)
+    "decon_ngram_flags",
+    "decon_embedding_knn",
 ]
+
+
+def _extra_queries():
+    """Demo queries trimmed from the driver registry (subsumed by their
+    batch/merged successors) but still part of the hostile-corpus parity
+    surface — resolved straight from the module REGISTRY constants."""
+    from ocr_module_spark.functions import (dedup, multimodal, simsearch,
+                                            textstats)
+    return {
+        "mm_metadata": (multimodal.q_mm_metadata,
+                        multimodal.SQL_MM_METADATA),
+        "text_token_count": (textstats.q_token_count,
+                             textstats.SQL_TOKEN_COUNT),
+        "text_quality_filter": (textstats.q_quality_filter,
+                                textstats.SQL_QUALITY_FILTER),
+        "text_fingerprint": (textstats.q_fingerprint,
+                             textstats.SQL_FINGERPRINT),
+        "dedup_minhash_signatures": (dedup.q_dedup_minhash,
+                                     dedup.SQL_DEDUP_MINHASH),
+        "knn_brute_cosine": (simsearch.q_knn_brute_cosine,
+                             simsearch.SQL_KNN_BRUTE_COSINE),
+        "ann_sign_buckets": (simsearch.q_ann_sign_buckets,
+                             simsearch.SQL_ANN_SIGN_BUCKETS),
+        "ann_bucketed_knn": (simsearch.q_ann_bucketed_knn,
+                             simsearch.SQL_ANN_BUCKETED_KNN),
+    }
 
 
 @pytest.fixture(scope="module")
@@ -92,8 +120,12 @@ def test_hostile_parity(spark, hostile_dir, duck, name):
     from parity_check import value_hash
 
     import __spark_entry__ as entry_mod
-    fn = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql()[name]
+    extra = _extra_queries()
+    if name in extra:
+        fn, sql = extra[name]
+    else:
+        fn = entry_mod.queries()[name]
+        sql = entry_mod.oracle_sql()[name]
 
     df = fn(spark, hostile_dir)
     s_cols = df.columns

@@ -140,6 +140,41 @@ def test_extraction_queries_have_no_python_row_udf(spark, sf):
         assert "BatchEvalPython" not in plan, plan
 
 
+def test_decon_embedding_knn_is_broadcast_equi_join(spark, sf):
+    """Batch-query kNN (the decontamination join): the benchmark probe
+    side broadcasts and the corpus joins it on the (band, bucket) key —
+    a hash join, never a nested-loop / cartesian pairing. At 10^12
+    corpus vectors this is the difference between 'bounded by bucket
+    collisions' and 'corpus x benchmark'."""
+    from ocr_module_spark.functions.decontam import q_decon_embedding_knn
+    plan = _plan(q_decon_embedding_knn(spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decon_ngram_flags_broadcasts_benchmark_side(spark, sf):
+    """The shingle-collision join broadcasts the (eval-bench-sized)
+    benchmark shingle set; the corpus is never shuffled for the join."""
+    from ocr_module_spark.functions.decontam import q_decon_ngram_flags
+    plan = _plan(q_decon_ngram_flags(spark, sf))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_recall_eval_brute_side_bounded_by_broadcast_sample(spark, sf):
+    """Sampled recall eval: exactly ONE nested-loop pairing — the brute
+    side against the BROADCAST hash-sampled probe frame (|sample| x
+    corpus, the bounded eval budget; its one-sided-ness is the point) —
+    while the ANN side joins on the bucket key (hash join). No
+    unbroadcast cartesian anywhere."""
+    from ocr_module_spark.functions.simsearch import q_ann_recall_eval
+    plan = _plan(q_ann_recall_eval(spark, sf))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bucketed_join_is_co_located_no_shuffle(spark, sf):
     """Bucketing for co-located joins (SURVEY §4.2: the Iceberg
     bucket(url) layout, Spark-native form): two tables bucketed on the

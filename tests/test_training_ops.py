@@ -180,19 +180,52 @@ def test_cc_bounded_rounds_match_converged(spark, sf_dir):
     assert bounded == converged
 
 
-def test_extract_image_region_deterministic_and_typed():
-    """S5 region crop stand-in: magic header, pt-space bbox round-trips
-    (P7 inch->pt), deterministic, distinct per (page, bbox, payload)."""
-    import struct
+def test_png_codec_round_trip():
+    """The stdlib PNG codec: encode→decode is the identity on dims,
+    pixel stream and tEXt metadata; container is spec-valid (signature,
+    CRC-checked chunks)."""
+    from ocr_module_spark.functions.png import (SIGNATURE, decode_png,
+                                                encode_png)
+    rgb = bytes(range(256)) * 3  # 16x16 RGB = 768 bytes
+    data = encode_png(16, 16, rgb, text={"k": "v", "page": "3"})
+    assert data.startswith(SIGNATURE)
+    w, h, pixels, text = decode_png(data)
+    assert (w, h) == (16, 16)
+    assert pixels == rgb
+    assert text == {"k": "v", "page": "3"}
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(ValueError):
+        encode_png(2, 2, b"short")
+    # corrupt one IDAT byte -> CRC failure, not silent garbage
+    corrupt = bytearray(data)
+    corrupt[len(data) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+
+
+def test_extract_image_region_is_decodable_png():
+    """S5 region crop: REAL decodable PNG bytes (the reference emits
+    PNG, pymupdf_image_extractor.py:15-50); pt-space bbox round-trips
+    via tEXt (P7 inch->pt), pixels are the deterministic digest raster,
+    distinct per (page, bbox, payload)."""
+    import hashlib
     from ocr_module_spark.functions.multimodal import (
-        REGION_MAGIC, extract_image_region)
+        REGION_MAGIC, extract_image_region, region_dims)
+    from ocr_module_spark.functions.png import decode_png
     payload = b'{"format": "blocks"}'
     bbox = [1.0, 2.0, 3.5, 5.25]
     r1 = extract_image_region(payload, 0, bbox)
     assert r1 == extract_image_region(payload, 0, bbox)
     assert r1.startswith(REGION_MAGIC)
-    pts = struct.unpack("<4f", r1[4:20])
-    assert pts == (72.0, 144.0, 252.0, 378.0)
+    w, h, rgb, text = decode_png(r1)
+    assert (w, h) == region_dims(bbox)
+    assert text["bbox_pt"] == "72.0000,144.0000,252.0000,378.0000"
+    assert text["page"] == "0"
+    digest = hashlib.md5(
+        payload + b"0|" + text["bbox_pt"].encode()).digest()
+    n = w * h * 3
+    assert rgb == (digest * (n // 16 + 1))[:n]
     assert extract_image_region(payload, 1, bbox) != r1
     assert extract_image_region(b"other", 0, bbox) != r1
     assert extract_image_region(None, 0, bbox) is None
@@ -201,14 +234,23 @@ def test_extract_image_region_deterministic_and_typed():
 
 def test_extract_regions_query_matches_parser(spark, sf_dir):
     """Every bboxed figure block of the corpus yields exactly one region
-    row with the right length (4 magic + 16 bbox + 16 digest)."""
+    row; each row's length matches an independent recomputation and the
+    bytes behind each sha are decodable PNGs (spot-checked via the
+    recomputed region)."""
     from ocr_module_spark import corpus, oracle
+    from ocr_module_spark.functions.multimodal import extract_image_region
+    from ocr_module_spark.functions.png import decode_png
     from ocr_module_spark.operators.extraction import q_extract_regions
     rows = q_extract_regions(spark, sf_dir).collect()
-    assert rows and all(r["region_len"] == 36 for r in rows)
-    expected = 0
+    got = {(r["url"], r["page_number"], r["block_no"]):
+           (r["region_sha256"], r["region_len"]) for r in rows}
+    expected = {}
     for i in range(200):  # sf0.001 -> n=200
-        for b in oracle.parse_payload(corpus.payload_for(i)).blocks:
+        url, payload = corpus.url_for(i), corpus.payload_for(i)
+        for b in oracle.parse_payload(payload).blocks:
             if b.kind == "figure" and b.bbox is not None:
-                expected += 1
-    assert len(rows) == expected
+                rb = extract_image_region(payload, b.page_number, b.bbox)
+                decode_png(rb)  # every region must be a valid PNG
+                expected[(url, b.page_number, b.block_no)] = (
+                    hashlib.sha256(rb).hexdigest(), len(rb))
+    assert got == expected and got
