@@ -242,30 +242,46 @@ def fake_features(payload: bytes) -> list[float]:
 
 
 def media_features(df: DataFrame, payload_col: str = "payload",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   passthrough: tuple = ()) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    One ``mapInPandas`` stage, fixed output schema ``(id, features)``;
-    batch shape = Arrow record batches of (id, payload). At 100 TB this
-    pipelines inside the scan stage — no shuffle, no driver collection.
+    One ``mapInPandas`` stage, fixed output schema ``(id, features,
+    *passthrough)``; batch shape = Arrow record batches of
+    (id, payload, *passthrough). At 100 TB this pipelines inside the
+    scan stage — no shuffle, no driver collection.
+
+    ``passthrough``: (name, ddl_type) pairs of columns computed upstream
+    (JVM-side) that ride through the Arrow batch untouched — the
+    single-scan alternative to computing them in a second scan and
+    joining back (at 10^12 rows that join would shuffle both sides;
+    here the extra columns cost only their Arrow transfer).
     """
     from ..deploy import ensure_pyfiles
     ensure_pyfiles(df.sparkSession)
 
     import pandas as pd
 
+    names = [n for n, _t in passthrough]
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            yield pd.DataFrame({
+            cols = {
                 id_col: pdf[id_col],
                 "features": [
                     fake_features(bytes(p) if p is not None else b"")
                     for p in pdf[payload_col]
                 ],
-            })
+            }
+            for n in names:
+                cols[n] = pdf[n]
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, payload_col).mapInPandas(
-        batches, schema=f"{id_col} long, features array<double>")
+    schema = f"{id_col} long, features array<double>"
+    for n, t in passthrough:
+        schema += f", {n} {t}"
+    return df.select(id_col, payload_col, *names).mapInPandas(
+        batches, schema=schema)
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,17 +297,21 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       arithmetic, the payload never enters Python.
 
     Both engines filter to ascii-only docs (byte == char semantics
-    pinned, see q_mm_frame_sample)."""
+    pinned, see q_mm_frame_sample). ONE scan: the JVM metadata/resize
+    columns ride through the Arrow feature stage as passthrough columns
+    (no second scan, no join — plan-asserted single stage)."""
     d = _docs_media(spark, sf_dir).where(
         F.octet_length("text") == F.length("text"))
-    feats = media_features(d)
-    meta = d.select("doc_id", *media_metadata_cols(),
-                    resized_checksum_col().alias("resized_checksum"))
-    return (feats.join(meta, "doc_id")
-            .select("doc_id",
-                    F.element_at("features", 1).alias("f_len"),
-                    F.element_at("features", 2).alias("f_mean_byte"),
-                    "n_bytes", "checksum", "mime", "resized_checksum"))
+    d = d.select("doc_id", "payload", *media_metadata_cols(),
+                 resized_checksum_col().alias("resized_checksum"))
+    feats = media_features(d, passthrough=(
+        ("n_bytes", "int"), ("checksum", "string"), ("mime", "string"),
+        ("resized_checksum", "string")))
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 2).alias("f_mean_byte"),
+        "n_bytes", "checksum", "mime", "resized_checksum")
 
 
 SQL_MM_FEATURES = f"""

@@ -175,6 +175,18 @@ def test_recall_eval_brute_side_bounded_by_broadcast_sample(spark, sf):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_mm_features_single_scan_no_join(spark, sf):
+    """The merged media row (metadata + features + resize) must be ONE
+    scan with the JVM columns riding through the Arrow stage — not a
+    second scan joined back (at 10^12 rows that join shuffles both
+    sides)."""
+    from ocr_module_spark.functions.multimodal import q_mm_features
+    plan = _plan(q_mm_features(spark, sf))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_bucketed_join_is_co_located_no_shuffle(spark, sf):
     """Bucketing for co-located joins (SURVEY §4.2: the Iceberg
     bucket(url) layout, Spark-native form): two tables bucketed on the
