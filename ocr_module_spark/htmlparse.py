@@ -246,21 +246,14 @@ class _Extractor(HTMLParser):
         # (dual page/section view: reference section_models.py:7-28)
         if kind == "paragraph" and role == "sectionHeading":
             self._n_headings += 1
-        bno = self._next_block_no()
-        self.result.blocks.append(Block(
-            page_number=bno // PAGE_BLOCKS,
-            block_no=bno,
-            kind=kind,
-            role=role,
-            tag_path=tag_path,
-            depth=depth,
-            text=text,
-            text_len=len(text),
-            link_text_len=len(_norm(link_text)),
-            bbox=None,
-            section_id=self._n_headings,
-            n_tokens=text.count(FORMULA_TOKEN),
-        ))
+        blocks = self.result.blocks
+        bno = len(blocks)
+        # positional construction: ~25% cheaper than kwargs on the
+        # slots dataclass, and _emit is a per-block hot path
+        blocks.append(Block(
+            bno // PAGE_BLOCKS, bno, kind, role, tag_path, depth,
+            text, len(text), len(_norm(link_text)), None,
+            self._n_headings, text.count(FORMULA_TOKEN)))
 
     def _flush_block(self) -> None:
         if self._block_tag is None:
@@ -392,14 +385,12 @@ class _Extractor(HTMLParser):
                     self._cell_parts = None
                 rows = ["\t".join(c for c in row) for row in self._table_rows if row]
                 text = "\n".join(r for r in rows if r.strip())
-                bno = self._next_block_no()
-                self.result.blocks.append(Block(
-                    page_number=bno // PAGE_BLOCKS, block_no=bno, kind="table",
-                    role=None, tag_path="table", depth=len(self._stack) + 1,
-                    text=text, text_len=len(text), link_text_len=0,
-                    bbox=None, section_id=self._n_headings,
-                    n_tokens=text.count(FORMULA_TOKEN),
-                ))
+                blocks = self.result.blocks
+                bno = len(blocks)
+                blocks.append(Block(
+                    bno // PAGE_BLOCKS, bno, "table", None, "table",
+                    len(self._stack) + 1, text, len(text), 0, None,
+                    self._n_headings, text.count(FORMULA_TOKEN)))
             return
         if (self._table_depth == 1 and tag in ("td", "th")
                 and self._cell_parts is not None):
