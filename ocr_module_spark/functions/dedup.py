@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import hex4_col, hex4_sql_duck
+from .hashing import hex4_sql_duck
 
 N_BANDS = 4
 JACCARD_THRESHOLD = 0.2
@@ -52,14 +52,22 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: band b's signature = min over distinct tokens of
-    md5(b || '|' || token). One explode, one min-agg per band."""
-    d = _docs(spark, sf_dir)
-    tok = (d.select("doc_id", F.explode(
-        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w")))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("w")).cast("binary")))
-            .alias(f"sig_{b}") for b in range(N_BANDS)]
-    return tok.groupBy("doc_id").agg(*aggs)
+    """MinHash signatures: band b's signature = min over distinct tokens
+    of md5(b || '|' || token), computed as a pure per-row PROJECTION —
+    ``array_min(transform(tokens, ...))`` — with ZERO shuffles and zero
+    row blowup (plan-asserted). The previous shape (explode + groupBy
+    min) multiplied the corpus by |tokens| and shuffled one row per doc
+    per band; at 10^12 docs the projection form turns the signature
+    build — the root of the whole LSH chain — into a map-only stage
+    that pipelines inside the scan. NULL-text docs drop (split yields
+    NULL), matching the exploded form and the unnest-based oracle."""
+    d = _docs(spark, sf_dir).withColumn(
+        "w", F.array_distinct(F.split(F.trim("text"), r"\s+")))
+    sigs = [F.array_min(F.expr(
+        f"transform(w, x -> md5(cast(concat('{b}|', x) as binary)))"))
+        .alias(f"sig_{b}") for b in range(N_BANDS)]
+    return (d.where(F.col("w").isNotNull())
+            .select("doc_id", *sigs))
 
 
 SQL_DEDUP_MINHASH = (
@@ -118,15 +126,16 @@ def minhash_band_keys(docs: DataFrame, r: int, b: int) -> DataFrame:
     TRUE near-dups (banding cannot prune what is actually similar —
     measured in tests/test_banding.py, which also shows r=2 pruning
     candidates to <10% of all-pairs on a realistic-vocabulary corpus).
-    Same shape as _stacked_signatures: one explode, r*b min-aggs, a
-    stack — the band key is just a longer string, the downstream
-    (band, key) equi-join is identical at any (r, b)."""
-    tok = (docs.select("doc_id", F.explode(
-        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w")))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w"))
-                        .cast("binary"))).alias(f"m_{i}")
-            for i in range(r * b)]
-    sigs = tok.groupBy("doc_id").agg(*aggs)
+    Same shuffle-free projection shape as q_dedup_minhash (r*b
+    array_min/transform passes, then a stack) — the band key is just a
+    longer string, the downstream (band, key) equi-join is identical at
+    any (r, b)."""
+    d = docs.withColumn(
+        "w", F.array_distinct(F.split(F.trim("text"), r"\s+")))
+    mins = [F.array_min(F.expr(
+        f"transform(w, x -> md5(cast(concat('{i}|', x) as binary)))"))
+        .alias(f"m_{i}") for i in range(r * b)]
+    sigs = d.where(F.col("w").isNotNull()).select("doc_id", *mins)
     keyed = sigs.select("doc_id", *[
         F.concat(*[F.col(f"m_{k * r + j}") for j in range(r)])
         .alias(f"k_{k}") for k in range(b)])
@@ -234,23 +243,29 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: bit b is the sign of the sum over distinct tokens of
-    (+1 if bit b of the token hash else -1)."""
-    d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(
-        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"))
-    h = hex4_col(F.md5(F.col("w").cast("binary")))
-    tok = tok.withColumn("h", h)
-    bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
-              .otherwise(-1)).alias(f"s_{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    """16-bit SimHash: bit b is the sign of the sum over distinct tokens
+    of (+1 if bit b of the token hash else -1) — i.e. bit b is set iff
+    MORE than half the token hashes have bit b set. Computed as a pure
+    per-row PROJECTION (plan-asserted shuffle-free): per-token 16-bit
+    hashes once into an array, then 16 ``size(filter(...))`` majority
+    tests — the explode + 16-way groupBy sum it replaces shuffled every
+    doc and blew the row count up |tokens|×; this form runs at scan
+    speed at any corpus size. NULL-text docs drop, matching the
+    exploded form and the oracle."""
+    from .hashing import hex4_sql_spark
+    d = _docs(spark, sf_dir).withColumn(
+        "w", F.array_distinct(F.split(F.trim("text"), r"\s+")))
+    d = (d.where(F.col("w").isNotNull())
+         .withColumn("h", F.expr(
+             "transform(w, x -> "
+             + hex4_sql_spark("md5(cast(x as binary))") + ")")))
+    n = F.size("h")
     sig = F.lit(0)
     for b in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"s_{b}") > 0, 2 ** b).otherwise(0)
-    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+        set_cnt = F.size(F.expr(
+            f"filter(h, v -> (v div {2 ** b}) % 2 = 1)"))
+        sig = sig + F.when(set_cnt * 2 > n, 2 ** b).otherwise(0)
+    return d.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 SQL_DEDUP_SIMHASH = (

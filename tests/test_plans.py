@@ -175,6 +175,20 @@ def test_recall_eval_brute_side_bounded_by_broadcast_sample(spark, sf):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_signature_builds_are_shuffle_free_projections(spark, sf):
+    """MinHash signatures and SimHash must be pure per-row projections
+    (array_min/filter over the token array): zero exchanges, zero row
+    blowup. The explode + groupBy forms they replaced shuffled one row
+    per doc and multiplied rows |tokens|x — at 10^12 docs that made the
+    root of the LSH chain the biggest shuffle in the pipeline."""
+    from ocr_module_spark.functions.dedup import (q_dedup_minhash,
+                                                  q_dedup_simhash)
+    for q in (q_dedup_minhash, q_dedup_simhash):
+        plan = _plan(q(spark, sf))
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan  # no explode
+
+
 def test_mm_features_single_scan_no_join(spark, sf):
     """The merged media row (metadata + features + resize) must be ONE
     scan with the JVM columns riding through the Arrow stage — not a
