@@ -9,6 +9,7 @@ exactly-once file progress.
 from .incremental import (  # noqa: F401
     run_incremental_extraction,
     stream_crawl_metrics,
+    stream_decon_flags,
     stream_dedup_first_seen,
     stream_pages,
 )

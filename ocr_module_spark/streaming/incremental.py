@@ -127,6 +127,62 @@ def stream_dedup_first_seen(pages_stream: DataFrame,
                                     DEDUP_STATE_SCHEMA, "append", timeout))
 
 
+def stream_decon_flags(pages_stream: DataFrame,
+                       bench_docs: DataFrame) -> DataFrame:
+    """Streaming eval-set decontamination: every arriving page gets its
+    contamination verdict against a STATIC benchmark table — the
+    incremental form of functions/decontam.q_decon_ngram_flags, so a
+    continuous crawl ingest can drop eval-overlapping pages before they
+    ever land in the corpus.
+
+    Shape: ZERO streaming state. The benchmark's distinct shingle set is
+    pre-aggregated to a single-row static frame and joined in with a
+    stream-static broadcast cross join (1 static row — the broadcast is
+    the eval-bench-sized artifact a real pipeline ships to executors);
+    the per-page verdict is then a pure projection
+    (``array_intersect`` of the page's shingles against the benchmark
+    array). Append mode, no watermark, no state store — each page is
+    flagged the moment it arrives, and a replayed epoch reproduces
+    identical flags (deterministic projection).
+
+    The per-shingle equi-join of the batch operator is the right shape
+    when the CORPUS side is 10^12 rows at rest; here the stream side is
+    one micro-batch at a time and the benchmark side is small-static, so
+    the broadcast-array projection is the cheaper plan (no shuffle per
+    epoch at all).
+    """
+    from ..functions.decontam import DECON_FRAC_X100
+    from ..functions.dedup import NGRAM_N
+
+    def shingles(col: str):
+        w = F.split(F.trim(F.col(col)), r"\s+")
+        return F.when(
+            F.size(w) >= NGRAM_N,
+            F.array_distinct(F.expr(
+                f"transform(sequence(0, size(split(trim({col}), "
+                f"'\\\\s+')) - {NGRAM_N}), i -> concat_ws(' ', "
+                f"split(trim({col}), '\\\\s+')[i], "
+                f"split(trim({col}), '\\\\s+')[i+1], "
+                f"split(trim({col}), '\\\\s+')[i+2]))"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_arr = (bench_docs
+                 .select(F.explode(shingles("text")).alias("s"))
+                 .distinct()
+                 .agg(F.collect_list("s").alias("bench_ss")))
+    ss = shingles("text").alias("ss")
+    flagged = (pages_stream.select("url", ss)
+               .crossJoin(F.broadcast(bench_arr)))
+    n_sh = F.size("ss").cast("long")
+    n_hits = F.size(F.array_intersect("ss", "bench_ss")).cast("long")
+    return flagged.select(
+        "url",
+        n_sh.alias("n_shingles"),
+        n_hits.alias("n_hits"),
+        ((n_sh > 0) & (n_hits * 100 >= n_sh * DECON_FRAC_X100))
+        .alias("contaminated"))
+
+
 def stream_crawl_metrics(pages_stream: DataFrame,
                          window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:

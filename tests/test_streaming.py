@@ -147,3 +147,65 @@ def test_stream_dedup_first_seen_across_restarts(spark, dirs):
     new_urls = {r["url"] for r in got2.collect()} - \
         {r["url"] for r in got1.collect()}
     assert all("c.example/n" in u for u in new_urls)
+
+
+def test_stream_decon_flags_matches_batch_formula(spark, dirs):
+    """Streaming decontamination (stream-static broadcast join, zero
+    state): flags for streamed pages equal the batch formula computed
+    directly, and a contaminated page is flagged the epoch it arrives."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from ocr_module_spark.functions.decontam import DECON_FRAC_X100
+    from ocr_module_spark.schemas import PAGES_SCHEMA
+    from ocr_module_spark.streaming import stream_decon_flags, stream_pages
+
+    bench_rows = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "iota kappa lombda mu nu xi omicron pi"),
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    def page(url, text, i):
+        r = corpus.row_for(i)
+        r["url"] = url
+        r["text"] = text
+        return r
+
+    pages = [
+        # exact copy of a benchmark doc -> contaminated
+        page("https://s.example/contam", bench_rows[0][1], 0),
+        # half-overlap (4 of ~6 shingles replaced) -> below threshold
+        page("https://s.example/partial",
+             "alpha beta gamma QQ WW EE RR TT", 1),
+        # disjoint vocabulary -> clean
+        page("https://s.example/clean",
+             "one two three four five six seven eight", 2),
+        # too short for a shingle -> n_shingles 0, never contaminated
+        page("https://s.example/short", "hi there", 3),
+    ]
+    pdf = pd.DataFrame.from_records(
+        pages, columns=["url", "warc_ts", "html", "text", "lang"])
+    spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(
+            os.path.join(dirs["landing"], "b0"))
+
+    out_dir = os.path.join(dirs["out"], "decon")
+    q = (stream_decon_flags(stream_pages(spark, dirs["landing"]), bench)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", dirs["ckpt"])
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    got = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 4
+    assert got["https://s.example/contam"]["contaminated"] is True
+    assert got["https://s.example/clean"]["contaminated"] is False
+    assert got["https://s.example/clean"]["n_hits"] == 0
+    assert got["https://s.example/short"]["n_shingles"] == 0
+    assert got["https://s.example/short"]["contaminated"] is False
+    for r in got.values():  # the formula itself, re-checked per row
+        expect = (r["n_shingles"] > 0 and
+                  r["n_hits"] * 100 >= r["n_shingles"] * DECON_FRAC_X100)
+        assert r["contaminated"] == expect, r
