@@ -123,8 +123,9 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes, so both engines filter to ascii-only docs (byte length
     == char length) — the assumption is enforced, not assumed; a future
     multi-byte fixture row is excluded on both sides instead of producing
-    a confusing checksum mismatch."""
-    d = (_docs_media(spark, sf_dir).where(F.col("doc_id") < 200)
+    a confusing checksum mismatch. Covers the whole corpus: the output is
+    bounded by the sampling stride, not an id cap."""
+    d = (_docs_media(spark, sf_dir)
          .where(F.octet_length("text") == F.length("text")))
     n_frames = F.floor(F.length("payload") / FRAME_BYTES).cast("int")
     d = d.withColumn("n_frames", n_frames).where(F.col("n_frames") > 0)
@@ -144,7 +145,7 @@ SQL_MM_FRAME_SAMPLE = f"""
 WITH v AS (
   SELECT doc_id, text,
          CAST(floor(length(text) / {FRAME_BYTES}) AS INTEGER) AS n_frames
-  FROM documents WHERE doc_id < 200 AND strlen(text) = length(text)
+  FROM documents WHERE strlen(text) = length(text)
 ), f AS (
   SELECT doc_id, text, n_frames,
          unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_no
