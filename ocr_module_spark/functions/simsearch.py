@@ -299,12 +299,16 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .where(F.col("vec_id") != F.col("query_id"))
                   .select("query_id", "vec_id", scored))
     hits = truth.join(approx, ["query_id", "vec_id"])
-    n_q = q.count()
-    return hits.agg(
+    # n_queries derived in-plan (brute truth always yields exactly K rows
+    # per query on a corpus > K): no separate driver-side count() action
+    t = truth.agg(F.count("*").alias("n_truth"))
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return t.crossJoin(h).select(
         F.lit(TOP_K).alias("k"),
-        F.lit(n_q).cast("long").alias("n_queries"),
-        F.count("*").cast("long").alias("n_hits"),
-        F.round(F.count("*") / (n_q * TOP_K), 4).alias("recall_at_k"))
+        (F.col("n_truth") / TOP_K).cast("long").alias("n_queries"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.col("n_truth"), 4)
+        .alias("recall_at_k"))
 
 
 def _sql_recall_eval() -> str:
@@ -339,9 +343,9 @@ WITH e AS (
   WHERE rank <= {TOP_K}
 )
 SELECT {TOP_K} AS k,
-       (SELECT count(*) FROM q)::BIGINT AS n_queries,
+       ((SELECT count(*) FROM truth) / {TOP_K})::BIGINT AS n_queries,
        count(*)::BIGINT AS n_hits,
-       round(count(*) / ((SELECT count(*) FROM q) * {TOP_K}), 4)
+       round(count(*) / (SELECT count(*) FROM truth), 4)
          AS recall_at_k
 FROM truth t JOIN approx a USING (query_id, vec_id)
 """
