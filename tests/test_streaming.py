@@ -209,3 +209,53 @@ def test_stream_decon_flags_matches_batch_formula(spark, dirs):
         expect = (r["n_shingles"] > 0 and
                   r["n_hits"] * 100 >= r["n_shingles"] * DECON_FRAC_X100)
         assert r["contaminated"] == expect, r
+
+
+def test_stream_decon_flags_incremental_epochs(spark, dirs):
+    """A second batch dropped after the first drain is flagged on the
+    next drain from the same checkpoint — incremental, append-only, and
+    earlier epochs are not recomputed (zero streaming state)."""
+    import pandas as pd
+    from ocr_module_spark.schemas import PAGES_SCHEMA
+    from ocr_module_spark.streaming import stream_decon_flags, stream_pages
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+
+    def page(url, text, i):
+        r = corpus.row_for(i)
+        r["url"] = url
+        r["text"] = text
+        return r
+
+    def drop(name, pages):
+        pdf = pd.DataFrame.from_records(
+            pages, columns=["url", "warc_ts", "html", "text", "lang"])
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(
+                os.path.join(dirs["landing"], name))
+
+    out_dir = os.path.join(dirs["out"], "decon_inc")
+
+    def drain():
+        q = (stream_decon_flags(stream_pages(spark, dirs["landing"]), bench)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", dirs["ckpt"])
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+
+    drop("b0", [page("https://s.example/early-clean",
+                     "one two three four five six", 0)])
+    drain()
+    assert spark.read.parquet(out_dir).count() == 1
+
+    drop("b1", [page("https://s.example/late-contam",
+                     "alpha beta gamma delta epsilon zeta eta theta", 1)])
+    drain()
+    got = {r["url"]: r["contaminated"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"https://s.example/early-clean": False,
+                   "https://s.example/late-contam": True}

@@ -254,3 +254,19 @@ def test_extract_regions_query_matches_parser(spark, sf_dir):
                 expected[(url, b.page_number, b.block_no)] = (
                     hashlib.sha256(rb).hexdigest(), len(rb))
     assert got == expected and got
+
+
+def test_png_codec_fuzz_round_trip():
+    """Property: encode→decode is the identity for arbitrary dims and
+    pixel bytes (hypothesis over the dimension/pixel space)."""
+    from hypothesis import given, settings, strategies as st
+    from ocr_module_spark.functions.png import decode_png, encode_png
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.data())
+    def check(w, h, data):
+        rgb = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+        wid, hei, pixels, _ = decode_png(encode_png(w, h, rgb))
+        assert (wid, hei, pixels) == (w, h, rgb)
+
+    check()
