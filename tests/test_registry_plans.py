@@ -1,0 +1,33 @@
+"""Registry-wide scale-killer sweep: EVERY driver query's physical plan
+is checked for the three patterns that do not survive a 100× scale-up —
+row-at-a-time Python UDFs (BatchEvalPython), unbounded cartesian
+pairings, and nested-loop joins that are not deliberate broadcast-bounded
+designs. test_plans.py pins per-query positive properties; this sweep
+guarantees the NEGATIVE property across the whole 50-entry surface, so a
+new or edited query cannot quietly regress into a quadratic plan."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+# nested-loop joins that are the documented design, every BNLJ input a
+# broadcast side bounded by the operator's own budget:
+# - ann_recall_eval: brute-force truth side vs the broadcast hash-sampled
+#   probe frame (|sample| x corpus IS the eval budget), plus the trivial
+#   1-row x 1-row combine of the two count aggregates
+BNLJ_OK = {"ann_recall_eval"}
+
+_QUERIES = sorted(entry_mod.queries().items())
+
+
+@pytest.mark.parametrize("name,fn", _QUERIES, ids=[n for n, _ in _QUERIES])
+def test_no_scale_killers_in_plan(spark, sf_dir, name, fn):
+    plan = (fn(spark, sf_dir)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"{name}: unexpected nested-loop join"
