@@ -192,17 +192,25 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
              e.where(F.col("vec_id") < NLIST)
               .select("vec_id", "vec").collect()}
     assigned = ivf_assign(e, cents)
-    # the query's NPROBE nearest cells: same literal-centroid dots, sorted
-    # ascending by (-qdot, cid) == descending qdot with cid tie-break
-    probe_cells = F.expr(
-        f"transform(slice(array_sort(transform({_cents_sql(cents)}, "
-        "(c, i) -> struct("
-        "-round(aggregate(zip_with(vec, c, (x, y) -> x * y), "
-        "cast(0.0 as double), (acc, v) -> acc + v), 4) AS nqdot, "
-        f"i AS cid))), 1, {NPROBE}), s -> s.cid)")
-    qcells = (e.where(F.col("vec_id") == QUERY_VEC_ID)
-              .select(F.col("vec").alias("qvec"),
-                      F.explode(probe_cells).alias("cid")))
+    # the query's NPROBE nearest cells: pure driver-side quantizer math
+    # (the query vector IS centroid QUERY_VEC_ID; NLIST x NLIST dots on
+    # the already-collected 'trained' centroids) — no second giant
+    # centroid-literal expression, no explode. The sequential-sum dot
+    # mirrors both engines' left-fold exactly, and the (round 4dp desc,
+    # cid asc) ordering matches the oracle's ORDER BY.
+    qvec = cents[QUERY_VEC_ID]
+
+    def _pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    probe = sorted(((-round(_pydot(qvec, c), 4), cid)
+                    for cid, c in cents.items()))[:NPROBE]
+    qcells = spark.createDataFrame(
+        [(cid,) for _nd, cid in probe], "cid int"
+    ).withColumn("qvec", F.expr(_cents_sql({0: qvec}))[0])
     cands = (assigned.join(F.broadcast(qcells), "cid")
              .where(F.col("vec_id") != QUERY_VEC_ID))
     return (cands.select("vec_id", "label", "cid",
