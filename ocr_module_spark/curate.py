@@ -1,0 +1,96 @@
+"""End-to-end corpus curation: the composed pipeline this engine exists
+for, as one library call —
+
+    pages (url, warc_ts, html, text, lang)
+      → main-content extraction        (pipeline.extract — one Arrow stage)
+      → quality gate                   (textstats.quality_frame, Gopher-style)
+      → near-dup keep-list             (dedup.dedup_decision_frame, MinHash-LSH → CC)
+      → eval-set decontamination       (decontam.ngram_flags_frame, shingle join)
+      → curated corpus + per-stage counters
+
+Every stage is the same DataFrame builder the driver registry checks in
+isolation (50/50 DuckDB-parity green); this module only CHAINS them, so
+the composition inherits each stage's scale shape: extraction never
+shuffles raw bytes, the quality gate is a scan-speed projection, the
+signature build is shuffle-free, the dedup/contamination decisions are
+broadcast-sized frames joined back on doc_id. ``tools/curate.py`` is the
+spark-submit CLI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline
+from .functions.decontam import ngram_flags_frame
+from .functions.dedup import dedup_decision_frame
+from .functions.textstats import quality_frame
+
+
+def curate(spark: SparkSession, pages: DataFrame,
+           bench_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation chain. Returns ``(curated, audit)``:
+
+    * ``curated`` — (url, text, n_tokens) of documents that survive
+      every gate, ready for the training sink;
+    * ``audit`` — one row per extracted document with its per-stage
+      verdicts (quality_keep, dup_keep, contaminated, kept) — the frame
+      per-stage counters and drop-reason dashboards aggregate from.
+
+    ``bench_docs`` is the (doc_id, text) benchmark/eval table to
+    decontaminate against.
+    """
+    extracted = pipeline.extract(pages).select("url", "text")
+    # stable 64-bit key for the dedup/decon machinery (keyed by doc_id);
+    # xxhash64 of the unique url — no driver-side id assignment
+    docs = extracted.select(
+        F.xxhash64("url").alias("doc_id"), "url", "text")
+    docs = docs.localCheckpoint(eager=True)  # 3 consumers below
+
+    quality = quality_frame(docs).select(
+        "doc_id", F.col("keep").alias("quality_keep"))
+    passing = (docs.join(quality, "doc_id")
+               .where(F.col("quality_keep")))
+
+    dup = dedup_decision_frame(passing).withColumnRenamed(
+        "keep", "dup_keep")
+    flags = ngram_flags_frame(passing, bench_docs).select(
+        "doc_id", "contaminated")
+
+    audit = (docs.join(quality, "doc_id")
+             .join(dup, "doc_id", "left")
+             .join(flags, "doc_id", "left")
+             .select(
+                 "doc_id", "url", "text", "quality_keep",
+                 F.coalesce("dup_keep", F.lit(False)).alias("dup_keep"),
+                 F.coalesce("contaminated", F.lit(False))
+                 .alias("contaminated"))
+             .withColumn(
+                 "kept",
+                 F.col("quality_keep") & F.col("dup_keep")
+                 & ~F.col("contaminated")))
+
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    curated = (audit.where("kept")
+               .select("url", "text", n_tokens.alias("n_tokens")))
+    return curated, audit
+
+
+def stage_counters(audit: DataFrame) -> dict:
+    """Per-stage drop accounting from the audit frame, one aggregation
+    job: every count is derived from the same verdict columns the rows
+    carry, so the numbers always sum (docs_extracted = kept + each
+    drop-stage count)."""
+    row = audit.agg(
+        F.count("*").alias("docs_extracted"),
+        F.sum(F.when(~F.col("quality_keep"), 1).otherwise(0))
+        .alias("dropped_quality"),
+        F.sum(F.when(F.col("quality_keep") & ~F.col("dup_keep"), 1)
+              .otherwise(0)).alias("dropped_duplicate"),
+        F.sum(F.when(F.col("quality_keep") & F.col("dup_keep")
+                     & F.col("contaminated"), 1).otherwise(0))
+        .alias("dropped_contaminated"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("docs_kept"),
+    ).first()
+    return {k: int(row[k]) for k in row.asDict()}

@@ -54,16 +54,17 @@ def _is_bench(col: str):
 # NGRAM_N is the dial; the synthetic docs are too short for 13-grams)
 # ---------------------------------------------------------------------------
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, ss) with ss = distinct word NGRAM_N-shingles — the same
-    shingle machinery as dedup.q_dedup_ngram_jaccard (dedup.py). The
-    shingle expression is guarded by a when() so it is TOTAL: the
-    explode downstream makes Spark synthesize a ``size(ss) > 0``
-    generator pre-filter, and Catalyst may reorder that deterministic
-    predicate below the ``size(w) >= N`` row filter — an unguarded
-    ``w[i+2]`` would then throw INVALID_ARRAY_INDEX on short/NULL-text
-    docs (hostile-corpus regression)."""
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+def shingled_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, ss) with ss = distinct word NGRAM_N-shingles over any
+    ``(doc_id, text)`` frame — the same shingle machinery as
+    dedup.q_dedup_ngram_jaccard (dedup.py). The shingle expression is
+    guarded by a when() so it is TOTAL: the explode downstream makes
+    Spark synthesize a ``size(ss) > 0`` generator pre-filter, and
+    Catalyst may reorder that deterministic predicate below the
+    ``size(w) >= N`` row filter — an unguarded ``w[i+2]`` would then
+    throw INVALID_ARRAY_INDEX on short/NULL-text docs (hostile-corpus
+    regression)."""
+    d = (docs
          .withColumn("w", F.split(F.trim("text"), r"\s+"))
          .where(F.size("w") >= NGRAM_N))
     sh = F.when(
@@ -75,6 +76,39 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", sh.alias("ss"))
 
 
+def ngram_flags_frame(corpus_docs: DataFrame,
+                      bench_docs: DataFrame) -> DataFrame:
+    """N-gram eval-set decontamination flags over arbitrary corpus and
+    benchmark ``(doc_id, text)`` frames, one row per corpus document:
+    n_shingles, how many collide with ANY benchmark doc's shingles, and
+    the keep/drop contamination verdict. This is the composable form a
+    real pipeline calls with its own benchmark table (tools/curate.py).
+
+    Scale shape: benchmark shingles (distinct, eval-bench sized) are the
+    BROADCAST side; the corpus side is one explode + one broadcast
+    equi-join on the shingle string + one groupBy(doc_id) — the corpus
+    is scanned once and shuffles once (on doc_id, already the natural
+    key). No all-pairs doc×bench comparison ever exists."""
+    bench = (shingled_frame(bench_docs)
+             .select(F.explode("ss").alias("s")).distinct()
+             .withColumn("hit", F.lit(1)))
+    corpus = (shingled_frame(corpus_docs)
+              .select("doc_id", F.explode("ss").alias("s")))
+    hits = (corpus.join(F.broadcast(bench), "s", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("hit").alias("n_hits")))
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+    n_hit = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (corpus_docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    n_sh.alias("n_shingles"),
+                    n_hit.alias("n_hits"),
+                    ((n_sh > 0) &
+                     (n_hit * 100 >= n_sh * DECON_FRAC_X100))
+                    .alias("contaminated")))
+
+
 def contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id) of corpus docs flagged contaminated — the frame
     dedup.q_dedup_keep_list subtracts (a contaminated doc must not be
@@ -84,36 +118,13 @@ def contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decon_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram eval-set decontamination flags, one row per corpus
-    (non-benchmark) document: n_shingles, how many collide with ANY
-    benchmark doc's shingles, and the keep/drop contamination verdict.
-
-    Scale shape: benchmark shingles (distinct, eval-bench sized) are the
-    BROADCAST side; the corpus side is one explode + one broadcast
-    equi-join on the shingle string + one groupBy(doc_id) — the corpus
-    is scanned once and shuffles once (on doc_id, already the natural
-    key). No all-pairs doc×bench comparison ever exists."""
-    sh = _shingled(spark, sf_dir)
-    bench = (sh.where(_is_bench("doc_id"))
-             .select(F.explode("ss").alias("s")).distinct()
-             .withColumn("hit", F.lit(1)))
-    corpus = (sh.where(~_is_bench("doc_id"))
-              .select("doc_id", F.explode("ss").alias("s")))
-    hits = (corpus.join(F.broadcast(bench), "s", "left")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_shingles"),
-                 F.count("hit").alias("n_hits")))
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .where(~_is_bench("doc_id")).select("doc_id"))
-    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
-    n_hit = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-    return (d.join(hits, "doc_id", "left")
-            .select("doc_id",
-                    n_sh.alias("n_shingles"),
-                    n_hit.alias("n_hits"),
-                    ((n_sh > 0) &
-                     (n_hit * 100 >= n_sh * DECON_FRAC_X100))
-                    .alias("contaminated")))
+    """Driver entry for :func:`ngram_flags_frame`: the benchmark set is
+    synthesized from the documents table by the deterministic
+    ``id % BENCH_MOD == BENCH_RES`` split (no external data in this
+    sandbox; production passes a real benchmark table)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_flags_frame(d.where(~_is_bench("doc_id")),
+                             d.where(_is_bench("doc_id")))
 
 
 SQL_DECON_NGRAM_FLAGS = f"""
@@ -233,6 +244,26 @@ FROM ranked WHERE rank <= {DECON_TOP_K}
 # ---------------------------------------------------------------------------
 # keep-list integration: the curation end product is dedup AND decontam
 # ---------------------------------------------------------------------------
+
+def keep_list_frame(corpus_docs: DataFrame,
+                    bench_docs: DataFrame) -> DataFrame:
+    """Composable curation keep-list over arbitrary ``(doc_id, text)``
+    corpus and benchmark frames: keep = near-dup-cluster canonical
+    survivor (dedup.dedup_decision_frame) AND NOT eval-contaminated
+    (ngram_flags_frame). The form tools/curate.py chains after
+    extraction; the registered q_keep_list below is its driver-table
+    specialization."""
+    from .dedup import dedup_decision_frame
+    base = dedup_decision_frame(corpus_docs)
+    contam = (ngram_flags_frame(corpus_docs, bench_docs)
+              .where(F.col("contaminated")).select("doc_id")
+              .withColumn("contam", F.lit(True)))
+    return (base.join(contam, "doc_id", "left")
+            .select("doc_id",
+                    (F.col("keep") &
+                     ~F.coalesce(F.col("contam"), F.lit(False)))
+                    .alias("keep")))
+
 
 def q_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-curation END PRODUCT, now decontamination-aware: a doc

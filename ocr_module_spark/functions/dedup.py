@@ -51,9 +51,10 @@ FROM documents GROUP BY 1
 """
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: band b's signature = min over distinct tokens
-    of md5(b || '|' || token), computed as a pure per-row PROJECTION —
+def minhash_frame(docs: DataFrame) -> DataFrame:
+    """MinHash signatures over any ``(doc_id, text)`` frame: band b's
+    signature = min over distinct tokens of md5(b || '|' || token),
+    computed as a pure per-row PROJECTION —
     ``array_min(transform(tokens, ...))`` — with ZERO shuffles and zero
     row blowup (plan-asserted). The previous shape (explode + groupBy
     min) multiplied the corpus by |tokens| and shuffled one row per doc
@@ -61,13 +62,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     build — the root of the whole LSH chain — into a map-only stage
     that pipelines inside the scan. NULL-text docs drop (split yields
     NULL), matching the exploded form and the unnest-based oracle."""
-    d = _docs(spark, sf_dir).withColumn(
+    d = docs.withColumn(
         "w", F.array_distinct(F.split(F.trim("text"), r"\s+")))
     sigs = [F.array_min(F.expr(
         f"transform(w, x -> md5(cast(concat('{b}|', x) as binary)))"))
         .alias(f"sig_{b}") for b in range(N_BANDS)]
     return (d.where(F.col("w").isNotNull())
             .select("doc_id", *sigs))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`minhash_frame` over the documents table."""
+    return minhash_frame(_docs(spark, sf_dir))
 
 
 SQL_DEDUP_MINHASH = (
@@ -79,15 +85,19 @@ SQL_DEDUP_MINHASH = (
 )
 
 
-def _stacked_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stacked_signatures_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig) rows: the minhash signature table unpivoted —
     shared by the bucket listing and the candidate-edge builder."""
-    sigs = q_dedup_minhash(spark, sf_dir)
+    sigs = minhash_frame(docs)
     return sigs.selectExpr(
         "doc_id",
         "stack({n}, {cols}) as (band, sig)".format(
             n=N_BANDS,
             cols=", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))))
+
+
+def _stacked_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stacked_signatures_frame(_docs(spark, sf_dir))
 
 
 def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +436,7 @@ WHERE round(list_dot_product(x.v, y.v), 4) >= {COSINE_THRESHOLD}
 CC_ROUNDS = 8
 
 
-def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_edges_frame(docs: DataFrame) -> DataFrame:
     """Candidate-duplicate edges from LSH banding: each doc connects to
     its bucket's min doc (star edges — same components as the clique,
     linear edge count). The signature subtree is localCheckpoint'ed (not
@@ -434,7 +444,7 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint is released by GC when the frame goes out of scope —
     a cache() here would accumulate executor storage for the session
     lifetime across the driver's 50-query run."""
-    stacked = _stacked_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    stacked = stacked_signatures_frame(docs).localCheckpoint(eager=True)
     mins = (stacked.groupBy("band", "sig")
             .agg(F.min("doc_id").alias("a"), F.count("*").alias("n"))
             .where(F.col("n") >= 2))
@@ -442,6 +452,10 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_id") != F.col("a"))
             .select("a", F.col("doc_id").alias("b"))
             .distinct())
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_edges_frame(_docs(spark, sf_dir))
 
 
 def cc_labels(sym: DataFrame, rounds: int, converge: bool = False) -> DataFrame:
@@ -546,16 +560,17 @@ def _sql_cc() -> str:
 SQL_DEDUP_CC_CLUSTERS = _sql_cc()
 
 
-def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's END PRODUCT: one keep/drop decision per
-    document. Docs in a near-dup cluster keep only the cluster's min
-    doc_id (the canonical survivor); docs in no cluster are kept. This is
-    the frame a training pipeline semi-joins the corpus against —
-    candidates (LSH) → clusters (CC) → keep-list → filtered corpus. One
-    extra join over the cluster labels; the corpus side stays a scan +
-    broadcast-able decision join at 10^12 rows (the decision frame is
-    |clustered docs| rows, tiny relative to the corpus)."""
-    edges = _lsh_edges(spark, sf_dir)
+def dedup_decision_frame(docs: DataFrame) -> DataFrame:
+    """The dedup pipeline's END PRODUCT over any ``(doc_id, text)``
+    frame: one keep/drop decision per document. Docs in a near-dup
+    cluster keep only the cluster's min doc_id (the canonical survivor);
+    docs in no cluster are kept. This is the frame a training pipeline
+    semi-joins the corpus against — candidates (LSH) → clusters (CC) →
+    keep-list → filtered corpus. One extra join over the cluster labels;
+    the corpus side stays a scan + broadcast-able decision join at
+    10^12 rows (the decision frame is |clustered docs| rows, tiny
+    relative to the corpus)."""
+    edges = lsh_edges_frame(docs)
     sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
         edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
     labels = cc_labels(sym, CC_ROUNDS)
@@ -563,10 +578,16 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision = (labels.join(keepers, "label")
                 .select(F.col("node").alias("doc_id"),
                         (F.col("node") == F.col("keeper")).alias("keep")))
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = docs.select("doc_id")
     return (d.join(decision, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("keep"), F.lit(True)).alias("keep")))
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`dedup_decision_frame` (pure-dedup form;
+    the registered keep-list adds decontamination, decontam.q_keep_list)."""
+    return dedup_decision_frame(_docs(spark, sf_dir))
 
 
 def _sql_keep_list() -> str:

@@ -48,13 +48,16 @@ FROM documents
 """
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, punctuation density, stopword ratio.
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """Quality scoring over any ``(doc_id, text)`` frame: length,
+    punctuation density, stopword ratio, plus the Gopher-style hard
+    keep/drop verdict — the composable form tools/curate.py chains
+    after extraction.
 
     The boilerplate-scoring idea of the extraction classifier applied as a
     per-document quality signal for training-data filtering.
     """
-    d = _docs(spark, sf_dir).withColumn("w", _words())
+    d = docs.withColumn("w", _words())
     n_words = F.size("w")
     n_stop = F.size(F.expr(
         f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
@@ -82,6 +85,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.cast("int").alias("drop_reasons"),
         (reasons == 0).alias("keep"),
     )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`quality_frame` over the documents table."""
+    return quality_frame(_docs(spark, sf_dir))
 
 
 _SQL_QF_REASONS = (

@@ -1,0 +1,69 @@
+"""End-to-end curation pipeline (curate.py): the composed
+extract → quality → dedup → decontaminate chain over the synthetic
+crawl, with per-stage accounting that must always sum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_module_spark import corpus, curate
+
+
+@pytest.fixture(scope="module")
+def curated_audit(spark):
+    pages = corpus.pages_df(spark, 200)
+    # benchmark: the extracted text of 5 crawl docs -> those extracted
+    # docs (and any near-verbatim dups of them) must come out dropped
+    from ocr_module_spark import pipeline
+    bench = (pipeline.extract(pages).select("url", "text")
+             .where(F.xxhash64("url") % 11 == 3)
+             .select(F.xxhash64("url").alias("doc_id"), "text")
+             .localCheckpoint(eager=True))
+    cur, audit = curate.curate(spark, pages, bench)
+    return (cur.localCheckpoint(eager=True),
+            audit.localCheckpoint(eager=True), bench.count())
+
+
+def test_counters_sum_and_match_frames(curated_audit):
+    cur, audit, _ = curated_audit
+    c = curate.stage_counters(audit)
+    assert c["docs_extracted"] == audit.count() == 200
+    assert (c["docs_kept"] + c["dropped_quality"] + c["dropped_duplicate"]
+            + c["dropped_contaminated"]) == c["docs_extracted"]
+    assert c["docs_kept"] == cur.count()
+    assert c["docs_kept"] > 0
+
+
+def test_benchmark_overlapping_docs_are_dropped(spark, curated_audit):
+    """Every audit row whose text 100%-matches a benchmark doc must be
+    flagged contaminated (unless an earlier gate already dropped it)."""
+    cur, audit, n_bench = curated_audit
+    assert n_bench > 0
+    flagged = audit.where("contaminated")
+    # the benchmark docs came FROM this corpus, so at least the
+    # surviving self-matches must be flagged
+    assert flagged.count() > 0
+    for r in flagged.collect():
+        assert r["kept"] is False
+
+
+def test_curated_urls_unique_and_clean(curated_audit):
+    cur, audit, _ = curated_audit
+    assert cur.groupBy("url").count().where("count > 1").count() == 0
+    kept = {r["url"] for r in audit.where("kept").collect()}
+    assert {r["url"] for r in cur.collect()} == kept
+
+
+def test_single_extraction_scan(spark):
+    """The composed pipeline must not re-extract per stage: curate()
+    checkpoints the extracted docs once and every gate consumes that
+    materialization."""
+    pages = corpus.pages_df(spark, 50)
+    bench = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                                  "doc_id long, text string")
+    cur, audit = curate.curate(spark, pages, bench)
+    # the audit plan must read the checkpointed docs, not re-run the
+    # Arrow extraction (no MapInArrow / mapInPandas above the scan)
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan, plan

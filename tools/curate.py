@@ -1,0 +1,57 @@
+"""End-to-end corpus curation CLI (spark-submit entry point).
+
+    spark-submit --py-files pkg.zip tools/curate.py \
+        --input  <pages.parquet>        # (url, warc_ts, html, text, lang)
+        --bench  <bench_docs.parquet>   # (doc_id, text) eval/benchmark set
+        --output <dir>                  # curated parquet + audit + stats
+
+Runs extraction → quality gate → near-dup keep-list → eval-set
+decontamination (ocr_module_spark.curate) and writes:
+
+* ``<out>/curated``  — (url, text, n_tokens) surviving documents
+* ``<out>/audit``    — per-document stage verdicts (drop-reason dashboard)
+* stdout             — ONE JSON line of per-stage counters
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="corpus curation pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--bench", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--coalesce", type=int, default=0,
+                    help="output files (0 = leave to AQE)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("curate").getOrCreate()
+    from ocr_module_spark.curate import curate, stage_counters
+    from ocr_module_spark.deploy import ensure_pyfiles
+    ensure_pyfiles(spark)
+
+    pages = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench)
+    curated, audit = curate(spark, pages, bench)
+    audit = audit.localCheckpoint(eager=True)  # counters + sink share it
+
+    out = args.output.rstrip("/")
+    cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
+    cur.write.mode("overwrite").parquet(f"{out}/curated")
+    audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
+
+    print(json.dumps(stage_counters(audit)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
