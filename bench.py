@@ -86,15 +86,18 @@ def main() -> int:
     pages_df(spark, 64).count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):  # best-of-2: VM scheduler noise is one-sided
+    # best-of-2 with INTERLEAVED rounds (all queries once, then again):
+    # VM noise is one-sided and bursty — back-to-back reps of one query
+    # let a single multi-second load storm poison both measurements,
+    # while round-interleaving spaces a query's reps minutes apart so
+    # the min survives any storm shorter than a full round
+    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _round in range(2):
+        for name in HEADLINE:
             t0 = time.time()
-            _materialize(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            _materialize(qs[name](spark, sf_dir))
+            times[name] = min(times[name], time.time() - t0)
+    times = {k: round(v, 3) for k, v in times.items()}
 
     n_docs = _n_docs(sf_dir)
     extract_docs_sec = round(n_docs / times["extract_text"], 1)
