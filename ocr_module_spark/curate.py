@@ -42,10 +42,13 @@ def curate(spark: SparkSession, pages: DataFrame,
     decontaminate against.
     """
     extracted = pipeline.extract(pages).select("url", "text")
-    # stable 64-bit key for the dedup/decon machinery (keyed by doc_id);
-    # xxhash64 of the unique url — no driver-side id assignment
+    # the unique url IS the doc key (the dedup/decon machinery only needs
+    # a totally-ordered doc_id: min() picks the lexicographically first
+    # url as the cluster canonical). A hashed key would be narrower on
+    # the shuffle wire but collides at ~n^2/2^65 — at the 10^12-doc
+    # design point that is tens of thousands of silently-merged docs
     docs = extracted.select(
-        F.xxhash64("url").alias("doc_id"), "url", "text")
+        F.col("url").alias("doc_id"), "url", "text")
     docs = docs.localCheckpoint(eager=True)  # 3 consumers below
 
     quality = quality_frame(docs).select(
@@ -62,7 +65,7 @@ def curate(spark: SparkSession, pages: DataFrame,
              .join(dup, "doc_id", "left")
              .join(flags, "doc_id", "left")
              .select(
-                 "doc_id", "url", "text", "quality_keep",
+                 "url", "text", "quality_keep",
                  F.coalesce("dup_keep", F.lit(False)).alias("dup_keep"),
                  F.coalesce("contaminated", F.lit(False))
                  .alias("contaminated"))
@@ -70,11 +73,17 @@ def curate(spark: SparkSession, pages: DataFrame,
                  "kept",
                  F.col("quality_keep") & F.col("dup_keep")
                  & ~F.col("contaminated")))
+    return curated_from_audit(audit), audit
 
+
+def curated_from_audit(audit: DataFrame) -> DataFrame:
+    """(url, text, n_tokens) of the surviving documents. Callers that
+    materialize the audit (localCheckpoint / write) should derive the
+    curated output from THAT frame — deriving it from the pre-checkpoint
+    plan re-executes the whole decision pipeline a second time."""
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    curated = (audit.where("kept")
-               .select("url", "text", n_tokens.alias("n_tokens")))
-    return curated, audit
+    return (audit.where("kept")
+            .select("url", "text", n_tokens.alias("n_tokens")))
 
 
 def stage_counters(audit: DataFrame) -> dict:
@@ -82,15 +91,19 @@ def stage_counters(audit: DataFrame) -> dict:
     job: every count is derived from the same verdict columns the rows
     carry, so the numbers always sum (docs_extracted = kept + each
     drop-stage count)."""
+    def n(cond, name):
+        # coalesce: F.sum over ZERO rows is NULL — an empty corpus must
+        # report zeros, not crash int(None)
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
+                          F.lit(0)).alias(name)
+
     row = audit.agg(
         F.count("*").alias("docs_extracted"),
-        F.sum(F.when(~F.col("quality_keep"), 1).otherwise(0))
-        .alias("dropped_quality"),
-        F.sum(F.when(F.col("quality_keep") & ~F.col("dup_keep"), 1)
-              .otherwise(0)).alias("dropped_duplicate"),
-        F.sum(F.when(F.col("quality_keep") & F.col("dup_keep")
-                     & F.col("contaminated"), 1).otherwise(0))
-        .alias("dropped_contaminated"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("docs_kept"),
+        n(~F.col("quality_keep"), "dropped_quality"),
+        n(F.col("quality_keep") & ~F.col("dup_keep"),
+          "dropped_duplicate"),
+        n(F.col("quality_keep") & F.col("dup_keep")
+          & F.col("contaminated"), "dropped_contaminated"),
+        n(F.col("kept"), "docs_kept"),
     ).first()
     return {k: int(row[k]) for k in row.asDict()}

@@ -37,7 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import EMB_BANDS, EMB_BAND_BITS, NGRAM_N
+from .dedup import (EMB_BANDS, EMB_BAND_BITS, NGRAM_N, shingle_sql_duck,
+                    shingle_sql_spark)
 
 BENCH_MOD = 17              # benchmark membership: id % BENCH_MOD == BENCH_RES
 BENCH_RES = 3
@@ -68,10 +69,7 @@ def shingled_frame(docs: DataFrame) -> DataFrame:
          .withColumn("w", F.split(F.trim("text"), r"\s+"))
          .where(F.size("w") >= NGRAM_N))
     sh = F.when(
-        F.size("w") >= NGRAM_N,
-        F.array_distinct(F.expr(
-            f"transform(sequence(0, size(w) - {NGRAM_N}), "
-            f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        F.size("w") >= NGRAM_N, F.expr(shingle_sql_spark())
     ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", sh.alias("ss"))
 
@@ -131,9 +129,7 @@ SQL_DECON_NGRAM_FLAGS = f"""
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ), sh AS (
-  SELECT doc_id, list_distinct(list_transform(
-           generate_series(1, len(w) - {NGRAM_N - 1}),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+  SELECT doc_id, {shingle_sql_duck()} AS ss
   FROM w WHERE len(w) >= {NGRAM_N}
 ), bench AS (
   SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id % {BENCH_MOD} = {BENCH_RES}
@@ -244,26 +240,6 @@ FROM ranked WHERE rank <= {DECON_TOP_K}
 # ---------------------------------------------------------------------------
 # keep-list integration: the curation end product is dedup AND decontam
 # ---------------------------------------------------------------------------
-
-def keep_list_frame(corpus_docs: DataFrame,
-                    bench_docs: DataFrame) -> DataFrame:
-    """Composable curation keep-list over arbitrary ``(doc_id, text)``
-    corpus and benchmark frames: keep = near-dup-cluster canonical
-    survivor (dedup.dedup_decision_frame) AND NOT eval-contaminated
-    (ngram_flags_frame). The form tools/curate.py chains after
-    extraction; the registered q_keep_list below is its driver-table
-    specialization."""
-    from .dedup import dedup_decision_frame
-    base = dedup_decision_frame(corpus_docs)
-    contam = (ngram_flags_frame(corpus_docs, bench_docs)
-              .where(F.col("contaminated")).select("doc_id")
-              .withColumn("contam", F.lit(True)))
-    return (base.join(contam, "doc_id", "left")
-            .select("doc_id",
-                    (F.col("keep") &
-                     ~F.coalesce(F.col("contam"), F.lit(False)))
-                    .alias("keep")))
-
 
 def q_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-curation END PRODUCT, now decontamination-aware: a doc

@@ -265,10 +265,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .hashing import hex4_sql_spark
     d = _docs(spark, sf_dir).withColumn(
         "w", F.array_distinct(F.split(F.trim("text"), r"\s+")))
+    # hash ONCE per token into an md5 array, then hex4 over the digests:
+    # inlining md5 into hex4's four substring terms would evaluate it 4x
+    # per token (no common-subexpression elimination inside higher-order
+    # lambdas), and md5 dominates this projection's per-token cost
     d = (d.where(F.col("w").isNotNull())
+         .withColumn("hh", F.expr(
+             "transform(w, x -> md5(cast(x as binary)))"))
          .withColumn("h", F.expr(
-             "transform(w, x -> "
-             + hex4_sql_spark("md5(cast(x as binary))") + ")")))
+             "transform(hh, m -> " + hex4_sql_spark("m") + ")")))
     n = F.size("h")
     sig = F.lit(0)
     for b in range(SIMHASH_BITS):
@@ -300,6 +305,25 @@ NGRAM_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.30
 
 
+def shingle_sql_spark(w: str = "w", n: int = NGRAM_N) -> str:
+    """Distinct word n-shingles of a token-array column as a Spark SQL
+    expression string — ONE definition of the shingle for the batch
+    verifier, decontamination, and the streaming flags (previously three
+    hand-written 3-gram copies; the width now actually follows ``n``,
+    e.g. 13 for a Gopher-style web-scale run)."""
+    parts = ", ".join(f"{w}[i+{j}]" if j else f"{w}[i]" for j in range(n))
+    return (f"array_distinct(transform(sequence(0, size({w}) - {n}), "
+            f"i -> concat_ws(' ', {parts})))")
+
+
+def shingle_sql_duck(w: str = "w", n: int = NGRAM_N) -> str:
+    """DuckDB mirror of :func:`shingle_sql_spark` (1-based lists)."""
+    parts = " || ' ' || ".join(f"{w}[i+{j}]" if j else f"{w}[i]"
+                               for j in range(n))
+    return (f"list_distinct(list_transform("
+            f"generate_series(1, len({w}) - {n - 1}), i -> {parts}))")
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram (shingle) Jaccard verification of the LSH candidate
     pairs: shingles capture local word ORDER, not just vocabulary — the
@@ -312,10 +336,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (_docs(spark, sf_dir)
          .withColumn("w", F.split(F.trim("text"), r"\s+"))
          .where(F.size("w") >= NGRAM_N))
-    sh = F.array_distinct(F.expr(
-        f"transform(sequence(0, size(w) - {NGRAM_N}), "
-        f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-    sets = d.select("doc_id", sh.alias("ss"))
+    sets = d.select("doc_id", F.expr(shingle_sql_spark()).alias("ss"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ga"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("gb"))
     shared = F.size(F.array_intersect("ga", "gb"))
@@ -331,9 +352,7 @@ d AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
   FROM documents
 ), sets AS (
-  SELECT doc_id, list_distinct(list_transform(
-           generate_series(1, len(w) - {NGRAM_N - 1}),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+  SELECT doc_id, {shingle_sql_duck()} AS ss
   FROM d WHERE len(w) >= {NGRAM_N}
 ), scored AS (
   SELECT c.doc_a, c.doc_b,

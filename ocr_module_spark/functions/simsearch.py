@@ -206,7 +206,14 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += x * y
         return acc
 
-    probe = sorted(((-round(_pydot(qvec, c), 4), cid)
+    def _round4_half_up(x):
+        # both engines round HALF_UP (away from zero); Python's round()
+        # is banker's — a dyadic 4dp midpoint would pick different cells
+        import math
+        return math.copysign(
+            math.floor(abs(x) * 10000 + 0.5), x) / 10000
+
+    probe = sorted(((-_round4_half_up(_pydot(qvec, c)), cid)
                     for cid, c in cents.items()))[:NPROBE]
     qcells = spark.createDataFrame(
         [(cid,) for _nd, cid in probe], "cid int"

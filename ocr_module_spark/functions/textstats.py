@@ -220,11 +220,15 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over windows — a content-locality-sensitive key robust to edits
     outside the minimizing window. All-integer arithmetic, so the DuckDB
     oracle is bit-exact; JVM higher-order functions, no Python."""
+    # hash once per word, then hex4 over the digest array (no CSE inside
+    # higher-order lambdas — inlining md5 into hex4 would run it 4x/word)
     d = (_docs(spark, sf_dir)
          .withColumn("w", _words())
+         .withColumn("hh", F.expr(
+             "transform(w, x -> md5(cast(x as binary)))"))
          .withColumn("h", F.expr(
-             "transform(w, x -> cast("
-             + hex4_sql_spark("md5(cast(x as binary))")
+             "transform(hh, m -> cast("
+             + hex4_sql_spark("m")
              + " as bigint))")))
     win = F.expr(
         f"transform(sequence(0, size(h) - {RH_K}), i -> "

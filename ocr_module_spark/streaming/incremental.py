@@ -152,26 +152,23 @@ def stream_decon_flags(pages_stream: DataFrame,
     epoch at all).
     """
     from ..functions.decontam import DECON_FRAC_X100
-    from ..functions.dedup import NGRAM_N
+    from ..functions.dedup import NGRAM_N, shingle_sql_spark
 
-    def shingles(col: str):
-        w = F.split(F.trim(F.col(col)), r"\s+")
-        return F.when(
-            F.size(w) >= NGRAM_N,
-            F.array_distinct(F.expr(
-                f"transform(sequence(0, size(split(trim({col}), "
-                f"'\\\\s+')) - {NGRAM_N}), i -> concat_ws(' ', "
-                f"split(trim({col}), '\\\\s+')[i], "
-                f"split(trim({col}), '\\\\s+')[i+1], "
-                f"split(trim({col}), '\\\\s+')[i+2]))"))
-        ).otherwise(F.array().cast("array<string>"))
+    def shingled(df: DataFrame, *keep: str) -> DataFrame:
+        # tokenize ONCE into w, then the shared guarded shingle expr —
+        # the same single definition the batch verifier and
+        # decontamination use (dedup.shingle_sql_spark)
+        d = df.withColumn("w", F.split(F.trim(F.col("text")), r"\s+"))
+        sh = F.when(F.size("w") >= NGRAM_N,
+                    F.expr(shingle_sql_spark())) \
+             .otherwise(F.array().cast("array<string>"))
+        return d.select(*keep, sh.alias("ss"))
 
-    bench_arr = (bench_docs
-                 .select(F.explode(shingles("text")).alias("s"))
+    bench_arr = (shingled(bench_docs)
+                 .select(F.explode("ss").alias("s"))
                  .distinct()
                  .agg(F.collect_list("s").alias("bench_ss")))
-    ss = shingles("text").alias("ss")
-    flagged = (pages_stream.select("url", ss)
+    flagged = (shingled(pages_stream, "url")
                .crossJoin(F.broadcast(bench_arr)))
     n_sh = F.size("ss").cast("long")
     n_hits = F.size(F.array_intersect("ss", "bench_ss")).cast("long")

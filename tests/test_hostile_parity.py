@@ -42,6 +42,7 @@ DOC_QUERIES = [
     "text_rolling_fingerprint",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "dedup_lsh_buckets",
     "dedup_keep_list",
     "text_vocab_topk",
     "text_quality_tiers",
@@ -87,6 +88,8 @@ def _extra_queries():
                              textstats.SQL_FINGERPRINT),
         "dedup_minhash_signatures": (dedup.q_dedup_minhash,
                                      dedup.SQL_DEDUP_MINHASH),
+        "dedup_lsh_buckets": (dedup.q_dedup_lsh_buckets,
+                              dedup.SQL_DEDUP_LSH_BUCKETS),
         "knn_brute_cosine": (simsearch.q_knn_brute_cosine,
                              simsearch.SQL_KNN_BRUTE_COSINE),
         "ann_sign_buckets": (simsearch.q_ann_sign_buckets,

@@ -39,10 +39,16 @@ def main() -> int:
     from ocr_module_spark.deploy import ensure_pyfiles
     ensure_pyfiles(spark)
 
+    from ocr_module_spark.curate import curated_from_audit
+
     pages = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench)
-    curated, audit = curate(spark, pages, bench)
-    audit = audit.localCheckpoint(eager=True)  # counters + sink share it
+    _, audit = curate(spark, pages, bench)
+    # one materialization of the decision pipeline; counters AND both
+    # sinks read the checkpoint (deriving curated from the original plan
+    # would re-run extraction/dedup/decontamination a second time)
+    audit = audit.localCheckpoint(eager=True)
+    curated = curated_from_audit(audit)
 
     out = args.output.rstrip("/")
     cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
