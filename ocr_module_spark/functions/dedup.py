@@ -6,9 +6,10 @@ Scale notes (the point of each design):
 * exact/normalized dedup is a hash ``groupBy`` — one shuffle on a 32-byte
   key, AQE-coalesced; at 100 TB this is the cheapest possible full-corpus
   pass.
-* MinHash signatures are computed with ONE explode + two aggregations
-  (min per band); LSH candidate generation is then an equi-join on
-  ``(band, signature)`` — never an all-pairs comparison.
+* MinHash signatures are a shuffle-free per-row PROJECTION
+  (``array_min(transform(tokens, ...))`` — zero exchanges, zero row
+  blowup, plan-asserted); LSH candidate generation is then an equi-join
+  on ``(band, signature)`` — never an all-pairs comparison.
 * n-gram Jaccard is evaluated only on a bounded candidate window (the LSH
   idea): explode distinct tokens, self-join on token, count intersections;
   union sizes come from a broadcastable per-doc count.
