@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from . import pipeline
 from .functions.decontam import ngram_flags_frame
 from .functions.dedup import dedup_decision_frame
-from .functions.textstats import quality_frame
+from .functions.textstats import pii_scrub, quality_frame
 
 
 def curate(spark: SparkSession, pages: DataFrame,
@@ -76,14 +76,22 @@ def curate(spark: SparkSession, pages: DataFrame,
     return curated_from_audit(audit), audit
 
 
-def curated_from_audit(audit: DataFrame) -> DataFrame:
+def curated_from_audit(audit: DataFrame, scrub: bool = False) -> DataFrame:
     """(url, text, n_tokens) of the surviving documents. Callers that
     materialize the audit (localCheckpoint / write) should derive the
     curated output from THAT frame — deriving it from the pre-checkpoint
-    plan re-executes the whole decision pipeline a second time."""
+    plan re-executes the whole decision pipeline a second time.
+
+    ``scrub=True`` redacts PII (email/IPv4/phone, textstats.pii_scrub)
+    from the emitted text — the production default for a training sink;
+    off here because the repo's headline invariant is byte-identical
+    extracted text per url vs the reference. n_tokens is counted BEFORE
+    redaction either way (the token-budget number must not change with
+    the redaction dial)."""
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    return (audit.where("kept")
+    kept = (audit.where("kept")
             .select("url", "text", n_tokens.alias("n_tokens")))
+    return pii_scrub(kept) if scrub else kept
 
 
 def stage_counters(audit: DataFrame) -> dict:

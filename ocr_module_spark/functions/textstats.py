@@ -23,6 +23,16 @@ QF_MIN_AVG_WLEN = 2
 QF_MAX_AVG_WLEN = 12
 QF_MIN_STOPWORD_RATIO = 0.01
 
+# PII scrubbing patterns — the common Java-regex / RE2 subset (no
+# alternation, so leftmost-greedy == leftmost-longest and both engines
+# match identical spans). Applied in a fixed order (email → IPv4 →
+# phone); each later pattern counts/replaces on the PREVIOUS stage's
+# output, and the replacement tokens contain no digits so a later
+# pattern can never match inside an earlier redaction.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{6,}\d"
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -56,8 +66,21 @@ def quality_frame(docs: DataFrame) -> DataFrame:
 
     The boilerplate-scoring idea of the extraction classifier applied as a
     per-document quality signal for training-data filtering.
+
+    Also carries the PII-scrub signals in the same scan (a training
+    pipeline redacts before it tokenizes): per-doc email / IPv4 / phone
+    match counts and the md5 of the fully scrubbed text, so the oracle
+    hash-verifies the redaction byte-for-byte without shipping the
+    scrubbed column through the driver compare. :func:`pii_scrub` exposes
+    the scrubbed text itself for the curation pipeline.
     """
     d = docs.withColumn("w", _words())
+    t1 = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    n_email = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), 0))
+    n_phone = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0))
     n_words = F.size("w")
     n_stop = F.size(F.expr(
         f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
@@ -84,7 +107,21 @@ def quality_frame(docs: DataFrame) -> DataFrame:
         .alias("avg_word_len"),
         reasons.cast("int").alias("drop_reasons"),
         (reasons == 0).alias("keep"),
+        n_email.alias("n_pii_email"),
+        n_ipv4.alias("n_pii_ipv4"),
+        n_phone.alias("n_pii_phone"),
+        F.md5(t3.cast("binary")).alias("scrub_md5"),
     )
+
+
+def pii_scrub(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Replace ``col`` with its PII-redacted form (email → IPv4 → phone,
+    same staged patterns the quality frame counts). Pure projection —
+    scan speed, zero shuffles, NULL-propagating."""
+    t1 = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.withColumn(col, t3)
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,8 +150,23 @@ WITH d AS (
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
               ELSE string_split_regex(trim(text), '\\s+') END AS w
   FROM documents
+), p1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_pii_email,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), p2 AS (
+  SELECT doc_id, n_pii_email,
+         len(regexp_extract_all(t1, '{PII_IPV4}')) AS n_pii_ipv4,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM p1
+), p3 AS (
+  SELECT doc_id, n_pii_email, n_pii_ipv4,
+         len(regexp_extract_all(t2, '{PII_PHONE}')) AS n_pii_phone,
+         md5(regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+  FROM p2
 )
-SELECT doc_id,
+SELECT d.doc_id,
        length(text) AS n_chars,
        len(w) AS n_words,
        len(regexp_extract_all(text, '[.!?]')) AS n_punct,
@@ -122,8 +174,9 @@ SELECT doc_id,
              / greatest(len(w), 1), 4) AS stopword_ratio,
        round(length(text) / greatest(len(w), 1), 4) AS avg_word_len,
        {reasons}::INTEGER AS drop_reasons,
-       {reasons} = 0 AS keep
-FROM d
+       {reasons} = 0 AS keep,
+       p3.n_pii_email, p3.n_pii_ipv4, p3.n_pii_phone, p3.scrub_md5
+FROM d JOIN p3 ON d.doc_id = p3.doc_id
 """
 
 
@@ -412,7 +465,14 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan-speed projection plus a rollup (count + total tokens per
     tier × lang — the token-budget planning numbers); no FP rounding,
-    so the DuckDB oracle is exact."""
+    so the DuckDB oracle is exact.
+
+    The deterministic stratified-sampling decision (the former
+    sample_stratified_hash driver row: keep a doc iff hash(doc_id) mod
+    100 < the stratum's rate — down-sample the over-represented
+    language) rides the same scan: per tier × lang, how many docs the
+    hash sampler keeps plus the first/last sampled doc ids. Stateless,
+    RNG-free, reproducible across runs/retries/engines."""
     d = _docs(spark, sf_dir).withColumn("w", _words())
     n_words = F.size("w")
     avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
@@ -425,26 +485,37 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
           & (n_stop * 100 >= n_words * TIER_HI_STOP_PCT))
     tier = (F.when(F.coalesce(fails, F.lit(True)), "low")
             .when(hi, "high").otherwise("mid"))
+    h = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN) \
+        .otherwise(SAMPLE_RATE_OTHER)
+    sampled = F.pmod(h, F.lit(100)) < rate
     return (d.select("lang", tier.alias("tier"),
-                     F.coalesce(n_words, F.lit(0)).alias("nw"))
+                     F.coalesce(n_words, F.lit(0)).alias("nw"),
+                     sampled.alias("s"), "doc_id")
             .groupBy("tier", "lang")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("nw").cast("long").alias("total_words")))
+                 F.sum("nw").cast("long").alias("total_words"),
+                 F.sum(F.when(F.col("s"), 1).otherwise(0)).cast("long")
+                 .alias("n_sampled"),
+                 F.min(F.when(F.col("s"), F.col("doc_id")))
+                 .alias("first_sampled"),
+                 F.max(F.when(F.col("s"), F.col("doc_id")))
+                 .alias("last_sampled")))
 
 
 SQL_QUALITY_TIERS = f"""
 WITH d AS (
-  SELECT lang, text,
+  SELECT doc_id, lang, text,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
               ELSE string_split_regex(trim(text), '\\s+') END AS w
   FROM documents
 ), sig AS (
-  SELECT lang, len(w) AS n_words,
+  SELECT doc_id, lang, len(w) AS n_words,
          length(text) * 10 / greatest(len(w), 1) AS avg_wlen_x10,
          len(list_filter(w, x -> lower(x) IN ({_SW_LIST}))) AS n_stop
   FROM d
 ), t AS (
-  SELECT lang, coalesce(n_words, 0) AS nw,
+  SELECT doc_id, lang, coalesce(n_words, 0) AS nw,
          CASE WHEN coalesce(
                 n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}
                 OR avg_wlen_x10 < {QF_MIN_AVG_WLEN * 10}
@@ -454,26 +525,166 @@ WITH d AS (
               THEN 'low'
               WHEN n_words >= {TIER_HI_MIN_WORDS}
                    AND n_stop * 100 >= n_words * {TIER_HI_STOP_PCT}
-              THEN 'high' ELSE 'mid' END AS tier
+              THEN 'high' ELSE 'mid' END AS tier,
+         {hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} % 100
+           < CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
+                  ELSE {SAMPLE_RATE_OTHER} END AS s
   FROM sig
 )
 SELECT tier, lang, count(*) AS n_docs,
-       CAST(sum(nw) AS BIGINT) AS total_words
+       CAST(sum(nw) AS BIGINT) AS total_words,
+       CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       min(CASE WHEN s THEN doc_id END) AS first_sampled,
+       max(CASE WHEN s THEN doc_id END) AS last_sampled
 FROM t GROUP BY tier, lang
 """
 
 
-# text_token_count, text_quality_filter and text_fingerprint are folded
-# into text_bpe_token_estimate (n_ws_tokens), text_quality_score
-# (drop_reasons/keep) and text_rolling_fingerprint (norm_md5/len_band)
-# respectively — same grain, one scan each; the registry must fit the
-# driver's 50-row check window. The standalone operator functions remain
-# (hostile-corpus parity still drives them directly).
+def _runscan_sql(arr: str) -> str:
+    """One linear ``aggregate`` pass over a SORTED string array: the
+    longest equal-run (→ the most frequent element; ties resolve to the
+    sorted-first = lexicographically smallest, matching the oracle's
+    ``ORDER BY cnt DESC, g``) plus the char mass of every element that
+    occurs more than once. This is the scale trick that keeps the Gopher
+    repetition signals shuffle-free: n-gram frequency within a document
+    is O(n log n) IN-ROW (sort + scan), never an explode + groupBy —
+    per-doc gram counts don't belong on the cluster's shuffle fabric."""
+    nr = "IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, CAST(1 AS BIGINT))"
+    return (
+        f"aggregate({arr}, "
+        "named_struct("
+        "'prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT), 'bestg', CAST(NULL AS STRING), "
+        "'dupsum', CAST(0 AS BIGINT)), "
+        "(a, x) -> named_struct("
+        "'prev', x, "
+        f"'run', {nr}, "
+        f"'best', IF({nr} > a.best, {nr}, a.best), "
+        f"'bestg', IF({nr} > a.best, x, a.bestg), "
+        f"'dupsum', a.dupsum + IF({nr} = 2, CAST(2 * length(x) AS BIGINT), "
+        f"IF({nr} > 2, CAST(length(x) AS BIGINT), CAST(0 AS BIGINT)))))"
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document: duplicate-line
+    fraction, most-frequent word 2-gram and the fraction of characters it
+    covers, and the fraction of characters inside duplicated word
+    5-grams — the canonical degenerate-text signals a pre-training
+    curation pass computes alongside the quality score.
+
+    Scale shape: a pure projection. Gram arrays are built with
+    ``sequence``/``transform``, sorted in-row, and reduced by one linear
+    ``aggregate`` scan (:func:`_runscan_sql`) — zero exchanges, zero row
+    blowup, codegen'd end to end. All ratios are integer-scaled (×10000,
+    integer ``div``) so the DuckDB oracle (unnest + window, the naive
+    formulation) is bit-exact."""
+    d = _docs(spark, sf_dir).withColumn("w", _words())
+    empty = F.array().cast("array<string>")
+    d = d.withColumn("g2", F.when(F.size("w") >= 2, F.expr(
+            "array_sort(transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"))
+         .otherwise(empty))
+    d = d.withColumn("g5", F.when(F.size("w") >= 5, F.expr(
+            "array_sort(transform(sequence(1, size(w) - 4), "
+            "i -> concat_ws(' ', slice(w, i, 5))))"))
+         .otherwise(empty))
+    d = (d.withColumn("s2", F.expr(_runscan_sql("g2")))
+          .withColumn("s5", F.expr(_runscan_sql("g5")))
+          .withColumn("ln", F.expr(
+              "filter(transform(split(text, '\\n'), x -> trim(x)), "
+              "x -> length(x) > 0)")))
+    covered2 = ("IF(s2.bestg IS NULL, CAST(0 AS BIGINT), "
+                "s2.best * CAST(length(s2.bestg) AS BIGINT))")
+    raw2 = f"(10000 * {covered2}) div greatest(length(text), 1)"
+    raw5 = "(10000 * s5.dupsum) div greatest(length(text), 1)"
+    return d.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size("ln").alias("n_lines"),
+        F.expr("(10000 * (size(ln) - size(array_distinct(ln)))) "
+               "div greatest(size(ln), 1)").alias("dup_line_x10k"),
+        F.col("s2.bestg").alias("top2_gram"),
+        F.col("s2.best").alias("top2_count"),
+        F.expr(f"IF({raw2} > 10000, CAST(10000 AS BIGINT), {raw2})")
+        .alias("top2_char_x10k"),
+        F.expr(f"IF({raw5} > 10000, CAST(10000 AS BIGINT), {raw5})")
+        .alias("dup5_char_x10k"),
+    )
+
+
+SQL_REPETITION = """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines
+  FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM d WHERE len(w) >= 2
+), c2 AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g
+), t2 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g) AS rn
+    FROM c2) WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4])) AS g
+  FROM d WHERE len(w) >= 5
+), c5 AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g
+), d5 AS (
+  SELECT doc_id, sum(cnt * length(g)) AS dupsum
+  FROM c5 WHERE cnt > 1 GROUP BY doc_id
+), raw AS (
+  SELECT d.doc_id,
+         len(d.w) AS n_words,
+         len(l.lines) AS n_lines,
+         (10000 * (len(l.lines) - len(list_distinct(l.lines))))
+           // greatest(len(l.lines), 1) AS dup_line_x10k,
+         t2.g AS top2_gram,
+         CAST(coalesce(t2.cnt, 0) AS BIGINT) AS top2_count,
+         (10000 * coalesce(t2.cnt * length(t2.g), 0))
+           // greatest(length(d.text), 1) AS r2,
+         (10000 * coalesce(d5.dupsum, 0))
+           // greatest(length(d.text), 1) AS r5
+  FROM d
+  JOIN l ON d.doc_id = l.doc_id
+  LEFT JOIN t2 ON d.doc_id = t2.doc_id
+  LEFT JOIN d5 ON d.doc_id = d5.doc_id
+)
+SELECT doc_id, n_words, n_lines, dup_line_x10k, top2_gram, top2_count,
+       CAST(CASE WHEN r2 > 10000 THEN 10000 ELSE r2 END AS BIGINT)
+         AS top2_char_x10k,
+       CAST(CASE WHEN r5 > 10000 THEN 10000 ELSE r5 END AS BIGINT)
+         AS dup5_char_x10k
+FROM raw
+"""
+
+
+# text_token_count, text_quality_filter, text_fingerprint and
+# sample_stratified_hash are folded into text_bpe_token_estimate
+# (n_ws_tokens), text_quality_score (drop_reasons/keep),
+# text_rolling_fingerprint (norm_md5/len_band) and text_quality_tiers
+# (n_sampled/first/last_sampled) respectively — same grain, one scan
+# each; the registry must fit the driver's 50-row check window. The
+# standalone operator functions remain (hostile-corpus parity still
+# drives them directly).
 REGISTRY = {
     "text_quality_tiers": (q_quality_tiers, SQL_QUALITY_TIERS),
     "text_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
-    "sample_stratified_hash": (q_sample_stratified_hash,
-                               SQL_SAMPLE_STRATIFIED_HASH),
+    "text_repetition": (q_repetition, SQL_REPETITION),
     "text_bpe_token_estimate": (q_bpe_token_estimate, SQL_BPE_TOKEN_ESTIMATE),
     "text_rolling_fingerprint": (q_rolling_fingerprint,
                                  SQL_ROLLING_FINGERPRINT),

@@ -34,6 +34,7 @@ DOC_QUERIES = [
     "mm_frame_sample",
     "mm_features",         # + folded-in metadata/resize columns
     "text_token_count",
+    "text_repetition",
     "text_bpe_token_estimate",
     "text_quality_score",
     "text_quality_filter",
@@ -86,6 +87,8 @@ def _extra_queries():
                                 textstats.SQL_QUALITY_FILTER),
         "text_fingerprint": (textstats.q_fingerprint,
                              textstats.SQL_FINGERPRINT),
+        "sample_stratified_hash": (textstats.q_sample_stratified_hash,
+                                   textstats.SQL_SAMPLE_STRATIFIED_HASH),
         "dedup_minhash_signatures": (dedup.q_dedup_minhash,
                                      dedup.SQL_DEDUP_MINHASH),
         "dedup_lsh_buckets": (dedup.q_dedup_lsh_buckets,

@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--coalesce", type=int, default=0,
                     help="output files (0 = leave to AQE)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact email/IPv4/phone in the curated text "
+                         "(audit keeps the raw text; counters unchanged)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,7 +51,7 @@ def main() -> int:
     # sinks read the checkpoint (deriving curated from the original plan
     # would re-run extraction/dedup/decontamination a second time)
     audit = audit.localCheckpoint(eager=True)
-    curated = curated_from_audit(audit)
+    curated = curated_from_audit(audit, scrub=args.scrub_pii)
 
     out = args.output.rstrip("/")
     cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
