@@ -75,12 +75,31 @@ def quality_frame(docs: DataFrame) -> DataFrame:
     the scrubbed text itself for the curation pipeline.
     """
     d = docs.withColumn("w", _words())
-    t1 = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
-    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
-    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
-    n_email = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0))
-    n_ipv4 = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), 0))
-    n_phone = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0))
+    # cheap containment pre-filters gate the (backtracking) PII regexes:
+    # no '@' → no email possible, no digit → no IPv4/phone possible, so
+    # the expensive patterns only run on rows that could match — on a
+    # mostly-clean corpus the PII pass costs one memchr-style scan per
+    # row, not six regex traversals. NULL text falls through every
+    # branch to NULL, mirrored in the oracle's CASE chain.
+    has_at = F.instr("text", "@") > 0
+    has_digit = F.col("text").rlike("[0-9]")
+    null_int = F.lit(None).cast("int")
+    t1 = F.when(has_at, F.regexp_replace("text", PII_EMAIL, "<EMAIL>")) \
+          .otherwise(F.col("text"))
+    n_email = (F.when(has_at,
+                      F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL),
+                                                  0)))
+               .when(F.col("text").isNull(), null_int).otherwise(0))
+    t2 = F.when(has_digit, F.regexp_replace(t1, PII_IPV4, "<IP>")) \
+          .otherwise(t1)
+    n_ipv4 = (F.when(has_digit,
+                     F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), 0)))
+              .when(F.col("text").isNull(), null_int).otherwise(0))
+    t3 = F.when(has_digit, F.regexp_replace(t2, PII_PHONE, "<PHONE>")) \
+          .otherwise(t2)
+    n_phone = (F.when(has_digit,
+                      F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0)))
+               .when(F.col("text").isNull(), null_int).otherwise(0))
     n_words = F.size("w")
     n_stop = F.size(F.expr(
         f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
@@ -116,11 +135,17 @@ def quality_frame(docs: DataFrame) -> DataFrame:
 
 def pii_scrub(docs: DataFrame, col: str = "text") -> DataFrame:
     """Replace ``col`` with its PII-redacted form (email → IPv4 → phone,
-    same staged patterns the quality frame counts). Pure projection —
-    scan speed, zero shuffles, NULL-propagating."""
-    t1 = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
-    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
-    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    same staged patterns and containment pre-filters the quality frame
+    counts with). Pure projection — scan speed, zero shuffles,
+    NULL-propagating."""
+    has_at = F.instr(col, "@") > 0
+    has_digit = F.col(col).rlike("[0-9]")
+    t1 = F.when(has_at, F.regexp_replace(col, PII_EMAIL, "<EMAIL>")) \
+          .otherwise(F.col(col))
+    t2 = F.when(has_digit, F.regexp_replace(t1, PII_IPV4, "<IP>")) \
+          .otherwise(t1)
+    t3 = F.when(has_digit, F.regexp_replace(t2, PII_PHONE, "<PHONE>")) \
+          .otherwise(t2)
     return docs.withColumn(col, t3)
 
 
