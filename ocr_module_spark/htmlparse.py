@@ -77,6 +77,19 @@ _VOID_TAGS = {
 }
 _VOID_NONIMG = _VOID_TAGS - {"img"}
 
+# One dict lookup classifies a tag for the handler hot paths (profiled:
+# replacing the 4-5 set-membership probes per start/end tag with a single
+# get() is ~5% of whole-document parse). Values are disjoint by
+# construction: the tag sets above do not overlap.
+_K_VOID_NONIMG, _K_IGNORE, _K_IMG, _K_TABLE, _K_BLOCK = 1, 2, 3, 4, 5
+_TAG_KIND = {
+    **{t: _K_VOID_NONIMG for t in _VOID_NONIMG},
+    **{t: _K_IGNORE for t in _IGNORE_SUBTREE},
+    "img": _K_IMG,
+    "table": _K_TABLE,
+    **{t: _K_BLOCK for t in _BLOCK_TAGS},
+}
+
 
 def _norm(text: str) -> str:
     # equivalent to _WS_RE.sub(" ", text).strip() (verified char-by-char
@@ -110,8 +123,11 @@ class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.result = ParseResult()
-        # stack frame: (tag, lowered class attr, context-flag bitmask)
-        self._stack: List[Tuple[str, str, int]] = []
+        # stack frame: (tag, context-flag bitmask, path length before push)
+        self._stack: List[Tuple[str, int, int]] = []
+        # incremental "/".join(tag for tag, _, _ in self._stack): rebuilt
+        # per-push/pop in O(depth) instead of per-emitted-block
+        self._path = ""
         self._ignore_depth = 0
         self._ignore_tag: Optional[str] = None
         self._a_depth = 0
@@ -183,8 +199,11 @@ class _Extractor(HTMLParser):
         return f
 
     def _push(self, tag: str, cls: str) -> int:
-        f = self._flags_for(tag, cls)
-        self._stack.append((tag, cls, f))
+        f = (self._TAG_FLAGS.get(tag, 0) if not cls
+             else self._flags_for(tag, cls))
+        path = self._path
+        self._stack.append((tag, f, len(path)))
+        self._path = path + "/" + tag if path else tag
         if f:
             if f & self._F_A:
                 self._a_depth += 1
@@ -252,8 +271,8 @@ class _Extractor(HTMLParser):
         # slots dataclass, and _emit is a per-block hot path
         blocks.append(Block(
             bno // PAGE_BLOCKS, bno, kind, role, tag_path, depth,
-            text, len(text), len(_norm(link_text)), None,
-            self._n_headings, text.count(FORMULA_TOKEN)))
+            text, len(text), len(_norm(link_text)) if link_text else 0,
+            None, self._n_headings, text.count(FORMULA_TOKEN)))
 
     def _flush_block(self) -> None:
         if self._block_tag is None:
@@ -270,7 +289,8 @@ class _Extractor(HTMLParser):
 
     # -- HTMLParser hooks ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        if tag in _VOID_NONIMG:
+        kind = _TAG_KIND.get(tag, 0)
+        if kind == _K_VOID_NONIMG:
             return
         if self._ignore_depth:
             # only same-tag nesting deepens the ignored subtree: void or
@@ -278,17 +298,17 @@ class _Extractor(HTMLParser):
             if tag == self._ignore_tag:
                 self._ignore_depth += 1
             return
-        if tag in _IGNORE_SUBTREE:
+        if kind == _K_IGNORE:
             self._ignore_tag = tag
             self._ignore_depth = 1
             return
         cls = self._classes(attrs) if attrs else ""
 
-        if tag == "img":
+        if kind == _K_IMG:
             if self._table_depth == 0:
                 alt = self._attr(attrs, "alt") or ""
                 role = self._role_for(tag, cls)
-                path = "/".join(f[0] for f in self._stack) + "/img"
+                path = self._path + "/img"
                 self._emit("figure", role, path, len(self._stack) + 1, alt, "")
             return
 
@@ -298,7 +318,7 @@ class _Extractor(HTMLParser):
             self._push(tag, cls)
             return
 
-        if tag == "table":
+        if kind == _K_TABLE:
             self._flush_block()
             self._table_depth += 1
             if self._table_depth == 1:
@@ -318,10 +338,10 @@ class _Extractor(HTMLParser):
             self._push(tag, cls)
             return
 
-        if tag in _BLOCK_TAGS:
+        if kind == _K_BLOCK:
             self._flush_block()
             self._block_tag = tag
-            self._block_path = "/".join(f[0] for f in self._stack) + "/" + tag
+            self._block_path = self._path + "/" + tag
             self._block_depth = len(self._stack) + 1
             self._block_parts = []
             self._block_link_parts = []
@@ -336,14 +356,16 @@ class _Extractor(HTMLParser):
                 if self._ignore_depth == 0:
                     self._ignore_tag = None
             return
-        if tag in _VOID_TAGS:
+        kind = _TAG_KIND.get(tag, 0)
+        if kind == _K_VOID_NONIMG or kind == _K_IMG:
             return
         # pop matching tag from stack (tolerant of malformed nesting),
         # decrementing the context counters of every removed frame
         stack = self._stack
         if stack and stack[-1][0] == tag:
             # fast path: well-formed nesting pops the top frame
-            f = stack[-1][2]
+            _, f, plen = stack.pop()
+            self._path = self._path[:plen]
             if f:
                 if f & self._F_A:
                     self._a_depth -= 1
@@ -357,11 +379,11 @@ class _Extractor(HTMLParser):
                     self._footnote_ctx -= 1
                 if f & self._F_FORMULABLOCK:
                     self._formulablock_ctx -= 1
-            stack.pop()
         else:
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i][0] == tag:
-                    for _, _, f in stack[i:]:
+                    self._path = self._path[:stack[i][2]]
+                    for _, f, _ in stack[i:]:
                         if f:
                             if f & self._F_A:
                                 self._a_depth -= 1
@@ -377,7 +399,7 @@ class _Extractor(HTMLParser):
                                 self._formulablock_ctx -= 1
                     del stack[i:]
                     break
-        if tag == "table" and self._table_depth:
+        if kind == _K_TABLE and self._table_depth:
             self._table_depth -= 1
             if self._table_depth == 0:
                 if self._cell_parts is not None and self._table_rows:
@@ -398,7 +420,7 @@ class _Extractor(HTMLParser):
                 self._table_rows[-1].append(_norm("".join(self._cell_parts)))
             self._cell_parts = None
             return
-        if tag in _BLOCK_TAGS and self._block_tag is not None:
+        if kind == _K_BLOCK and self._block_tag is not None:
             self._flush_block()
 
     def handle_data(self, data):

@@ -69,17 +69,19 @@ def tokenize_fast(text: str, extractor) -> bool:
     handle_endtag = extractor.handle_endtag
     unescape = _html.unescape
     parts = _TOKEN_RE.split(text)
-    n = len(parts)
-    i = 0
-    while True:
-        seg = parts[i]
-        if seg:
-            if "<" in seg:
-                return False
-            handle_data(unescape(seg) if "&" in seg else seg)
-        if i + 1 >= n:
-            return True
-        end, name, attrs_raw = parts[i + 1], parts[i + 2], parts[i + 3]
+    # re.split with 3 capturing groups yields
+    # [data, end, name, attrs, data, ...]: after the leading data element
+    # the rest is exact groups of 4, so zip-of-one-iterator strides the
+    # list C-side — measured faster than manual index arithmetic, which
+    # was ~10% of the whole parse in profiles.
+    seg = parts[0]
+    if seg:
+        if "<" in seg:
+            return False
+        handle_data(unescape(seg) if "&" in seg else seg)
+    it = iter(parts)
+    next(it)
+    for end, name, attrs_raw, seg in zip(it, it, it, it):
         if end:
             # end tags take no attributes in the subset
             if attrs_raw and attrs_raw.strip():
@@ -100,7 +102,11 @@ def tokenize_fast(text: str, extractor) -> bool:
                 handle_endtag(name)
         else:
             handle_starttag(name.lower(), [])
-        i += 4
+        if seg:
+            if "<" in seg:
+                return False
+            handle_data(unescape(seg) if "&" in seg else seg)
+    return True
 
 
 def parse_html_fast(payload: bytes) -> Optional[object]:

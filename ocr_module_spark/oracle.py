@@ -123,8 +123,6 @@ def extract_document(url: str, payload: Optional[bytes]) -> Dict:
 
     # dense ids per kind, reading order (W1)
     paragraphs = [b for b in kept if b.kind == "paragraph"]
-    tables = [b for b in kept if b.kind == "table"]
-    figures = [b for b in kept if b.kind == "figure"]
 
     # payload counts per page for the mismatch audit (A5)
     payloads_per_page: Dict[int, int] = {}
@@ -153,25 +151,35 @@ def extract_document(url: str, payload: Optional[bytes]) -> Dict:
         for p in set(tokens_per_page) | set(payloads_per_page)
     )
 
-    # section membership (J1-J3): id-lists per section over kept elements
-    sec_ids = sorted({b.section_id for b in kept})
-    para_by_block = {b.block_no: pid for pid, b in enumerate(paragraphs)}
-    table_by_block = {b.block_no: tid for tid, b in enumerate(tables)}
-    fig_by_block = {b.block_no: fid for fid, b in enumerate(figures)}
-    sections = []
-    for sid in sec_ids:
-        members = [b for b in kept if b.section_id == sid]
-        sections.append({
-            "section_id": sid,
-            "paragraph_ids": [para_by_block[b.block_no] for b in members
-                              if b.kind == "paragraph"],
-            "table_ids": [table_by_block[b.block_no] for b in members
-                          if b.kind == "table"],
-            "figure_ids": [fig_by_block[b.block_no] for b in members
-                           if b.kind == "figure"],
-        })
+    # section membership (J1-J3): id-lists per section over kept elements.
+    # Single ordered pass: blocks are emitted in document order and
+    # section_id (= headings emitted so far) is non-decreasing, so
+    # grouping on change-of-sid visits sections in ascending order and
+    # per-kind dense ids are just running counters — identical output to
+    # the former sorted-sids × kept-scan double loop, without the
+    # per-section rescan (pinned by the golden fixtures + hostile corpus).
+    sections: List[Dict] = []
+    cur_sid = -1
+    pid_ctr = tid_ctr = fid_ctr = 0
+    for b in kept:
+        if b.section_id != cur_sid:
+            cur_sid = b.section_id
+            cur = {"section_id": cur_sid, "paragraph_ids": [],
+                   "table_ids": [], "figure_ids": []}
+            sections.append(cur)
+        if b.kind == "paragraph":
+            cur["paragraph_ids"].append(pid_ctr)
+            pid_ctr += 1
+        elif b.kind == "table":
+            cur["table_ids"].append(tid_ctr)
+            tid_ctr += 1
+        else:
+            cur["figure_ids"].append(fid_ctr)
+            fid_ctr += 1
 
-    n_pages = (max(b.page_number for b in blocks) + 1) if blocks else 0
+    # blocks are in reading order, page_number = block_no // PAGE_BLOCKS
+    # is non-decreasing: the last block carries the max
+    n_pages = (blocks[-1].page_number + 1) if blocks else 0
 
     return {
         "url": url,
