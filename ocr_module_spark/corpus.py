@@ -170,11 +170,43 @@ _HTML_BUILDERS = {
 }
 
 
+def _chrome(i: int, doc: str) -> str:
+    """Wrap a shape in the page chrome every real crawled page carries:
+    doctype, <head> with title/meta/stylesheet/inline script, comments,
+    and an analytics <script> before </body>.
+
+    None of it reaches the extracted output — head/script/style are
+    ignored subtrees and comments/doctype are parser no-ops — so golden
+    fixtures are unaffected; what changes is that the corpus now
+    exercises the CDATA/comment/doctype paths of the tokenizer on every
+    document, the way a Common-Crawl scan would."""
+    head = (
+        f"<head><title>doc {i:06d}</title>"
+        '<meta charset="utf-8"/>'
+        '<meta name="viewport" content="width=device-width, initial-scale=1"/>'
+        '<link rel="stylesheet" href="/static/main.css"/>'
+        "<style>body{margin:0;font:14px/1.4 serif}"
+        "nav a:hover{color:#00f}</style>"
+        "<script>window.dataLayer=window.dataLayer||[];"
+        "function gtag(){dataLayer.push(arguments);}"
+        f"gtag('js', {i % 97});</script>"
+        "</head>")
+    analytics = (
+        '<script type="text/javascript">var _paq=_paq||[];'
+        "if(0<_paq.length){_paq.push(['trackPageView'])}"
+        "// strings may hide markup: '</div>' \"<p>\"</script>")
+    doc = doc.replace(
+        "<html><body>",
+        f"<!DOCTYPE html><html>{head}<body><!-- rendered page {i:06d} -->",
+        1)
+    return doc.replace("</body></html>", f"{analytics}</body></html>", 1)
+
+
 def payload_for(i: int) -> bytes:
     shape = shape_for(i)
     if shape == "P1":
         return _p1(i)
-    return _HTML_BUILDERS[shape](i).encode("utf-8")
+    return _chrome(i, _HTML_BUILDERS[shape](i)).encode("utf-8")
 
 
 def row_for(i: int) -> Dict:

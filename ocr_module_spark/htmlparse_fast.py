@@ -7,22 +7,32 @@ HTML and feeds the exact same ``_Extractor`` handler object as the stdlib
 path — tokenization is the only thing that changes, every block/role/
 section/payload rule stays in one implementation (htmlparse._Extractor).
 
-Safety model — **fallback, never divergence**: the scanner first checks the
-payload against a conservative subset definition; any construct whose
-stdlib semantics we have not replicated bit-for-bit (comments, doctype,
-CDATA, processing instructions, script/style raw text, stray ``<`` in
-text, exotic attribute syntax) routes the WHOLE document to the stdlib
-parser. ``tests/test_fast_tokenizer.py`` property-tests byte-equality of
-the two paths over the full synthetic corpus and adversarial cases; the
-golden-fixture byte-identity suite runs against the dispatching entry
-point, so the contract is pinned end-to-end.
+Coverage: plain start/end tags with double-quoted attributes, entity
+references in data, **plus the constructs every real Common-Crawl page
+carries** — ``<!-- comments -->``, ``<!DOCTYPE ...>``, ``<?...>``
+processing instructions, and ``<script>``/``<style>`` raw-text (CDATA)
+elements. Each is consumed with the *exact* resume position stdlib
+``html.parser`` uses (``--\\s*>`` comment close, first ``>`` for PI,
+``</\\s*script\\s*>`` case-insensitive CDATA close), and each produces
+only callbacks our extractor treats as no-ops (handle_comment/decl/pi,
+ignored CDATA data) — so the observable callback stream is identical.
+
+Safety model — **fallback, never divergence**: any construct whose stdlib
+semantics we have not replicated bit-for-bit (marked sections ``<![``,
+exotic declarations, unterminated comments, stray ``<`` in text,
+single-quoted/unquoted attribute syntax) routes the WHOLE document to the
+stdlib parser. ``tests/test_fast_tokenizer.py`` property-tests
+byte-equality of the two paths over the full synthetic corpus and
+adversarial cases; ``tests/test_fuzz_tokenizer.py`` fuzzes arbitrary
+fragment soup; the golden-fixture byte-identity suite runs against the
+dispatching entry point, so the contract is pinned end-to-end.
 """
 
 from __future__ import annotations
 
 import html as _html
 import re
-from typing import List, Optional, Tuple
+from typing import Optional
 
 # One token: start tag or end tag. Attribute body may contain quoted
 # strings (which may contain '>' and '<'); names per the subset check.
@@ -41,29 +51,30 @@ _ATTRS_OK_RE = re.compile(
 _ATTR_RE = re.compile(
     r"""\s+([a-zA-Z][-a-zA-Z0-9_]*)(?:\s*=\s*"([^"]*)")?""")
 
-# Constructs that route to the stdlib parser (semantics not replicated):
-_HARD_RE = re.compile(r"<[!?]|<\s|<script|<style|<SCRIPT|<STYLE", re.I)
+# Constructs the plain-segment tokenizer cannot express; the outer scan
+# consumes them with stdlib-equal semantics. Ordered alternation: the
+# longer '<!--' must win over '<!' at the same position. script/style need
+# a name boundary so '<scripty>' stays an ordinary tag.
+_SPECIAL_RE = re.compile(r"<!--|<!|<\?|<(?:script|style)(?=[\s/>])", re.I)
+
+# stdlib html.parser resume rules, replicated exactly:
+_COMMENTCLOSE_RE = re.compile(r"--\s*>")           # _markupbase.parse_comment
+_CDATA_CLOSE = {                                   # HTMLParser.set_cdata_mode
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
 
 
-def tokenize_fast(text: str, extractor) -> bool:
-    """Scan ``text`` and drive ``extractor``'s handler methods.
+def _tokenize_segment(text: str, extractor) -> bool:
+    """Drive ``extractor`` over a special-free stretch of markup.
 
-    Returns False (without side effects) when the document leaves the
-    verified subset — the caller must then re-run via html.parser. The
-    scan is two-phase (validate, then emit) precisely so a mid-document
-    bail-out cannot leave half-emitted blocks behind.
+    Returns False when the segment leaves the verified subset — the
+    caller must then re-run the whole document via html.parser (a
+    mid-document bail-out is safe: the caller discards this extractor
+    entirely on False).
     """
-    if _HARD_RE.search(text):
-        return False
-
-    # single pass: validate as we emit. A mid-document bail-out is safe
-    # because the caller discards this extractor entirely and re-parses
-    # the whole document with the stdlib path on False.
-    #
-    # re.split with the 3 capturing groups yields
-    # [data, end, name, attrs, data, end, name, attrs, ..., data]:
-    # one flat list scan instead of per-token Match objects + .group()
-    # calls (~10% of the whole parse in profiles).
+    if not text:
+        return True
     handle_data = extractor.handle_data
     handle_starttag = extractor.handle_starttag
     handle_endtag = extractor.handle_endtag
@@ -107,6 +118,90 @@ def tokenize_fast(text: str, extractor) -> bool:
                 return False
             handle_data(unescape(seg) if "&" in seg else seg)
     return True
+
+
+def tokenize_fast(text: str, extractor) -> bool:
+    """Scan ``text`` and drive ``extractor``'s handler methods.
+
+    Returns False (without guarantees about partial emission) when the
+    document leaves the verified subset — the caller must then discard
+    the extractor and re-parse the whole document via html.parser.
+
+    Structure: ``_SPECIAL_RE`` finds the earliest construct the plain
+    tokenizer cannot express; the stretch before it is handled by
+    ``_tokenize_segment`` (data chunk boundaries therefore fall exactly
+    where stdlib's goahead breaks them — entity unescaping is per-chunk
+    in both paths, so fragments like ``&amp<!-- -->;`` cannot merge into
+    a different entity than the reference path sees).
+    """
+    pos = 0
+    search = _SPECIAL_RE.search
+    while True:
+        m = search(text, pos)
+        if m is None:
+            return _tokenize_segment(text[pos:], extractor)
+        start = m.start()
+        if not _tokenize_segment(text[pos:start], extractor):
+            return False
+        tok = m.group(0).lower()
+        if tok == "<!--":
+            # _markupbase.parse_comment: close at '--\s*>' searched from
+            # i+4; handle_comment is a no-op for the extractor
+            close = _COMMENTCLOSE_RE.search(text, start + 4)
+            if close is None:
+                return False
+            pos = close.end()
+        elif tok == "<!":
+            # HTMLParser.parse_html_declaration: a '<!doctype' ends at the
+            # first '>' after i+9 (quotes/brackets NOT respected — covers
+            # PUBLIC doctypes too); handle_decl is a no-op for the
+            # extractor. Marked sections '<![' and bogus comments bail.
+            if text[start:start + 9].lower() != "<!doctype":
+                return False
+            gt = text.find(">", start + 9)
+            if gt < 0:
+                return False
+            pos = gt + 1
+        elif tok == "<?":
+            # HTMLParser.parse_pi: ends at the first '>' from i+2;
+            # handle_pi is a no-op for the extractor
+            gt = text.find(">", start + 2)
+            if gt < 0:
+                return False
+            pos = gt + 1
+        else:  # <script or <style
+            t = _TOKEN_RE.match(text, start)
+            if t is None or t.group("end"):
+                return False
+            name = t.group("name").lower()
+            attrs_raw = t.group("attrs")
+            if attrs_raw:
+                if not _ATTRS_OK_RE.fullmatch(attrs_raw):
+                    return False
+                attrs = [
+                    (a.group(1).lower(),
+                     _html.unescape(a.group(2)) if a.group(2) is not None
+                     else None)
+                    for a in _ATTR_RE.finditer(attrs_raw)
+                ]
+            else:
+                attrs = []
+            extractor.handle_starttag(name, attrs)
+            if attrs_raw and attrs_raw.endswith("/"):
+                # '<script/>': stdlib handle_startendtag — start+end, no
+                # CDATA mode entered
+                extractor.handle_endtag(name)
+                pos = t.end()
+            else:
+                # CDATA mode: stdlib scans for '</\s*name\s*>' (case-
+                # insensitive) and feeds everything before it as data the
+                # extractor ignores (ignore-subtree); unclosed CDATA
+                # swallows the rest of the document as ignored data
+                close = _CDATA_CLOSE[name].search(text, t.end())
+                if close is None:
+                    return True
+                extractor.handle_endtag(name)
+                pos = close.end()
 
 
 def parse_html_fast(payload: bytes) -> Optional[object]:

@@ -53,20 +53,44 @@ ADVERSARIAL_ACCEPT = [
     b'<html><body><p title="a > b">gt inside quotes</p></body></html>',
     b"<html><body><p>\xff\xfe invalid utf8</p></body></html>",
     b"",
+    # Common-Crawl constructs the fast path now replicates exactly
+    # (stdlib resume semantics pinned in htmlparse_fast module docstring):
+    b"<!doctype html><html><body><p>doctype</p></body></html>",
+    b'<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" '
+    b'"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+    b"<html><body><p>public doctype</p></body></html>",
+    b"<html><body><!-- comment --><p>c</p></body></html>",
+    b"<html><body><!--  weird --  ><p>inside</p>--><p>after</p></body></html>",
+    b"<html><body><script>var x = '<p>';</script><p>s</p></body></html>",
+    b'<html><body><script type="text/javascript">if (a < b) '
+    b"{ alert('</scriptx>'); }</script><p>s</p></body></html>",
+    b"<html><body><SCRIPT>x</SCRIPT ><p>case-insensitive close</p></body></html>",
+    b"<html><body><script>unclosed swallows the rest <p>gone</p>",
+    b"<html><body><style>p { color: red; }</style><p>s</p></body></html>",
+    b"<html><body><script/><p>self-closing enters no CDATA</p></body></html>",
+    b"<html><body><?php echo ?><p>pi</p></body></html>",
+    b'<?xml version="1.0"?><html><body><p>xhtml prolog</p></body></html>',
+    # entity fragments may NOT merge across a removed construct: stdlib
+    # chunks data at each '<', so '&amp' + ';' stays '&' + ';'
+    b"<html><body><p>&amp<!-- c -->;</p></body></html>",
+    b"<html><body><p>a&am<!-- c -->p;b</p></body></html>",
+    b"<html><body><p>t</p><scripty>name boundary</scripty></body></html>",
+    b"<html><body><table><!-- c --><tr><td>a<script>x</script></td></tr>"
+    b"</table></body></html>",
+    b'<html><body><p><span class="formula" data-latex="x"></span>'
+    b"<!-- c -->t</p></body></html>",
 ]
 
 ADVERSARIAL_FALLBACK = [
-    b"<!doctype html><html><body><p>doctype</p></body></html>",
-    b"<html><body><!-- comment --><p>c</p></body></html>",
-    b"<html><body><script>var x = '<p>';</script><p>s</p></body></html>",
-    b"<html><body><style>p{}</style><p>s</p></body></html>",
     b"<html><body><p>stray < bracket</p></body></html>",
     b"<html><body><p class='single'>quotes</p></body></html>",
     b"<html><body><p data-x=\"a&amp;b\">entity in attr</p></body></html>",
     b"<html><body><p foo=bar>unquoted</p></body></html>",
-    b"<html><body><p><![CDATA[x]]></p></body></html>",
-    b"<html><body><?php echo ?><p>pi</p></body></html>",
+    b"<html><body><p><![CDATA[x]]></p></body></html>",  # marked section
     b"<html><body><p",  # truncated tag at EOF
+    b"<html><body><p>x</p><!-- unterminated",
+    b"<html><body><!weird bogus comment><p>y</p></body></html>",
+    b"<html><body><?pi with no close",
 ]
 
 

@@ -22,6 +22,13 @@ _fragment = st.one_of(
         "&amp;", "&#65;", "&bogus;", "&", "<", ">", "< p>", "<p/",
         '<a href="/x">', "<p data-x='1'>", '<td colspan="2">',
         ":formula:", "</p >", "<P Class=\"Nav\">",
+        # specials-scanner stress: comment/doctype/PI/CDATA edges
+        "<!--", "-->", "--  >", "<!-- <p>x</p> -->", "<!---->", "<!-->",
+        '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0//EN">', "<![CDATA[",
+        "]]>", "<?", "?>", "<?xml version=\"1.0\"?>", "<!x>",
+        "<script>", "</script>", "</SCRIPT >", "</scriptx>", "<script/>",
+        '<script src="a.js">', "<style>", "</style>", "<scripty>",
+        "</ script>", "var a < b;", "&amp",
     ]),
 )
 
