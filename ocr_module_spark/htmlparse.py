@@ -475,3 +475,16 @@ def parse_html(payload: bytes) -> ParseResult:
         if result is not None:
             return result
     return parse_html_stdlib(payload)
+
+
+def parse_html_tagged(payload: bytes):
+    """``parse_html`` plus which tokenizer ran: ('fast' | 'stdlib').
+
+    Identical dispatch to ``parse_html``; the tag feeds the extraction
+    sink's fallback-rate counters (sinks.run_extraction)."""
+    if USE_FAST_TOKENIZER:
+        from .htmlparse_fast import parse_html_fast
+        result = parse_html_fast(payload)
+        if result is not None:
+            return result, "fast"
+    return parse_html_stdlib(payload), "stdlib"

@@ -42,7 +42,8 @@ _CTRL_ESC_RE = re.compile(r"(?<!\\)((?:\\\\)*)\\u00([0-9a-f]{2})")
 
 from .blocklist import is_blocklist, parse_blocklist
 from .classify import keep_block
-from .htmlparse import FORMULA_TOKEN, ParseResult, parse_html
+from .htmlparse import (FORMULA_TOKEN, ParseResult, parse_html,
+                        parse_html_tagged)
 
 
 def parse_payload(payload: Optional[bytes]) -> ParseResult:
@@ -52,6 +53,20 @@ def parse_payload(payload: Optional[bytes]) -> ParseResult:
     if is_blocklist(payload):
         return parse_blocklist(payload)
     return parse_html(payload)
+
+
+def parse_payload_tagged(payload: Optional[bytes]):
+    """``parse_payload`` plus which parser actually ran — feeds the sink's
+    ``docs_parse_*`` counters (at crawl scale a fallback-rate jump is the
+    earliest sign the fast-tokenizer subset no longer matches the input).
+
+    Returns ``(ParseResult, path)`` with path in
+    {'empty', 'blocklist', 'fast', 'stdlib'}."""
+    if not payload:
+        return ParseResult(), "empty"
+    if is_blocklist(payload):
+        return parse_blocklist(payload), "blocklist"
+    return parse_html_tagged(payload)
 
 
 def rewrite_placeholders(text: str, start_index: int) -> str:
@@ -115,7 +130,17 @@ def document_to_json(result: Dict) -> str:
 
 def extract_document(url: str, payload: Optional[bytes]) -> Dict:
     """Extract one document. Returns the FIXTURES.md §5 row as a dict."""
-    parsed = parse_payload(payload)
+    return _assemble_document(url, parse_payload(payload))
+
+
+def extract_document_tagged(url: str, payload: Optional[bytes]):
+    """``extract_document`` plus the parse path that produced it (see
+    ``parse_payload_tagged``); same row dict, assembled by the same code."""
+    parsed, path = parse_payload_tagged(payload)
+    return _assemble_document(url, parsed), path
+
+
+def _assemble_document(url: str, parsed: ParseResult) -> Dict:
     blocks = parsed.blocks
 
     # classification (boilerplate strip)

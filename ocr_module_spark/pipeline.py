@@ -90,6 +90,22 @@ def _extract_one(url, payload):
                 "error": f"{type(exc).__name__}: {exc}"[:500]}
 
 
+def _extract_one_tagged(url, payload):
+    """``_extract_one`` that also reports which parser ran (the
+    ``parse_path`` column feeding the sink's fallback-rate counters)."""
+    try:
+        r, path = oracle.extract_document_tagged(
+            url, bytes(payload) if payload is not None else None)
+        r["error"] = None
+        r["parse_path"] = path
+        return r
+    except Exception as exc:  # noqa: BLE001 - isolation boundary
+        return {"url": url, "text": "", "spans": [], "sections": [],
+                "n_pages": 0, "mismatch_flag": False,
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+                "parse_path": "error"}
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         recs = []
@@ -106,13 +122,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                            "n_pages", "mismatch_flag", "error"])
 
 
-def _extract_arrow_batches(batches):
+def _arrow_batches_impl(batches, tagged: bool):
     """Arrow-native variant of _extract_batches: builds RecordBatches
     directly with pa.array, skipping the pandas object-column
     intermediate. Measured throughput-equal to the pandas path end-to-end
     (the conversion cost just moves); kept as the default because it
     removes pandas' nested-object conversion surface from the hot path
-    and the worker ships one fewer copy of each batch."""
+    and the worker ships one fewer copy of each batch. With ``tagged``
+    the row carries the parse_path column for the sink's counters."""
     import pyarrow as pa
 
     span_t = pa.struct([
@@ -122,29 +139,36 @@ def _extract_arrow_batches(batches):
     sec_t = pa.struct([
         ("section_id", pa.int32()), ("paragraph_ids", pa.list_(pa.int32())),
         ("table_ids", pa.list_(pa.int32())), ("figure_ids", pa.list_(pa.int32()))])
-    schema = pa.schema([
+    cols = [
         ("url", pa.string()), ("text", pa.string()),
         ("spans", pa.list_(span_t)), ("sections", pa.list_(sec_t)),
         ("n_pages", pa.int32()), ("mismatch_flag", pa.bool_()),
-        ("error", pa.string())])
+        ("error", pa.string())]
+    if tagged:
+        cols.append(("parse_path", pa.string()))
+    schema = pa.schema(cols)
+    one = _extract_one_tagged if tagged else _extract_one
     for batch in batches:
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
-        res = [_extract_one(u, p) for u, p in zip(urls, payloads)]
-        yield pa.RecordBatch.from_arrays([
-            pa.array([r["url"] for r in res], pa.string()),
-            pa.array([r["text"] for r in res], pa.string()),
-            pa.array([r["spans"] for r in res], pa.list_(span_t)),
-            pa.array([r["sections"] for r in res], pa.list_(sec_t)),
-            pa.array([r["n_pages"] for r in res], pa.int32()),
-            pa.array([r["mismatch_flag"] for r in res], pa.bool_()),
-            pa.array([r["error"] for r in res], pa.string()),
-        ], schema=schema)
+        res = [one(u, p) for u, p in zip(urls, payloads)]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([r[name] for r in res], typ) for name, typ in cols],
+            schema=schema)
+
+
+def _extract_arrow_batches(batches):
+    yield from _arrow_batches_impl(batches, tagged=False)
+
+
+def _extract_arrow_batches_tagged(batches):
+    yield from _arrow_batches_impl(batches, tagged=True)
 
 
 def extract(pages: DataFrame, repartition: bool = False,
             num_partitions: Optional[int] = None,
-            use_arrow: bool = True) -> DataFrame:
+            use_arrow: bool = True,
+            tag_parse_path: bool = False) -> DataFrame:
     """Full extraction, one Arrow-batched stage per partition.
 
     Runs the exact oracle per document (byte-identity by construction).
@@ -167,6 +191,12 @@ def extract(pages: DataFrame, repartition: bool = False,
     df = pages.select("url", "html")
     if repartition or num_partitions:
         df = salted_repartition(df, num_partitions)
+    if tag_parse_path:
+        # sink instrumentation: row carries which parser ran; the caller
+        # aggregates and drops the column (sinks.run_extraction)
+        from .schemas import EXTRACT_TAGGED_SCHEMA
+        return df.mapInArrow(
+            _extract_arrow_batches_tagged, schema=EXTRACT_TAGGED_SCHEMA)
     if use_arrow:
         return df.mapInArrow(_extract_arrow_batches, schema=EXTRACT_SCHEMA)
     return df.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)

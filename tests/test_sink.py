@@ -35,6 +35,23 @@ def test_resume_skips_committed_urls(spark, out_dir):
     assert data.select("url").distinct().count() == 120
 
 
+def test_parse_path_counters(spark, out_dir):
+    """Tokenizer-path observability: every doc is attributed to exactly one
+    parser, the chromed HTML corpus takes the fast path with ZERO stdlib
+    fallbacks (a fallback storm here means the fast subset regressed), and
+    the written data does not carry the instrumentation column."""
+    n = 160
+    m = sinks.run_extraction(spark, corpus.pages_df(spark, n), out_dir)
+    n_blocklist = sum(1 for i in range(n) if corpus.shape_for(i) == "P1")
+    assert m["docs_parse_blocklist"] == n_blocklist
+    assert m["docs_parse_fallback"] == 0
+    assert m["docs_parse_fast"] == n - n_blocklist
+    assert (m["docs_parse_fast"] + m["docs_parse_fallback"]
+            + m["docs_parse_blocklist"]) == m["docs_out"]
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert "parse_path" not in data.columns
+
+
 def test_partial_failure_resume_processes_remainder(spark, out_dir):
     first = corpus.pages_df(spark, 50)
     sinks.run_extraction(spark, first, out_dir)

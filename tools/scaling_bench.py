@@ -147,9 +147,109 @@ def orchestrate(n_docs: int, n_small: int = 4, n_big: int = 16) -> int:
     return 0
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor steal time (CPU-seconds across all vCPUs)."""
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+
+
+def _bw_probe_gbs() -> float:
+    """Available-memory-bandwidth probe (~1s): best-of-5 timed copies of a
+    256 MB numpy buffer. A neighbor VM saturating the socket's memory
+    controllers slows us WITHOUT showing up in steal time or load — this
+    probe sees exactly that. Both levels of a pair must observe the same
+    bandwidth for the pair to count."""
+    import numpy as np
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        b = a.copy()
+        best = min(best, time.perf_counter() - t0)
+        del b
+    return (2 * a.nbytes / best) / 1e9  # read + write
+
+
+def _run_level_steal(cores: int, n_docs: int):
+    s0, t0 = _steal_sec(), time.time()
+    res = _run_level(cores, n_docs)
+    return res, _steal_sec() - s0, time.time() - t0
+
+
+def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
+                     want_pairs: int = 3, max_tries: int = 12,
+                     load_gate: float = 1.5,
+                     steal_gate: float = 0.04) -> int:
+    """Steal-gated variant: this VM has a noisy neighbor whose bursts can
+    make a 16-core run measure at 4-core speed (observed pair
+    efficiencies 0.245-1.007 for IDENTICAL code in one session).
+    ``/proc/stat`` exposes hypervisor steal time, the direct signal of
+    neighbor contention: a level counts only when the steal accumulated
+    while it ran is below ``steal_gate`` x wall x vCPUs. The 1-minute
+    load average additionally gates pair START (no point launching into
+    a burst). Noise is one-sided — contention only ever slows a run — so
+    gated pairs estimate the job's true scaling; every attempt is still
+    printed with its loads and steal so nothing is hidden."""
+    n_vcpu = os.cpu_count() or 32
+    effs = []
+    tries = 0
+    while len(effs) < want_pairs and tries < max_tries:
+        tries += 1
+        load = os.getloadavg()[0]
+        if load >= load_gate:
+            print(f"-- try {tries}: load {load:.2f} >= gate {load_gate}, "
+                  "waiting 60s", flush=True)
+            time.sleep(60)
+            continue
+        print(f"-- try {tries}: load {load:.2f}, running pair", flush=True)
+        bw_lo = _bw_probe_gbs()
+        lo, st_lo, w_lo = _run_level_steal(n_small, n_docs)
+        bw_hi = _bw_probe_gbs()
+        hi, st_hi, w_hi = _run_level_steal(n_big, n_docs)
+        bw_end = _bw_probe_gbs()
+        frac_lo = st_lo / (w_lo * n_vcpu)
+        frac_hi = st_hi / (w_hi * n_vcpu)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_big / n_small)
+        # a pair counts only when (a) no steal during either level and
+        # (b) the bandwidth probe saw the same machine before the small
+        # level, between levels, and after the big level. The 25%
+        # tolerance covers the probe's own noise (it runs in the wake of
+        # a JVM teardown); a neighbor saturating the memory controllers
+        # halves it, which is the signal this catches.
+        bw_min, bw_max = min(bw_lo, bw_hi, bw_end), max(bw_lo, bw_hi, bw_end)
+        tainted = (frac_lo >= steal_gate or frac_hi >= steal_gate
+                   or bw_min < 0.75 * bw_max)
+        print(f"   pair eff {eff:.3f} (steal {st_lo:.1f}s/{frac_lo:.1%} "
+              f"small, {st_hi:.1f}s/{frac_hi:.1%} big; bw probe "
+              f"{bw_lo:.1f}/{bw_hi:.1f}/{bw_end:.1f} GB/s)"
+              f"{' TAINTED, discarded' if tainted else ''}", flush=True)
+        if not tainted:
+            effs.append(round(eff, 3))
+    shutil.rmtree(_input_path(n_docs), ignore_errors=True)
+    effs.sort()
+    summary = {
+        "metric": f"scaling_efficiency_{n_small}_to_{n_big}_calm",
+        "value": effs[len(effs) // 2] if effs else None,
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "pair_efficiencies": effs,
+        "load_gate": load_gate,
+        "steal_gate": steal_gate,
+        "tries": tries,
+        "pass_geq_0_8": bool(effs) and effs[len(effs) // 2] >= 0.8,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "calm":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS_DEFAULT
+        lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        hi = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+        sys.exit(orchestrate_calm(n, lo, hi))
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
