@@ -43,13 +43,45 @@ _TOKEN_RE = re.compile(
 )
 
 # Conservative subset for the attribute body we parse ourselves:
-# whitespace-separated lowercase names, optionally ="..." with no & < >
-# inside, optional trailing /.
+# whitespace-separated names, values double-quoted / single-quoted / a
+# simple bare token, optional trailing /. Everything stdlib's
+# attrfind_tolerant additionally accepts (multi-'=' values, '/' inside
+# bare values, names not preceded by whitespace, stray quotes) bails to
+# the stdlib parser instead of being guessed at.
+_BARE_VALUE = r"[-a-zA-Z0-9_.:#%?+,@!~*()/]+"
+# Self-closing is the grammar's standalone trailing '/', which can only
+# follow whitespace, a quote, or the tag name — stdlib swallows a '/'
+# straight after a BARE value into the value ('<p a=b/>' is a plain
+# starttag with value 'b/'), and the greedy bare pattern reproduces
+# exactly that: the selfclose group can never match after a bare char.
 _ATTRS_OK_RE = re.compile(
-    r"""(?:\s+[a-zA-Z][-a-zA-Z0-9_]*(?:\s*=\s*"[^"<>&]*")?)*\s*/?$""")
+    r"""(?:\s+[a-zA-Z][-a-zA-Z0-9_:.]*"""
+    r"""(?:\s*=\s*(?:"[^"]*"|'[^']*'|""" + _BARE_VALUE + r"""))?)*"""
+    r"""\s*(?P<selfclose>(?<![^\s"'])/)?$""")
 
 _ATTR_RE = re.compile(
-    r"""\s+([a-zA-Z][-a-zA-Z0-9_]*)(?:\s*=\s*"([^"]*)")?""")
+    r"""\s+([a-zA-Z][-a-zA-Z0-9_:.]*)"""
+    r"""(?:\s*=\s*("[^"]*"|'[^']*'|""" + _BARE_VALUE + r"""))?""")
+
+
+def _parse_attrs(attrs_raw: str):
+    """Parse a verified attribute body into html.parser's attr list:
+    names lowered, quotes stripped, non-empty values unescaped — the
+    exact order of operations of HTMLParser.parse_starttag. Returns
+    ``(attrs, selfclosing)``, or None when the body leaves the subset."""
+    ok = _ATTRS_OK_RE.fullmatch(attrs_raw)
+    if not ok:
+        return None
+    attrs = []
+    for m in _ATTR_RE.finditer(attrs_raw):
+        v = m.group(2)
+        if v is not None:
+            if v[0] in "\"'":
+                v = v[1:-1]
+            if v:
+                v = _html.unescape(v)
+        attrs.append((m.group(1).lower(), v))
+    return attrs, ok.group("selfclose") is not None
 
 # Constructs the plain-segment tokenizer cannot express; the outer scan
 # consumes them with stdlib-equal semantics. Ordered alternation: the
@@ -99,16 +131,13 @@ def _tokenize_segment(text: str, extractor) -> bool:
                 return False
             handle_endtag(name.lower())
         elif attrs_raw:
-            if not _ATTRS_OK_RE.fullmatch(attrs_raw):
+            parsed = _parse_attrs(attrs_raw)
+            if parsed is None:
                 return False
-            attrs = [
-                (a.group(1).lower(),
-                 unescape(a.group(2)) if a.group(2) is not None else None)
-                for a in _ATTR_RE.finditer(attrs_raw)
-            ]
+            attrs, selfclosing = parsed
             name = name.lower()
             handle_starttag(name, attrs)
-            if attrs_raw.endswith("/"):
+            if selfclosing:
                 # html.parser handle_startendtag default: start then end
                 handle_endtag(name)
         else:
@@ -175,19 +204,16 @@ def tokenize_fast(text: str, extractor) -> bool:
                 return False
             name = t.group("name").lower()
             attrs_raw = t.group("attrs")
+            selfclosing = False
             if attrs_raw:
-                if not _ATTRS_OK_RE.fullmatch(attrs_raw):
+                parsed = _parse_attrs(attrs_raw)
+                if parsed is None:
                     return False
-                attrs = [
-                    (a.group(1).lower(),
-                     _html.unescape(a.group(2)) if a.group(2) is not None
-                     else None)
-                    for a in _ATTR_RE.finditer(attrs_raw)
-                ]
+                attrs, selfclosing = parsed
             else:
                 attrs = []
             extractor.handle_starttag(name, attrs)
-            if attrs_raw and attrs_raw.endswith("/"):
+            if selfclosing:
                 # '<script/>': stdlib handle_startendtag — start+end, no
                 # CDATA mode entered
                 extractor.handle_endtag(name)

@@ -79,18 +79,35 @@ ADVERSARIAL_ACCEPT = [
     b"</table></body></html>",
     b'<html><body><p><span class="formula" data-latex="x"></span>'
     b"<!-- c -->t</p></body></html>",
+    # widened attribute subset (stdlib parse_starttag order of operations:
+    # lower name, strip quotes, unescape non-empty value):
+    b"<html><body><p class='single'>single quotes</p></body></html>",
+    b"<html><body><p data-x=\"a&amp;b\">entity in attr</p></body></html>",
+    b"<html><body><p foo=bar>unquoted value</p></body></html>",
+    b"<html><body><script type=text/javascript>var x;</script>"
+    b"<p>bare mime value</p></body></html>",
+    # stdlib swallows '/' after a bare value INTO the value - plain
+    # starttag with value 'b/', never a self-close:
+    b"<html><body><p a=b/>bare slash into value</p></body></html>",
+    b"<html><body><a href=https://x.example/y>unquoted url</a>"
+    b"<p>t</p></body></html>",
+    b"<html><body><img src=/img/x.png alt='q' /><p>s</p></body></html>",
+    b"<html><body><p a=''>empty single</p><p b=\"\">empty double</p>"
+    b"</body></html>",
+    b"<html><body><p xml:lang=en aria-hidden='true'>subset names</p>"
+    b"</body></html>",
 ]
 
 ADVERSARIAL_FALLBACK = [
     b"<html><body><p>stray < bracket</p></body></html>",
-    b"<html><body><p class='single'>quotes</p></body></html>",
-    b"<html><body><p data-x=\"a&amp;b\">entity in attr</p></body></html>",
-    b"<html><body><p foo=bar>unquoted</p></body></html>",
     b"<html><body><p><![CDATA[x]]></p></body></html>",  # marked section
     b"<html><body><p",  # truncated tag at EOF
     b"<html><body><p>x</p><!-- unterminated",
     b"<html><body><!weird bogus comment><p>y</p></body></html>",
     b"<html><body><?pi with no close",
+    b"<html><body><p a==b>multi-eq value indicator</p></body></html>",
+    b"<html><body><p a='b'c='d'>attr not after whitespace</p></body></html>",
+    b"<html><body><p -x=1>non-letter attr name</p></body></html>",
 ]
 
 

@@ -29,6 +29,11 @@ _fragment = st.one_of(
         "<script>", "</script>", "</SCRIPT >", "</scriptx>", "<script/>",
         '<script src="a.js">', "<style>", "</style>", "<scripty>",
         "</ script>", "var a < b;", "&amp",
+        # widened attribute grammar edges
+        "<p foo=bar>", "<p a=b/>", "<p a==b>", "<p a='b'c='d'>",
+        "<a href=https://x/y>", "<p a = 'b'>", "<p a=''>", '<p a="">',
+        "<img src=/x.png />", "<p xml:lang=en>", "<p -x=1>",
+        "<script type=text/javascript>", "<p a='b", "a=b/>", "='x'",
     ]),
 )
 
