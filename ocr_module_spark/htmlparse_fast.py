@@ -97,6 +97,37 @@ _CDATA_CLOSE = {                                   # HTMLParser.set_cdata_mode
 }
 
 
+_TAG_OPENER = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ!?/")
+
+
+def _emit_data(seg: str, handle_data, unescape) -> bool:
+    """Emit one inter-tag data stretch with stdlib chunking semantics.
+
+    A literal '<' NOT followed by a tag-opening char ([a-zA-Z!?/]) is one
+    data chunk of its own in html.parser's goahead (scanning resumes
+    right after it), with the surrounding text unescaped per-chunk —
+    replicated exactly here, including a trailing '<' (next char is
+    either a real token's '<', a special's '<', or EOF, all of which
+    stdlib renders as literal data). A '<' that DOES open like a tag but
+    reached us as data means a construct _TOKEN_RE could not express
+    (unterminated/malformed tag): bail to the stdlib parser."""
+    if "<" not in seg:
+        handle_data(unescape(seg) if "&" in seg else seg)
+        return True
+    chunks = seg.split("<")
+    first = chunks[0]
+    if first:
+        handle_data(unescape(first) if "&" in first else first)
+    for rest in chunks[1:]:
+        if rest and rest[0] in _TAG_OPENER:
+            return False
+        handle_data("<")
+        if rest:
+            handle_data(unescape(rest) if "&" in rest else rest)
+    return True
+
+
 def _tokenize_segment(text: str, extractor) -> bool:
     """Drive ``extractor`` over a special-free stretch of markup.
 
@@ -118,10 +149,8 @@ def _tokenize_segment(text: str, extractor) -> bool:
     # list C-side — measured faster than manual index arithmetic, which
     # was ~10% of the whole parse in profiles.
     seg = parts[0]
-    if seg:
-        if "<" in seg:
-            return False
-        handle_data(unescape(seg) if "&" in seg else seg)
+    if seg and not _emit_data(seg, handle_data, unescape):
+        return False
     it = iter(parts)
     next(it)
     for end, name, attrs_raw, seg in zip(it, it, it, it):
@@ -142,10 +171,8 @@ def _tokenize_segment(text: str, extractor) -> bool:
                 handle_endtag(name)
         else:
             handle_starttag(name.lower(), [])
-        if seg:
-            if "<" in seg:
-                return False
-            handle_data(unescape(seg) if "&" in seg else seg)
+        if seg and not _emit_data(seg, handle_data, unescape):
+            return False
     return True
 
 

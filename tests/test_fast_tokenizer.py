@@ -96,10 +96,18 @@ ADVERSARIAL_ACCEPT = [
     b"</body></html>",
     b"<html><body><p xml:lang=en aria-hidden='true'>subset names</p>"
     b"</body></html>",
+    # literal '<' in text: stdlib emits a '<' not followed by [a-zA-Z!?/]
+    # as a one-char data chunk (surrounding text unescaped per-chunk)
+    b"<html><body><p>stray < bracket</p></body></html>",
+    b"<html><body><p>math: 1 < 2 < 3 and a << b</p></body></html>",
+    b"<html><body><p>&amp< entity chunked before bracket</p></body></html>",
+    b"<html><body><p>i <3 you</p></body></html>",
+    b"<html><body><p>trailing<",
 ]
 
 ADVERSARIAL_FALLBACK = [
-    b"<html><body><p>stray < bracket</p></body></html>",
+    b"<html><body><p>a < b but c<d opens a tag</p></body></html>",
+    b"<html><body><p>x</ p>whitespace end tag</p></body></html>",
     b"<html><body><p><![CDATA[x]]></p></body></html>",  # marked section
     b"<html><body><p",  # truncated tag at EOF
     b"<html><body><p>x</p><!-- unterminated",

@@ -34,6 +34,8 @@ _fragment = st.one_of(
         "<a href=https://x/y>", "<p a = 'b'>", "<p a=''>", '<p a="">',
         "<img src=/x.png />", "<p xml:lang=en>", "<p -x=1>",
         "<script type=text/javascript>", "<p a='b", "a=b/>", "='x'",
+        # literal-bracket data edges
+        "1 < 2", "<<", "x<", "</ p>", "< !", "&amp<", "<3",
     ]),
 )
 
