@@ -91,6 +91,9 @@ _SPECIAL_RE = re.compile(r"<!--|<!|<\?|<(?:script|style)(?=[\s/>])", re.I)
 
 # stdlib html.parser resume rules, replicated exactly:
 _COMMENTCLOSE_RE = re.compile(r"--\s*>")           # _markupbase.parse_comment
+_SECT_NAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")  # _declname_match
+_MS_CLOSE_RE = re.compile(r"]\s*]\s*>")            # _markedsectionclose
+_MS_CLOSE_MSIE_RE = re.compile(r"]\s*>")           # _msmarkedsectionclose
 _CDATA_CLOSE = {                                   # HTMLParser.set_cdata_mode
     "script": re.compile(r"</\s*script\s*>", re.I),
     "style": re.compile(r"</\s*style\s*>", re.I),
@@ -208,16 +211,44 @@ def tokenize_fast(text: str, extractor) -> bool:
                 return False
             pos = close.end()
         elif tok == "<!":
-            # HTMLParser.parse_html_declaration: a '<!doctype' ends at the
-            # first '>' after i+9 (quotes/brackets NOT respected — covers
-            # PUBLIC doctypes too); handle_decl is a no-op for the
-            # extractor. Marked sections '<![' and bogus comments bail.
-            if text[start:start + 9].lower() != "<!doctype":
-                return False
-            gt = text.find(">", start + 9)
-            if gt < 0:
-                return False
-            pos = gt + 1
+            # HTMLParser.parse_html_declaration dispatch (comment handled
+            # above): marked section, then doctype, then bogus comment —
+            # each produces only no-op callbacks (unknown_decl /
+            # handle_decl / handle_comment), so consuming at the exact
+            # stdlib resume position is the entire contract.
+            if text.startswith("<![", start):
+                # _markupbase.parse_marked_section: name via
+                # _declname_match from i+3; cdata-class names close at
+                # ']\s*]\s*>', MSIE conditionals at ']\s*>', both
+                # searched from i+3; any other name raises in stdlib
+                # (→ partial-result path) and an unterminated section is
+                # incomplete — both bail here.
+                m2 = _SECT_NAME_RE.match(text, start + 3)
+                if m2 is None or m2.end() == len(text):
+                    return False
+                sect = m2.group().strip().lower()
+                if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    close = _MS_CLOSE_RE.search(text, start + 3)
+                elif sect in ("if", "else", "endif"):
+                    close = _MS_CLOSE_MSIE_RE.search(text, start + 3)
+                else:
+                    return False
+                if close is None:
+                    return False
+                pos = close.end()
+            elif text[start:start + 9].lower() == "<!doctype":
+                # ends at the first '>' after i+9 (quotes/brackets NOT
+                # respected — covers PUBLIC doctypes too)
+                gt = text.find(">", start + 9)
+                if gt < 0:
+                    return False
+                pos = gt + 1
+            else:
+                # parse_bogus_comment: first '>' from i+2
+                gt = text.find(">", start + 2)
+                if gt < 0:
+                    return False
+                pos = gt + 1
         elif tok == "<?":
             # HTMLParser.parse_pi: ends at the first '>' from i+2;
             # handle_pi is a no-op for the extractor

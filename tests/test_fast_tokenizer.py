@@ -103,15 +103,22 @@ ADVERSARIAL_ACCEPT = [
     b"<html><body><p>&amp< entity chunked before bracket</p></body></html>",
     b"<html><body><p>i <3 you</p></body></html>",
     b"<html><body><p>trailing<",
+    # marked sections (unknown_decl no-op; ']\\s*]\\s*>' close) and MSIE
+    # conditionals (']\\s*>'), bogus comments (first '>' from i+2)
+    b"<html><body><p><![CDATA[raw <p>not a tag</p>]]>after</p></body></html>",
+    b"<html><body><![if !IE]><p>msie cond</p><![endif]></body></html>",
+    b"<html><body><!weird bogus comment><p>y</p></body></html>",
+    b"<html><body><!><p>empty bogus</p></body></html>",
 ]
 
 ADVERSARIAL_FALLBACK = [
     b"<html><body><p>a < b but c<d opens a tag</p></body></html>",
     b"<html><body><p>x</ p>whitespace end tag</p></body></html>",
-    b"<html><body><p><![CDATA[x]]></p></body></html>",  # marked section
+    b"<html><body><p>a</p><![CDATA[unterminated",
+    b"<html><body><![weird]]><p>unknown section name</p></body></html>",
+    b"<html><body><!unterminated bogus",
     b"<html><body><p",  # truncated tag at EOF
     b"<html><body><p>x</p><!-- unterminated",
-    b"<html><body><!weird bogus comment><p>y</p></body></html>",
     b"<html><body><?pi with no close",
     b"<html><body><p a==b>multi-eq value indicator</p></body></html>",
     b"<html><body><p a='b'c='d'>attr not after whitespace</p></body></html>",

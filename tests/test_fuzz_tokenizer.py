@@ -36,6 +36,9 @@ _fragment = st.one_of(
         "<script type=text/javascript>", "<p a='b", "a=b/>", "='x'",
         # literal-bracket data edges
         "1 < 2", "<<", "x<", "</ p>", "< !", "&amp<", "<3",
+        # marked sections / bogus comments
+        "<![CDATA[x]]>", "<![CDATA[", "]]>", "<![if !IE]>", "<![endif]>",
+        "<![weird]]>", "<!bogus>", "<!>", "<![CDATA[<p>a</p>]]>",
     ]),
 )
 
