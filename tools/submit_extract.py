@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import sys
+
+# on a cluster the package arrives via --py-files; for local smoke runs
+# resolve it from the repo checkout (same convention as tools/parity_check)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main(argv=None) -> int:
@@ -40,6 +45,11 @@ def main(argv=None) -> int:
                          "(see sinks.py header for the spark-submit conf)")
     ap.add_argument("--table", default=None,
                     help="Iceberg table identifier (catalog.db.table)")
+    ap.add_argument("--lineage", action="store_true",
+                    help="after the run, print a per-partition lineage "
+                         "summary for this batch (skew + failure "
+                         "distribution; aggregated engine-side, never a "
+                         "full partition list on the driver)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -56,6 +66,19 @@ def main(argv=None) -> int:
                                    num_partitions=args.repartition,
                                    sink=args.sink, table=args.table)
     print(json.dumps(metrics))
+    if args.lineage and args.sink == "parquet" and metrics.get("docs_out"):
+        from pyspark.sql import functions as F
+        lin = sinks.partition_lineage(spark, args.output,
+                                      batch_id=metrics["batch_id"])
+        summary = lin.agg(
+            F.count(F.lit(1)).alias("partitions"),
+            F.min("docs").alias("docs_min"),
+            F.expr("percentile_approx(docs, 0.5)").alias("docs_median"),
+            F.max("docs").alias("docs_max"),
+            F.sum("docs_failed").alias("docs_failed"),
+            F.sum("docs_mismatched").alias("docs_mismatched"),
+        ).collect()[0].asDict()
+        print(json.dumps({"lineage": summary}))
     spark.stop()
     return 0
 
