@@ -47,33 +47,60 @@ _TOKEN_RE = re.compile(
 # simple bare token, optional trailing /. Everything stdlib's
 # attrfind_tolerant additionally accepts (multi-'=' values, '/' inside
 # bare values, names not preceded by whitespace, stray quotes) bails to
-# the stdlib parser instead of being guessed at.
+# the stdlib parser instead of being guessed at. The grammar is
+# `(_ATTR_RE unit)* then _ATTRS_TAIL_RE`, verified by the single tiling
+# pass in _parse_attrs.
 _BARE_VALUE = r"[-a-zA-Z0-9_.:#%?+,@!~*()/]+"
 # Self-closing is the grammar's standalone trailing '/', which can only
 # follow whitespace, a quote, or the tag name — stdlib swallows a '/'
 # straight after a BARE value into the value ('<p a=b/>' is a plain
 # starttag with value 'b/'), and the greedy bare pattern reproduces
 # exactly that: the selfclose group can never match after a bare char.
-_ATTRS_OK_RE = re.compile(
-    r"""(?:\s+[a-zA-Z][-a-zA-Z0-9_:.]*"""
-    r"""(?:\s*=\s*(?:"[^"]*"|'[^']*'|""" + _BARE_VALUE + r"""))?)*"""
-    r"""\s*(?P<selfclose>(?<![^\s"'])/)?$""")
-
 _ATTR_RE = re.compile(
     r"""\s+([a-zA-Z][-a-zA-Z0-9_:.]*)"""
     r"""(?:\s*=\s*("[^"]*"|'[^']*'|""" + _BARE_VALUE + r"""))?""")
 
+# What may follow the last attribute: optional whitespace and the
+# standalone selfclose '/' under the same lookbehind as _ATTRS_OK_RE.
+# Anchored with .match at the resume position, so the lookbehind still
+# sees the character before it in the original string.
+_ATTRS_TAIL_RE = re.compile(r"""\s*(?P<selfclose>(?<![^\s"'])/)?$""")
+
+
+# Memo of raw attribute body → parse result. Real pages repeat attr
+# bodies heavily (class=/rel=/charset= chrome: 99.8% repeat rate on the
+# synthetic corpus, 41 distinct bodies in 20k); the value is a pure
+# function of the key, so a process-wide cache keeps per-document
+# determinism. Callers never mutate the shared attrs list (handlers only
+# iterate it). Bounded: cleared wholesale past _ATTRS_CACHE_MAX entries
+# (adversarial all-unique-attrs input degrades to cache-miss speed, no
+# memory growth).
+_ATTRS_CACHE: dict = {}
+_ATTRS_CACHE_MAX = 8192
+_ATTRS_BAIL = object()          # cached "leaves the subset" verdict
+
 
 def _parse_attrs(attrs_raw: str):
-    """Parse a verified attribute body into html.parser's attr list:
+    """Parse and verify an attribute body into html.parser's attr list:
     names lowered, quotes stripped, non-empty values unescaped — the
     exact order of operations of HTMLParser.parse_starttag. Returns
-    ``(attrs, selfclosing)``, or None when the body leaves the subset."""
-    ok = _ATTRS_OK_RE.fullmatch(attrs_raw)
-    if not ok:
-        return None
+    ``(attrs, selfclosing)``, or None when the body leaves the subset.
+
+    Single pass: successive anchored ``_ATTR_RE`` matches must tile the
+    string up to ``_ATTRS_TAIL_RE``. Equivalent to the former
+    ``_ATTRS_OK_RE.fullmatch`` + ``finditer`` double scan because the
+    attribute unit regex is identical and each unit's greedy first match
+    is final (no tail-driven backtracking can reinterpret a unit: the
+    tail accepts only ``\\s*/?$`` and no unit alternative ends earlier to
+    expose it — property-tested in tests/test_fast_tokenizer.py)."""
+    cached = _ATTRS_CACHE.get(attrs_raw)
+    if cached is not None:
+        return None if cached is _ATTRS_BAIL else cached
     attrs = []
-    for m in _ATTR_RE.finditer(attrs_raw):
+    pos = 0
+    attr_match = _ATTR_RE.match
+    m = attr_match(attrs_raw, 0)
+    while m is not None:
         v = m.group(2)
         if v is not None:
             if v[0] in "\"'":
@@ -81,7 +108,15 @@ def _parse_attrs(attrs_raw: str):
             if v:
                 v = _html.unescape(v)
         attrs.append((m.group(1).lower(), v))
-    return attrs, ok.group("selfclose") is not None
+        pos = m.end()
+        m = attr_match(attrs_raw, pos)
+    tail = _ATTRS_TAIL_RE.match(attrs_raw, pos)
+    res = None if tail is None \
+        else (attrs, tail.group("selfclose") is not None)
+    if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
+        _ATTRS_CACHE.clear()
+    _ATTRS_CACHE[attrs_raw] = _ATTRS_BAIL if res is None else res
+    return res
 
 # Constructs the plain-segment tokenizer cannot express; the outer scan
 # consumes them with stdlib-equal semantics. Ordered alternation: the
@@ -174,8 +209,13 @@ def _tokenize_segment(text: str, extractor) -> bool:
                 handle_endtag(name)
         else:
             handle_starttag(name.lower(), [])
-        if seg and not _emit_data(seg, handle_data, unescape):
-            return False
+        if seg:
+            # '<'-free data stretch inlined (the common case — one call
+            # saved per token); _emit_data handles the literal-'<' split
+            if "<" not in seg:
+                handle_data(unescape(seg) if "&" in seg else seg)
+            elif not _emit_data(seg, handle_data, unescape):
+                return False
     return True
 
 

@@ -145,3 +145,33 @@ def test_fixture_corpus_equivalence():
     fixtures = pathlib.Path(__file__).parent / "fixtures"
     for f in sorted(fixtures.glob("h*.html")):
         _assert_equivalent(f.read_bytes())
+
+
+def test_parse_attrs_memo_semantics():
+    """The attr-body memo is a pure-function cache: warm results equal
+    cold ones (including the cached bail verdict), and the bound clears
+    the table instead of growing it."""
+    from ocr_module_spark import htmlparse_fast as hf
+
+    cases = [
+        ' class="nav" href="/x"', " a=b/", ' a="x"/', " a", "",
+        " a==b",          # leaves the subset -> None, cached as BAIL
+        " -x=1",          # non-letter name -> None
+        ' x="1" y', " x='q' /",
+    ]
+    hf._ATTRS_CACHE.clear()
+    cold = [hf._parse_attrs(c) for c in cases]
+    warm = [hf._parse_attrs(c) for c in cases]
+    assert cold == warm
+    # a second cold pass (cache cleared again) also matches
+    hf._ATTRS_CACHE.clear()
+    assert [hf._parse_attrs(c) for c in cases] == cold
+    # bail verdicts are cached too, still reported as None
+    assert hf._ATTRS_CACHE.get(" a==b") is hf._ATTRS_BAIL
+    assert hf._parse_attrs(" a==b") is None
+    # the bound clears rather than grows
+    hf._ATTRS_CACHE.clear()
+    for i in range(hf._ATTRS_CACHE_MAX + 10):
+        hf._parse_attrs(f' k="{i}"')
+    assert len(hf._ATTRS_CACHE) <= hf._ATTRS_CACHE_MAX + 1
+    hf._ATTRS_CACHE.clear()
