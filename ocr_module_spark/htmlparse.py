@@ -215,6 +215,9 @@ class _Extractor(HTMLParser):
             self._formulablock_ctx += d
 
     def _push(self, tag: str, cls: str) -> int:
+        # NOTE: mirrored inline in handle_starttag's kind-0 fast path —
+        # any change here must be applied there too (pinned by the
+        # fast-vs-stdlib equivalence + golden suites either way)
         f = (self._TAG_FLAGS.get(tag, 0) if not cls
              else self._flags_for(tag, cls))
         path = self._path

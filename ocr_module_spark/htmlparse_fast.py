@@ -61,7 +61,9 @@ _ATTR_RE = re.compile(
     r"""(?:\s*=\s*("[^"]*"|'[^']*'|""" + _BARE_VALUE + r"""))?""")
 
 # What may follow the last attribute: optional whitespace and the
-# standalone selfclose '/' under the same lookbehind as _ATTRS_OK_RE.
+# standalone selfclose '/' guarded by the lookbehind described above
+# (may follow only whitespace, a quote, or the body start — never a
+# bare-value character).
 # Anchored with .match at the resume position, so the lookbehind still
 # sees the character before it in the original string.
 _ATTRS_TAIL_RE = re.compile(r"""\s*(?P<selfclose>(?<![^\s"'])/)?$""")
@@ -72,11 +74,15 @@ _ATTRS_TAIL_RE = re.compile(r"""\s*(?P<selfclose>(?<![^\s"'])/)?$""")
 # synthetic corpus, 41 distinct bodies in 20k); the value is a pure
 # function of the key, so a process-wide cache keeps per-document
 # determinism. Callers never mutate the shared attrs list (handlers only
-# iterate it). Bounded: cleared wholesale past _ATTRS_CACHE_MAX entries
-# (adversarial all-unique-attrs input degrades to cache-miss speed, no
-# memory growth).
+# iterate it). Bounded two ways: cleared wholesale past _ATTRS_CACHE_MAX
+# entries (adversarial all-unique-attrs input degrades to cache-miss
+# speed, no growth) and bodies over _ATTRS_CACHE_MAX_LEN bytes are never
+# cached (unique large values — base64 data: URIs, srcset blobs — must
+# not pin multi-KB strings in a long-lived Spark python worker; long
+# bodies essentially never repeat, so the hit rate is unaffected).
 _ATTRS_CACHE: dict = {}
 _ATTRS_CACHE_MAX = 8192
+_ATTRS_CACHE_MAX_LEN = 256
 _ATTRS_BAIL = object()          # cached "leaves the subset" verdict
 
 
@@ -87,15 +93,17 @@ def _parse_attrs(attrs_raw: str):
     ``(attrs, selfclosing)``, or None when the body leaves the subset.
 
     Single pass: successive anchored ``_ATTR_RE`` matches must tile the
-    string up to ``_ATTRS_TAIL_RE``. Equivalent to the former
-    ``_ATTRS_OK_RE.fullmatch`` + ``finditer`` double scan because the
-    attribute unit regex is identical and each unit's greedy first match
-    is final (no tail-driven backtracking can reinterpret a unit: the
-    tail accepts only ``\\s*/?$`` and no unit alternative ends earlier to
-    expose it — property-tested in tests/test_fast_tokenizer.py)."""
-    cached = _ATTRS_CACHE.get(attrs_raw)
-    if cached is not None:
-        return None if cached is _ATTRS_BAIL else cached
+    string up to ``_ATTRS_TAIL_RE``. Equivalent to verifying with one
+    ``fullmatch`` of ``(unit)*tail`` because each unit's greedy first
+    match is final: no tail-driven backtracking can reinterpret a unit —
+    the tail accepts only ``\\s*/?$``, and any shorter unit ending
+    exposes a character the tail cannot take (property-tested in
+    tests/test_fast_tokenizer.py)."""
+    cacheable = len(attrs_raw) <= _ATTRS_CACHE_MAX_LEN
+    if cacheable:
+        cached = _ATTRS_CACHE.get(attrs_raw)
+        if cached is not None:
+            return None if cached is _ATTRS_BAIL else cached
     attrs = []
     pos = 0
     attr_match = _ATTR_RE.match
@@ -113,9 +121,10 @@ def _parse_attrs(attrs_raw: str):
     tail = _ATTRS_TAIL_RE.match(attrs_raw, pos)
     res = None if tail is None \
         else (attrs, tail.group("selfclose") is not None)
-    if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
-        _ATTRS_CACHE.clear()
-    _ATTRS_CACHE[attrs_raw] = _ATTRS_BAIL if res is None else res
+    if cacheable:
+        if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
+            _ATTRS_CACHE.clear()
+        _ATTRS_CACHE[attrs_raw] = _ATTRS_BAIL if res is None else res
     return res
 
 # Constructs the plain-segment tokenizer cannot express; the outer scan
