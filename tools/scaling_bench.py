@@ -179,7 +179,8 @@ def _run_level_steal(cores: int, n_docs: int):
 def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
                      want_pairs: int = 3, max_tries: int = 12,
                      load_gate: float = 1.5,
-                     steal_gate: float = 0.04) -> int:
+                     steal_gate: float = 0.04,
+                     bw_floor_gbs: float = 0.0) -> int:
     """Steal-gated variant: this VM has a noisy neighbor whose bursts can
     make a 16-core run measure at 4-core speed (observed pair
     efficiencies 0.245-1.007 for IDENTICAL code in one session).
@@ -217,8 +218,15 @@ def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
         # a JVM teardown); a neighbor saturating the memory controllers
         # halves it, which is the signal this catches.
         bw_min, bw_max = min(bw_lo, bw_hi, bw_end), max(bw_lo, bw_hi, bw_end)
+        # the relative band catches a neighbor arriving/leaving MID-pair;
+        # the absolute floor (opt-in) catches a UNIFORMLY degraded window
+        # — a neighbor saturating the memory controllers for the whole
+        # pair passes the relative check while slowing both levels and,
+        # because the faster parser is proportionally more bandwidth-
+        # bound at 16 cores than at 4, one-sidedly deflating efficiency
         tainted = (frac_lo >= steal_gate or frac_hi >= steal_gate
-                   or bw_min < 0.75 * bw_max)
+                   or bw_min < 0.75 * bw_max
+                   or bw_min < bw_floor_gbs)
         print(f"   pair eff {eff:.3f} (steal {st_lo:.1f}s/{frac_lo:.1%} "
               f"small, {st_hi:.1f}s/{frac_hi:.1%} big; bw probe "
               f"{bw_lo:.1f}/{bw_hi:.1f}/{bw_end:.1f} GB/s)"
@@ -235,6 +243,7 @@ def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
         "pair_efficiencies": effs,
         "load_gate": load_gate,
         "steal_gate": steal_gate,
+        "bw_floor_gbs": bw_floor_gbs,
         "tries": tries,
         "pass_geq_0_8": bool(effs) and effs[len(effs) // 2] >= 0.8,
     }
@@ -249,7 +258,10 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS_DEFAULT
         lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
         hi = int(sys.argv[4]) if len(sys.argv) > 4 else 16
-        sys.exit(orchestrate_calm(n, lo, hi))
+        floor = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+        tries = int(sys.argv[6]) if len(sys.argv) > 6 else 12
+        sys.exit(orchestrate_calm(n, lo, hi, bw_floor_gbs=floor,
+                                  max_tries=tries))
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
