@@ -625,6 +625,151 @@ FROM documents d LEFT JOIN decision dec ON d.doc_id = dec.doc_id
 SQL_DEDUP_KEEP_LIST = _sql_keep_list()
 
 
+SPAN_K = 10                 # words per exact-dedup span (C4 uses 3 sentences)
+
+
+def span_dedup_frame(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """C4-style exact span dedup across the whole corpus: every disjoint
+    ``k``-word span that occurs more than once anywhere is removed from
+    every document except its canonical first occurrence (min
+    ``(doc_id, span_no)``), and each document's kept text is reassembled
+    in span order — the "discard all but one of any three-sentence span
+    occurring more than once" rule of the C4 recipe, at word-span
+    granularity so it composes with the whitespace tokenizer the rest of
+    the suite uses.
+
+    Returns one row per document: span counts, how many spans were
+    duplicated / dropped, the post-dedup word count, and the md5 of the
+    reassembled kept text (hash-verified cross-engine, so the oracle pins
+    the reassembly byte-for-byte without shipping the text through the
+    driver compare).
+
+    Scale shape (the reason this form survives 10^12 docs):
+
+    * span build is a per-row PROJECTION (``transform(sequence(...))`` +
+      one ``posexplode``) — no shuffle before the spans exist, row blowup
+      bounded by n_words/k (~1/k of the token count);
+    * the duplicate decision is ONE ``groupBy`` on a 32-char span hash
+      with tiny aggregate state (count + min struct) — partial (map-side)
+      aggregation soaks up locally repeated boilerplate spans before the
+      exchange;
+    * the verdict rejoins on the same hash key (AQE co-locates the two
+      shuffles; a span duplicated 10^9 times is one decision row, so the
+      join fans out 1:1 with occurrences and AQE skew-split handles hot
+      boilerplate keys);
+    * reassembly is one ``groupBy doc_id`` of (span_no, span) pairs —
+      the same A1/A2 ordered-reassembly shape as the extraction sink.
+
+    NULL/empty text yields zero spans and an empty kept text (not a
+    dropped row), so the corpus grain is preserved — one verdict row per
+    input document, same as dedup_keep_list.
+    """
+    w = (F.when(F.col("text").isNull()
+                | (F.length(F.trim("text")) == 0),
+                F.array().cast("array<string>"))
+         .otherwise(F.split(F.trim("text"), r"\s+")))
+    d = docs.select("doc_id", w.alias("w")).withColumn("n_w", F.size("w"))
+    spans_arr = F.when(
+        F.col("n_w") >= k,
+        F.expr(f"transform(sequence(0, cast(n_w / {k} as int) - 1), "
+               f"i -> array_join(slice(w, i * {k} + 1, {k}), ' '))")
+    ).otherwise(F.array().cast("array<string>"))
+    spans = (d.select("doc_id", F.posexplode(spans_arr)
+                      .alias("span_no", "span"))
+             .withColumn("h", F.md5(F.col("span").cast("binary"))))
+    decision = spans.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "span_no")).alias("first"))
+    flagged = (spans.join(decision, "h")
+               .withColumn("keep_span",
+                           (F.col("n_occ") == 1)
+                           | ((F.col("first.doc_id") == F.col("doc_id"))
+                              & (F.col("first.span_no")
+                                 == F.col("span_no")))))
+    per_doc = (flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_spans"),
+        F.sum((~F.col("keep_span")).cast("int")).alias("n_dropped_spans"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("keep_span"), F.struct("span_no", "span"))))
+        .alias("kept")))
+    tail = F.expr(f"array_join(slice(w, cast(n_w / {k} as int) * {k} + 1, "
+                  f"n_w - cast(n_w / {k} as int) * {k}), ' ')")
+    out = (d.withColumn("tail_s", tail)
+           .join(per_doc, "doc_id", "left")
+           .withColumn("kept_body",
+                       F.expr("array_join(transform(kept, s -> s.span), "
+                              "' ')")))
+    kept_text = F.expr("array_join(filter(array(coalesce(kept_body, ''), "
+                       "tail_s), x -> x != ''), ' ')")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("int")
+        .alias("n_dup_spans"),
+        F.coalesce("n_dropped_spans", F.lit(0)).cast("int")
+        .alias("n_dropped_spans"),
+        (F.col("n_w") - F.coalesce("n_dropped_spans", F.lit(0)) * k)
+        .cast("int").alias("n_kept_words"),
+        F.md5(kept_text.cast("binary")).alias("kept_md5"))
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`span_dedup_frame` over the documents table."""
+    return span_dedup_frame(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), dn AS (
+  SELECT doc_id, w, len(w) AS n_w FROM d
+), s AS (
+  SELECT doc_id, i AS span_no,
+         array_to_string(w[i * {SPAN_K} + 1 : i * {SPAN_K} + {SPAN_K}],
+                         ' ') AS span
+  FROM dn,
+       UNNEST(generate_series(0, CAST(n_w // {SPAN_K} AS BIGINT) - 1))
+       AS g(i)
+  WHERE n_w >= {SPAN_K}
+), dec AS (
+  SELECT md5(span) AS h, count(*) AS n_occ,
+         min({{'d': doc_id, 'c': span_no}}) AS first
+  FROM s GROUP BY 1
+), flagged AS (
+  SELECT s.doc_id, s.span_no, s.span, dec.n_occ,
+         (dec.n_occ = 1 OR (dec.first.d = s.doc_id
+                            AND dec.first.c = s.span_no)) AS keep_span
+  FROM s JOIN dec ON md5(s.span) = dec.h
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+         sum(CASE WHEN keep_span THEN 0 ELSE 1 END) AS n_dropped_spans,
+         coalesce(string_agg(CASE WHEN keep_span THEN span END, ' '
+                             ORDER BY span_no), '') AS kept_body
+  FROM flagged GROUP BY doc_id
+)
+SELECT dn.doc_id,
+       coalesce(p.n_spans, 0)::INTEGER AS n_spans,
+       coalesce(p.n_dup_spans, 0)::INTEGER AS n_dup_spans,
+       coalesce(p.n_dropped_spans, 0)::INTEGER AS n_dropped_spans,
+       (dn.n_w - coalesce(p.n_dropped_spans, 0) * {SPAN_K})::INTEGER
+         AS n_kept_words,
+       -- coalesce both joins: DuckDB array_to_string([]) is NULL where
+       -- Spark array_join([]) is ''
+       md5(coalesce(array_to_string(list_filter(
+             [coalesce(p.kept_body, ''),
+              coalesce(array_to_string(
+                w[(n_w // {SPAN_K}) * {SPAN_K} + 1 : n_w], ' '), '')],
+             x -> x != ''), ' '), '')) AS kept_md5
+FROM dn LEFT JOIN per_doc p ON dn.doc_id = p.doc_id
+"""
+
+
 # dedup_keep_list is registered by decontam.py (the keep-list the driver
 # checks is the full curation decision: dedup AND NOT contaminated).
 # dedup_minhash_signatures / dedup_lsh_buckets keep their queries for
@@ -636,6 +781,7 @@ SQL_DEDUP_KEEP_LIST = _sql_keep_list()
 REGISTRY = {
     "dedup_cc_clusters": (q_dedup_cc_clusters, SQL_DEDUP_CC_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                SQL_DEDUP_EMBEDDING_COSINE),

@@ -42,6 +42,7 @@ DOC_QUERIES = [
     "text_fingerprint",
     "text_rolling_fingerprint",
     "dedup_exact",
+    "dedup_spans",
     "dedup_minhash_signatures",
     "dedup_lsh_buckets",
     "dedup_keep_list",
@@ -85,6 +86,8 @@ def _extra_queries():
                              textstats.SQL_TOKEN_COUNT),
         "text_quality_filter": (textstats.q_quality_filter,
                                 textstats.SQL_QUALITY_FILTER),
+        "text_lang_guess": (textstats.q_lang_guess,
+                            textstats.SQL_LANG_GUESS),
         "text_fingerprint": (textstats.q_fingerprint,
                              textstats.SQL_FINGERPRINT),
         "sample_stratified_hash": (textstats.q_sample_stratified_hash,
