@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from . import pipeline
 from .functions.decontam import ngram_flags_frame
-from .functions.dedup import dedup_decision_frame
+from .functions.dedup import dedup_decision_frame, span_dedup_text
 from .functions.textstats import pii_scrub, quality_frame
 
 
@@ -76,21 +76,35 @@ def curate(spark: SparkSession, pages: DataFrame,
     return curated_from_audit(audit), audit
 
 
-def curated_from_audit(audit: DataFrame, scrub: bool = False) -> DataFrame:
+def curated_from_audit(audit: DataFrame, scrub: bool = False,
+                       span_dedup: bool = False) -> DataFrame:
     """(url, text, n_tokens) of the surviving documents. Callers that
     materialize the audit (localCheckpoint / write) should derive the
     curated output from THAT frame — deriving it from the pre-checkpoint
     plan re-executes the whole decision pipeline a second time.
 
+    ``span_dedup=True`` additionally rewrites the kept text through
+    C4-style exact span dedup (dedup.span_dedup_text) across the
+    SURVIVING corpus — document-level dedup drops whole near-dup docs,
+    span dedup then strips the cross-document boilerplate the doc-level
+    pass cannot see. n_tokens counts the emitted (post-span-dedup) text,
+    because removed spans genuinely leave the token budget.
+
     ``scrub=True`` redacts PII (email/IPv4/phone, textstats.pii_scrub)
     from the emitted text — the production default for a training sink;
     off here because the repo's headline invariant is byte-identical
     extracted text per url vs the reference. n_tokens is counted BEFORE
-    redaction either way (the token-budget number must not change with
-    the redaction dial)."""
-    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    kept = (audit.where("kept")
-            .select("url", "text", n_tokens.alias("n_tokens")))
+    redaction (the token-budget number must not change with the
+    redaction dial)."""
+    kept = audit.where("kept").select("url", "text")
+    if span_dedup:
+        # url is the totally-ordered doc key, same as curate()'s chain
+        kept = (span_dedup_text(
+            kept.select(F.col("url").alias("doc_id"), "text"))
+            .select(F.col("doc_id").alias("url"), "text"))
+    n_tokens = F.when(F.length("text") == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+")))
+    kept = kept.select("url", "text", n_tokens.alias("n_tokens"))
     return pii_scrub(kept) if scrub else kept
 
 

@@ -664,6 +664,34 @@ def span_dedup_frame(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     dropped row), so the corpus grain is preserved — one verdict row per
     input document, same as dedup_keep_list.
     """
+    out, kept_text = _span_dedup_core(docs, k)
+    return out.select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("int")
+        .alias("n_dup_spans"),
+        F.coalesce("n_dropped_spans", F.lit(0)).cast("int")
+        .alias("n_dropped_spans"),
+        (F.col("n_w") - F.coalesce("n_dropped_spans", F.lit(0)) * k)
+        .cast("int").alias("n_kept_words"),
+        F.md5(kept_text.cast("binary")).alias("kept_md5"))
+
+
+def span_dedup_text(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """The content-rewrite form of :func:`span_dedup_frame`: returns
+    ``(doc_id, text, n_dropped_spans)`` with ``text`` REASSEMBLED post-
+    dedup (whitespace-normalized to single spaces by construction) — the
+    frame the curation pipeline chains between the quality gate and the
+    training sink. Same plan as span_dedup_frame; only the projection
+    differs."""
+    out, kept_text = _span_dedup_core(docs, k)
+    return out.select(
+        "doc_id", kept_text.alias("text"),
+        F.coalesce("n_dropped_spans", F.lit(0)).cast("int")
+        .alias("n_dropped_spans"))
+
+
+def _span_dedup_core(docs: DataFrame, k: int):
     w = (F.when(F.col("text").isNull()
                 | (F.length(F.trim("text")) == 0),
                 F.array().cast("array<string>"))
@@ -702,16 +730,7 @@ def span_dedup_frame(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
                               "' ')")))
     kept_text = F.expr("array_join(filter(array(coalesce(kept_body, ''), "
                        "tail_s), x -> x != ''), ' ')")
-    return out.select(
-        "doc_id",
-        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
-        F.coalesce("n_dup_spans", F.lit(0)).cast("int")
-        .alias("n_dup_spans"),
-        F.coalesce("n_dropped_spans", F.lit(0)).cast("int")
-        .alias("n_dropped_spans"),
-        (F.col("n_w") - F.coalesce("n_dropped_spans", F.lit(0)) * k)
-        .cast("int").alias("n_kept_words"),
-        F.md5(kept_text.cast("binary")).alias("kept_md5"))
+    return out, kept_text
 
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,40 @@ def test_curated_urls_unique_and_clean(curated_audit):
     assert {r["url"] for r in cur.collect()} == kept
 
 
+def test_span_dedup_rewrite(spark):
+    """curated_from_audit(span_dedup=True): cross-document boilerplate
+    spans are stripped from all but their canonical occurrence; grain,
+    urls, and the token budget stay consistent. Audit frame constructed
+    directly — the crawl fixture keeps too few docs to plant dups in."""
+    # banner is exactly SPAN_K=10 words, PREPENDED so it aligns to span 0
+    banner = "subscribe to our newsletter for daily updates and offers now"
+    body = {u: f"{u} body word{u[-1]} unique content stream number entry "
+               f"row value cell" for u in ("a", "b", "c")}
+    rows = [
+        ("a", f"{banner} {body['a']}", True),
+        ("b", f"{banner} {body['b']}", True),
+        ("c", body["c"], True),
+        ("d", f"{banner} dropped doc", False),   # not kept: never dedups
+    ]
+    audit = spark.createDataFrame(
+        [(u, t, k, k, False, k) for u, t, k in rows],
+        "url string, text string, quality_keep boolean, dup_keep boolean,"
+        " contaminated boolean, kept boolean")
+    rewritten = curate.curated_from_audit(
+        audit, span_dedup=True).localCheckpoint(eager=True)
+    out = {r["url"]: r for r in rewritten.collect()}
+    # same survivors, same grain — the dropped doc stays dropped
+    assert sorted(out) == ["a", "b", "c"]
+    # exactly ONE canonical occurrence of the banner survives (url "a",
+    # the min url); "b" loses its copy but keeps its own body verbatim
+    assert out["a"]["text"] == f"{banner} {body['a']}"
+    assert out["b"]["text"] == body["b"]
+    assert out["c"]["text"] == body["c"]
+    for r in out.values():
+        expected = 0 if r["text"] == "" else len(r["text"].split())
+        assert r["n_tokens"] == expected
+
+
 def test_single_extraction_scan(spark):
     """The composed pipeline must not re-extract per stage: curate()
     checkpoints the extracted docs once and every gate consumes that

@@ -34,6 +34,11 @@ def main() -> int:
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact email/IPv4/phone in the curated text "
                          "(audit keeps the raw text; counters unchanged)")
+    ap.add_argument("--span-dedup", action="store_true",
+                    help="C4-style exact span dedup across the surviving "
+                         "corpus: strip cross-document boilerplate spans "
+                         "the doc-level keep-list cannot see (rewrites "
+                         "the curated text; audit/counters unchanged)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,7 +56,8 @@ def main() -> int:
     # sinks read the checkpoint (deriving curated from the original plan
     # would re-run extraction/dedup/decontamination a second time)
     audit = audit.localCheckpoint(eager=True)
-    curated = curated_from_audit(audit, scrub=args.scrub_pii)
+    curated = curated_from_audit(audit, scrub=args.scrub_pii,
+                                 span_dedup=args.span_dedup)
 
     out = args.output.rstrip("/")
     cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
