@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ocr_module_spark.functions.dedup import (SPAN_K, q_dedup_spans,
@@ -105,6 +106,49 @@ def test_word_conservation_on_testdata(spark, sf_dir):
     # at least one duplicate span exists in the synthetic corpus (the
     # 30-word vocabulary guarantees span collisions at sf>=0.001)
     assert out.agg(F.sum("n_dropped_spans")).first()[0] > 0
+
+
+def _py_span_dedup(corpus: dict[int, str | None], k: int) -> dict[int, str]:
+    """Pure-Python reference: same keep-first semantics, brutally simple."""
+    spans = {}          # span text -> (count, first (doc_id, span_no))
+    words = {}
+    for doc_id in sorted(corpus):
+        text = corpus[doc_id]
+        w = [] if text is None or not text.strip() else text.strip().split()
+        words[doc_id] = w
+        for i in range(len(w) // k):
+            s = " ".join(w[i * k:(i + 1) * k])
+            cnt, first = spans.get(s, (0, (doc_id, i)))
+            spans[s] = (cnt + 1, min(first, (doc_id, i)))
+    out = {}
+    for doc_id, w in words.items():
+        kept = []
+        for i in range(len(w) // k):
+            s = " ".join(w[i * k:(i + 1) * k])
+            cnt, first = spans[s]
+            if cnt == 1 or first == (doc_id, i):
+                kept.append(s)
+        tail = " ".join(w[(len(w) // k) * k:])
+        out[doc_id] = " ".join(p for p in kept + [tail] if p)
+    return out
+
+
+# small vocab + short docs force heavy span collisions; k=3 so even short
+# docs carry several spans
+_doc = st.lists(st.sampled_from("aa bb cc dd".split()), max_size=14) \
+    .map(" ".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_fuzz_matches_python_reference(spark, docs):
+    corpus = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["kept_md5"]
+           for r in span_dedup_frame(df, k=3).collect()}
+    want = {d: _md5(t) for d, t in _py_span_dedup(corpus, 3).items()}
+    assert got == want
 
 
 def test_span_dedup_plan_shape(spark, sf_dir):
