@@ -23,6 +23,10 @@ QF_MIN_AVG_WLEN = 2
 QF_MAX_AVG_WLEN = 12
 QF_MIN_STOPWORD_RATIO = 0.01
 
+# GPT-2-style pre-tokenizer regex (letter runs / single digits /
+# punctuation) — the portable common-regex-subset token estimator
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
 # PII scrubbing patterns — the common Java-regex / RE2 subset (no
 # alternation, so leftmost-greedy == leftmost-longest and both engines
 # match identical spans). Applied in a fixed order (email → IPv4 →
@@ -132,6 +136,11 @@ def quality_frame(docs: DataFrame) -> DataFrame:
         .alias("avg_word_len"),
         reasons.cast("int").alias("drop_reasons"),
         (reasons == 0).alias("keep"),
+        # BPE-ish token estimate folded into the same scan (the former
+        # text_bpe_token_estimate driver row): the audit frame carries the
+        # training-cost unit the budget-mix selector plans with
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+        .alias("n_bpe_tokens"),
         n_email.alias("n_pii_email"),
         n_ipv4.alias("n_pii_ipv4"),
         n_phone.alias("n_pii_phone"),
@@ -207,6 +216,7 @@ SELECT d.doc_id,
        round(length(text) / greatest(len(w), 1), 4) AS avg_word_len,
        {reasons}::INTEGER AS drop_reasons,
        {reasons} = 0 AS keep,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
        p3.n_pii_email, p3.n_pii_ipv4, p3.n_pii_phone, p3.scrub_md5,
        CASE WHEN len(list_filter(w, x -> lower(x) IN ({_SW_LIST})))
                  / greatest(len(w), 1) >= 0.03
@@ -266,7 +276,6 @@ FROM documents
 """
 
 
-BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 RH_K = 4                    # rolling-hash window (words)
 RH_B = 65599                # polynomial base
 RH_M = 2147483647           # modulus (2^31 - 1)
@@ -575,6 +584,143 @@ FROM t GROUP BY tier, lang
 """
 
 
+MIX_SRC_CAP = 18             # max docs any one source contributes
+MIX_SALTS = 4                # salt fan-out for the skewed-source cap
+MIX_BUCKETS = 64             # hash buckets per tier for the budget cutoff
+MIX_BUDGET_HIGH = 12_000     # whitespace-token budget per tier
+MIX_BUDGET_MID = 3_000
+MIX_BUDGET_LOW = 0
+
+
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture selection — the data-mixing step a training
+    pipeline runs last: cap any one source's (url-host analogue, the
+    crawl-skew axis) contribution, then fill each quality tier's token
+    budget deterministically and drop everything past the cutoff
+    (high → large budget, mid → small, low → zero).
+
+    Scale shape — no global-order window anywhere:
+
+    * **Per-source cap** is a salted two-phase ``row_number``: top-cap
+      per ``(source, doc_id % n_salts)`` first, then top-cap per
+      ``source`` over the ≤ cap×n_salts survivors. Provably equal to the
+      single-window cap (any global top-cap row is in its salt group's
+      top-cap) but a 10^9-page host never lands in one task.
+    * **Budget cutoff** is a bucketed prefix sum: docs hash into
+      64 buckets per tier; one window per ``(tier, bucket)``
+      (well-spread keys) gives the in-bucket running total, a
+      192-row aggregate + broadcast join supplies each bucket's
+      tokens-before offset. Global selection order is
+      ``(bucket, h, doc_id)`` — identical to the oracle's single
+      cumulative window, but the only per-row window key is
+      ``(tier, bucket)``, never ``tier`` alone (3 reducers for the
+      whole corpus is the prefix-sum scale-killer this decomposes).
+      The offset branch re-derives the capped frame (Spark doesn't
+      share subplans across DataFrame branches); a production run
+      checkpoints the capped frame between the two passes.
+
+    Zero-token docs never compete for budget (filtered before the cap).
+    Deterministic, RNG-free: same corpus → same mix, across runs,
+    retries, and engines.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("w", _words())
+    n_words = F.size("w")
+    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
+    fails = ((n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+             | (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10)
+             | (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
+             | (n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)))
+    hi = ((n_words >= TIER_HI_MIN_WORDS)
+          & (n_stop * 100 >= n_words * TIER_HI_STOP_PCT))
+    tier = (F.when(F.coalesce(fails, F.lit(True)), "low")
+            .when(hi, "high").otherwise("mid"))
+    h = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    base = (d.select("doc_id", "lang", "source", tier.alias("tier"),
+                     F.coalesce(n_words, F.lit(0)).cast("long")
+                     .alias("n_tokens"), h.alias("h"))
+            .where(F.col("n_tokens") > 0))
+
+    w1 = Window.partitionBy("source", F.pmod("doc_id", F.lit(MIX_SALTS))) \
+        .orderBy("h", "doc_id")
+    s1 = (base.withColumn("rn", F.row_number().over(w1))
+          .where(F.col("rn") <= MIX_SRC_CAP).drop("rn"))
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    capped = (s1.withColumn("rn", F.row_number().over(w2))
+              .where(F.col("rn") <= MIX_SRC_CAP).drop("rn")
+              .withColumn("bucket", F.pmod("h", F.lit(MIX_BUCKETS))))
+
+    wb = Window.partitionBy("tier", "bucket").orderBy("h", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = capped.withColumn("cum_in_bucket", F.sum("n_tokens").over(wb))
+    # bucket totals: max of the monotone in-bucket running sum (tokens are
+    # strictly positive), aggregated to tiers×buckets rows
+    totals = cum.groupBy("tier", "bucket") \
+        .agg(F.max("cum_in_bucket").alias("bt"))
+    wt = Window.partitionBy("tier").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefix = totals.withColumn(
+        "tokens_before", F.sum("bt").over(wt) - F.col("bt")).drop("bt")
+
+    budget = (F.when(F.col("tier") == "high", MIX_BUDGET_HIGH)
+              .when(F.col("tier") == "mid", MIX_BUDGET_MID)
+              .otherwise(MIX_BUDGET_LOW))
+    sel = (cum.join(F.broadcast(prefix), ["tier", "bucket"])
+           .where(F.col("tokens_before") + F.col("cum_in_bucket") <= budget))
+    return sel.select(
+        "doc_id", "tier", "lang", "n_tokens",
+        (F.col("tokens_before") + F.col("cum_in_bucket")).cast("long")
+        .alias("cum_tokens"))
+
+
+SQL_BUDGET_MIX = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), sig AS (
+  SELECT doc_id, lang, source, len(w) AS n_words,
+         length(text) * 10 / greatest(len(w), 1) AS avg_wlen_x10,
+         len(list_filter(w, x -> lower(x) IN ({_SW_LIST}))) AS n_stop,
+         {hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} AS h
+  FROM d
+), t AS (
+  SELECT doc_id, lang, source, h,
+         coalesce(n_words, 0) AS n_tokens,
+         CASE WHEN coalesce(
+                n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}
+                OR avg_wlen_x10 < {QF_MIN_AVG_WLEN * 10}
+                OR avg_wlen_x10 > {QF_MAX_AVG_WLEN * 10}
+                OR n_stop * 100 < n_words * {int(QF_MIN_STOPWORD_RATIO * 100)},
+                true)
+              THEN 'low'
+              WHEN n_words >= {TIER_HI_MIN_WORDS}
+                   AND n_stop * 100 >= n_words * {TIER_HI_STOP_PCT}
+              THEN 'high' ELSE 'mid' END AS tier
+  FROM sig WHERE coalesce(n_words, 0) > 0
+), capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY h, doc_id) AS rn
+    FROM t) WHERE rn <= {MIX_SRC_CAP}
+), sel AS (
+  SELECT doc_id, tier, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY tier
+                             ORDER BY h % {MIX_BUCKETS}, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM capped
+)
+SELECT doc_id, tier, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM sel
+WHERE cum_tokens <= CASE tier WHEN 'high' THEN {MIX_BUDGET_HIGH}
+                              WHEN 'mid' THEN {MIX_BUDGET_MID}
+                              ELSE {MIX_BUDGET_LOW} END
+"""
+
+
 def _runscan_sql(arr: str) -> str:
     """One linear ``aggregate`` pass over a SORTED string array: the
     longest equal-run (→ the most frequent element; ties resolve to the
@@ -720,7 +866,11 @@ REGISTRY = {
     "text_quality_tiers": (q_quality_tiers, SQL_QUALITY_TIERS),
     "text_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "text_repetition": (q_repetition, SQL_REPETITION),
-    "text_bpe_token_estimate": (q_bpe_token_estimate, SQL_BPE_TOKEN_ESTIMATE),
+    # text_bpe_token_estimate: the per-doc BPE estimate is driver-checked
+    # as text_quality_score.n_bpe_tokens (same scan); the standalone
+    # query + oracle stay on the hostile-parity gate, freeing the 50-row
+    # registry slot for curate_budget_mix.
+    "curate_budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
     "text_rolling_fingerprint": (q_rolling_fingerprint,
                                  SQL_ROLLING_FINGERPRINT),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),

@@ -36,6 +36,7 @@ DOC_QUERIES = [
     "text_token_count",
     "text_repetition",
     "text_bpe_token_estimate",
+    "curate_budget_mix",
     "text_quality_score",
     "text_quality_filter",
     "text_lang_guess",
@@ -84,6 +85,8 @@ def _extra_queries():
                         multimodal.SQL_MM_METADATA),
         "text_token_count": (textstats.q_token_count,
                              textstats.SQL_TOKEN_COUNT),
+        "text_bpe_token_estimate": (textstats.q_bpe_token_estimate,
+                                    textstats.SQL_BPE_TOKEN_ESTIMATE),
         "text_quality_filter": (textstats.q_quality_filter,
                                 textstats.SQL_QUALITY_FILTER),
         "text_lang_guess": (textstats.q_lang_guess,
