@@ -6,6 +6,7 @@ for, as one library call —
       → quality gate                   (textstats.quality_frame, Gopher-style)
       → near-dup keep-list             (dedup.dedup_decision_frame, MinHash-LSH → CC)
       → eval-set decontamination       (decontam.ngram_flags_frame, shingle join)
+      → token-budget mixture selection (mix_from_audit, optional final stage)
       → curated corpus + per-stage counters
 
 Every stage is the same DataFrame builder the driver registry checks in
@@ -25,7 +26,8 @@ from pyspark.sql import functions as F
 from . import pipeline
 from .functions.decontam import ngram_flags_frame
 from .functions.dedup import dedup_decision_frame, span_dedup_text
-from .functions.textstats import pii_scrub, quality_frame
+from .functions.textstats import (_words, budget_select, pii_scrub,
+                                  quality_frame, tier_expr)
 
 
 def curate(spark: SparkSession, pages: DataFrame,
@@ -106,6 +108,30 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
         F.size(F.split(F.trim("text"), r"\s+")))
     kept = kept.select("url", "text", n_tokens.alias("n_tokens"))
     return pii_scrub(kept) if scrub else kept
+
+
+def mix_from_audit(audit: DataFrame,
+                   budgets: dict[str, int] | None = None) -> DataFrame:
+    """Token-budget mixture selection over the curation survivors — the
+    final stage that turns a curated corpus into a training mix. Keyed
+    on the url HOST (the crawl-skew axis the north_rule names): no host
+    contributes more than the cap, then each quality tier's token
+    budget fills deterministically (textstats.budget_select — salted
+    two-phase cap, bucketed prefix-sum cutoff, no tier-only window).
+
+    Returns ``(url, tier, n_tokens, cum_tokens)`` — a decision frame to
+    equi-join the curated output against; text bytes never ride the
+    mix's window shuffles.
+    """
+    kept = pipeline.with_host(audit.where("kept").select("url", "text"))
+    d = kept.withColumn("w", _words())
+    base = d.select(F.col("url").alias("doc_id"),
+                    F.col("url_host").alias("source"),
+                    tier_expr().alias("tier"),
+                    F.coalesce(F.size("w"), F.lit(0)).cast("long")
+                    .alias("n_tokens"))
+    return budget_select(base, budgets).select(
+        F.col("doc_id").alias("url"), "tier", "n_tokens", "cum_tokens")
 
 
 def stage_counters(audit: DataFrame) -> dict:

@@ -519,16 +519,7 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG-free, reproducible across runs/retries/engines."""
     d = _docs(spark, sf_dir).withColumn("w", _words())
     n_words = F.size("w")
-    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
-    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
-    fails = ((n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
-             | (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10)
-             | (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
-             | (n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)))
-    hi = ((n_words >= TIER_HI_MIN_WORDS)
-          & (n_stop * 100 >= n_words * TIER_HI_STOP_PCT))
-    tier = (F.when(F.coalesce(fails, F.lit(True)), "low")
-            .when(hi, "high").otherwise("mid"))
+    tier = tier_expr()
     h = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
     rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN) \
         .otherwise(SAMPLE_RATE_OTHER)
@@ -592,6 +583,82 @@ MIX_BUDGET_MID = 3_000
 MIX_BUDGET_LOW = 0
 
 
+def tier_expr(w_col: str = "w", text_col: str = "text"):
+    """Quality-tier Column (high / mid / low) from the words array —
+    the same integer-scaled signals as the Gopher-style filter; NULL
+    text coalesces to 'low' on both engines. Shared by the tiers
+    rollup, the budget-mix selector, and the curation chain."""
+    n_words = F.size(w_col)
+    avg_wlen_x10 = (F.length(text_col) * 10) / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.expr(f"filter({w_col}, x -> lower(x) IN ({_SW_LIST}))"))
+    fails = ((n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+             | (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10)
+             | (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
+             | (n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)))
+    hi = ((n_words >= TIER_HI_MIN_WORDS)
+          & (n_stop * 100 >= n_words * TIER_HI_STOP_PCT))
+    return (F.when(F.coalesce(fails, F.lit(True)), "low")
+            .when(hi, "high").otherwise("mid"))
+
+
+def budget_select(base: DataFrame,
+                  budgets: dict[str, int] | None = None,
+                  cap: int = MIX_SRC_CAP) -> DataFrame:
+    """Deterministic token-budget selection over any
+    ``(doc_id, source, tier, n_tokens, …passthrough)`` frame — returns
+    the selected rows (all input columns) plus ``cum_tokens``, the
+    tier's running total through each kept doc. ``doc_id`` is any
+    unique orderable key (long or string); the selection order is
+    ``hex4(md5(doc_id))`` — RNG-free, identical across runs, retries,
+    parallelism levels, and engines.
+
+    See :func:`q_budget_mix` for the scale shape (salted two-phase
+    source cap, bucketed prefix-sum cutoff).
+    """
+    from pyspark.sql import Window
+
+    b = budgets or {"high": MIX_BUDGET_HIGH, "mid": MIX_BUDGET_MID,
+                    "low": MIX_BUDGET_LOW}
+    passthrough = base.columns
+    base = (base.withColumn("h", hex4_col(
+                F.md5(F.col("doc_id").cast("string").cast("binary"))))
+            .where(F.col("n_tokens") > 0))
+    # salt only affects physical distribution, never the result — the
+    # engine-internal hash is fine here (no oracle mirror needed)
+    w1 = Window.partitionBy("source",
+                            F.pmod(F.hash("doc_id"), F.lit(MIX_SALTS))) \
+        .orderBy("h", "doc_id")
+    s1 = (base.withColumn("rn", F.row_number().over(w1))
+          .where(F.col("rn") <= cap).drop("rn"))
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    capped = (s1.withColumn("rn", F.row_number().over(w2))
+              .where(F.col("rn") <= cap).drop("rn")
+              .withColumn("bucket", F.pmod("h", F.lit(MIX_BUCKETS))))
+
+    wb = Window.partitionBy("tier", "bucket").orderBy("h", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = capped.withColumn("cum_in_bucket", F.sum("n_tokens").over(wb))
+    # bucket totals: max of the monotone in-bucket running sum (tokens
+    # are strictly positive), aggregated to tiers×buckets rows
+    totals = cum.groupBy("tier", "bucket") \
+        .agg(F.max("cum_in_bucket").alias("bt"))
+    wt = Window.partitionBy("tier").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefix = totals.withColumn(
+        "tokens_before", F.sum("bt").over(wt) - F.col("bt")).drop("bt")
+
+    budget = (F.when(F.col("tier") == "high", b["high"])
+              .when(F.col("tier") == "mid", b["mid"])
+              .otherwise(b["low"]))
+    sel = (cum.join(F.broadcast(prefix), ["tier", "bucket"])
+           .where(F.col("tokens_before") + F.col("cum_in_bucket")
+                  <= budget))
+    return sel.select(
+        *passthrough,
+        (F.col("tokens_before") + F.col("cum_in_bucket")).cast("long")
+        .alias("cum_tokens"))
+
+
 def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture selection — the data-mixing step a training
     pipeline runs last: cap any one source's (url-host analogue, the
@@ -621,58 +688,15 @@ def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Zero-token docs never compete for budget (filtered before the cap).
     Deterministic, RNG-free: same corpus → same mix, across runs,
-    retries, and engines.
+    retries, and engines. (:func:`budget_select` is the frame form the
+    curation chain applies to the extracted corpus keyed on url-host.)
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir).withColumn("w", _words())
-    n_words = F.size("w")
-    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
-    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
-    fails = ((n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
-             | (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10)
-             | (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
-             | (n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)))
-    hi = ((n_words >= TIER_HI_MIN_WORDS)
-          & (n_stop * 100 >= n_words * TIER_HI_STOP_PCT))
-    tier = (F.when(F.coalesce(fails, F.lit(True)), "low")
-            .when(hi, "high").otherwise("mid"))
-    h = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
-    base = (d.select("doc_id", "lang", "source", tier.alias("tier"),
-                     F.coalesce(n_words, F.lit(0)).cast("long")
-                     .alias("n_tokens"), h.alias("h"))
-            .where(F.col("n_tokens") > 0))
-
-    w1 = Window.partitionBy("source", F.pmod("doc_id", F.lit(MIX_SALTS))) \
-        .orderBy("h", "doc_id")
-    s1 = (base.withColumn("rn", F.row_number().over(w1))
-          .where(F.col("rn") <= MIX_SRC_CAP).drop("rn"))
-    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
-    capped = (s1.withColumn("rn", F.row_number().over(w2))
-              .where(F.col("rn") <= MIX_SRC_CAP).drop("rn")
-              .withColumn("bucket", F.pmod("h", F.lit(MIX_BUCKETS))))
-
-    wb = Window.partitionBy("tier", "bucket").orderBy("h", "doc_id") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = capped.withColumn("cum_in_bucket", F.sum("n_tokens").over(wb))
-    # bucket totals: max of the monotone in-bucket running sum (tokens are
-    # strictly positive), aggregated to tiers×buckets rows
-    totals = cum.groupBy("tier", "bucket") \
-        .agg(F.max("cum_in_bucket").alias("bt"))
-    wt = Window.partitionBy("tier").orderBy("bucket") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prefix = totals.withColumn(
-        "tokens_before", F.sum("bt").over(wt) - F.col("bt")).drop("bt")
-
-    budget = (F.when(F.col("tier") == "high", MIX_BUDGET_HIGH)
-              .when(F.col("tier") == "mid", MIX_BUDGET_MID)
-              .otherwise(MIX_BUDGET_LOW))
-    sel = (cum.join(F.broadcast(prefix), ["tier", "bucket"])
-           .where(F.col("tokens_before") + F.col("cum_in_bucket") <= budget))
-    return sel.select(
-        "doc_id", "tier", "lang", "n_tokens",
-        (F.col("tokens_before") + F.col("cum_in_bucket")).cast("long")
-        .alias("cum_tokens"))
+    base = d.select("doc_id", "lang", "source", tier_expr().alias("tier"),
+                    F.coalesce(F.size("w"), F.lit(0)).cast("long")
+                    .alias("n_tokens"))
+    return budget_select(base).select(
+        "doc_id", "tier", "lang", "n_tokens", "cum_tokens")
 
 
 SQL_BUDGET_MIX = f"""

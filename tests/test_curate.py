@@ -101,3 +101,64 @@ def test_single_extraction_scan(spark):
     # Arrow extraction (no MapInArrow / mapInPandas above the scan)
     plan = audit._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_budget_mix_stage_constructed(spark):
+    """mix_from_audit on a constructed audit frame: per-HOST cap bites
+    on the hot host, each tier's budget is respected with exact boundary
+    semantics, low tier and non-kept docs never appear. (Constructed —
+    the crawl fixture keeps too few docs for budgets to matter.)"""
+    from ocr_module_spark.functions.textstats import MIX_SRC_CAP
+
+    def doc(n_pairs):                       # 50% stopwords, wlen 4.5
+        return ("the data " * n_pairs).strip()
+
+    rows, i = [], 0
+
+    def add(n_docs, n_pairs, host, kept=True):
+        nonlocal i
+        for _ in range(n_docs):
+            rows.append((f"https://{host}/d{i:04d}", doc(n_pairs), kept))
+            i += 1
+
+    add(30, 25, "hot.example")               # high tier: capped 30 -> 18
+    for j in range(10):
+        add(7, 25, f"a{j}.example")          # high, under cap
+    for j in range(20):
+        add(10, 10, f"m{j}.example")         # mid: 200 docs x 20 tokens
+    add(30, 3, "junk.example")               # low tier: budget 0
+    add(10, 25, "hot.example", kept=False)   # dropped upstream: invisible
+
+    audit = spark.createDataFrame(
+        [(u, t, k, k, False, k) for u, t, k in rows],
+        "url string, text string, quality_keep boolean, dup_keep boolean,"
+        " contaminated boolean, kept boolean")
+    budgets = {"high": 12_000, "mid": 3_000, "low": 0}
+    got = curate.mix_from_audit(audit, budgets).collect()
+
+    kept_urls = {u for u, _, k in rows if k}
+    assert {r["url"] for r in got} <= kept_urls
+    high = [r for r in got if r["tier"] == "high"]
+    mid = [r for r in got if r["tier"] == "mid"]
+    assert {r["tier"] for r in got} == {"high", "mid"}
+    # hot host: exactly cap docs (its dropped docs don't eat cap slots)
+    hot = [r for r in got if r["url"].startswith("https://hot.example/")]
+    assert len(hot) == MIX_SRC_CAP
+    assert len(high) == MIX_SRC_CAP + 70     # 4400 tokens <= 12000: all in
+    # mid cut exactly at the budget; boundary doc (cum == budget) kept
+    assert sum(r["n_tokens"] for r in mid) == budgets["mid"]
+    assert max(r["cum_tokens"] for r in mid) == budgets["mid"]
+
+
+def test_budget_mix_stage_on_chain(spark, curated_audit):
+    """Smoke over the real extract→…→mix chain: the selection is a
+    non-empty subset of the kept docs with consistent running totals."""
+    cur, audit, _ = curated_audit
+    kept_urls = {r["url"] for r in audit.where("kept").collect()}
+    mix = curate.mix_from_audit(
+        audit, {"high": 10**9, "mid": 10**9, "low": 0}).collect()
+    assert mix and {r["url"] for r in mix} <= kept_urls
+    for tier in {r["tier"] for r in mix}:
+        tr = [r for r in mix if r["tier"] == tier]
+        assert max(r["cum_tokens"] for r in tr) == \
+            sum(r["n_tokens"] for r in tr)

@@ -10,6 +10,8 @@ decontamination (ocr_module_spark.curate) and writes:
 
 * ``<out>/curated``  — (url, text, n_tokens) surviving documents
 * ``<out>/audit``    — per-document stage verdicts (drop-reason dashboard)
+* ``<out>/mix``      — (url, tier, n_tokens, cum_tokens) token-budget
+  mixture selection (``--budget-mix``; curated is restricted to it)
 * stdout             — ONE JSON line of per-stage counters
 """
 
@@ -39,6 +41,12 @@ def main() -> int:
                          "corpus: strip cross-document boilerplate spans "
                          "the doc-level keep-list cannot see (rewrites "
                          "the curated text; audit/counters unchanged)")
+    ap.add_argument("--budget-mix", action="store_true",
+                    help="token-budget mixture selection as the final "
+                         "stage: cap per-host contribution, fill each "
+                         "quality tier's token budget deterministically; "
+                         "writes <out>/mix and restricts <out>/curated "
+                         "to the selected documents")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,11 +68,24 @@ def main() -> int:
                                  span_dedup=args.span_dedup)
 
     out = args.output.rstrip("/")
+    counters = stage_counters(audit)
+    if args.budget_mix:
+        from ocr_module_spark.curate import mix_from_audit
+        mix = mix_from_audit(audit).localCheckpoint(eager=True)
+        mix.write.mode("overwrite").parquet(f"{out}/mix")
+        # decision frame joined back on url — the text column never
+        # rides the mix's window shuffles
+        curated = curated.join(mix.select("url"), "url")
+        agg = mix.selectExpr("count(*) AS docs_mixed",
+                             "coalesce(sum(n_tokens), 0) AS tokens_mixed") \
+            .first()
+        counters["docs_mixed"] = int(agg["docs_mixed"])
+        counters["tokens_mixed"] = int(agg["tokens_mixed"])
     cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
     cur.write.mode("overwrite").parquet(f"{out}/curated")
     audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
 
-    print(json.dumps(stage_counters(audit)))
+    print(json.dumps(counters))
     return 0
 
 
