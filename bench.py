@@ -43,6 +43,20 @@ HEADLINE = [
 ]
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor steal time (shared with tools/scaling_bench)."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tools"))
+    import scaling_bench
+    return scaling_bench._steal_sec()
+
+
+def _bw_probe_gbs() -> float:
+    """256 MB memory-bandwidth probe (shared with tools/scaling_bench)."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tools"))
+    import scaling_bench
+    return scaling_bench._bw_probe_gbs()
+
+
 def _materialize(df) -> None:
     """Execute the full plan without driver collection.
 
@@ -91,6 +105,8 @@ def main() -> int:
     # let a single multi-second load storm poison both measurements,
     # while round-interleaving spaces a query's reps minutes apart so
     # the min survives any storm shorter than a full round
+    steal0 = _steal_sec()
+    bw_start = _bw_probe_gbs()
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _round in range(2):
         for name in HEADLINE:
@@ -99,6 +115,7 @@ def main() -> int:
             times[name] = min(times[name], time.time() - t0)
     times = {k: round(v, 3) for k, v in times.items()}
 
+    bw_end = _bw_probe_gbs()
     n_docs = _n_docs(sf_dir)
     extract_docs_sec = round(n_docs / times["extract_text"], 1)
     total = round(sum(times.values()), 3)
@@ -111,11 +128,16 @@ def main() -> int:
         "cpus": cpus,
         "extract_docs": n_docs,
         "extract_docs_sec": extract_docs_sec,
-        # host contamination marker: this VM has noisy neighbors (load
+        # host contamination markers: this VM has noisy neighbors (load
         # observed up to 4.0 with zero local processes; such windows
-        # inflate the suite ~3x). Compare against BENCH.md's drift band
-        # with this in hand.
+        # inflate the suite ~3x). The steal counter catches vCPU
+        # preemption; the bracketing 256 MB copy probes catch a neighbor
+        # saturating the socket's memory controllers (clean windows read
+        # 7.8-8.0 GB/s on this VM, contended ones 4-6 — BENCH.md §-1).
+        # Compare against BENCH.md's drift band with these in hand.
         "host_load_avg_1m": round(os.getloadavg()[0], 2),
+        "host_steal_cpusec": round(_steal_sec() - steal0, 1),
+        "host_bw_gbs": [round(bw_start, 1), round(bw_end, 1)],
     }
     spark.stop()
     print(json.dumps(out))
