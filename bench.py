@@ -100,15 +100,15 @@ def main() -> int:
     pages_df(spark, 64).count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # best-of-2 with INTERLEAVED rounds (all queries once, then again):
+    # best-of-3 with INTERLEAVED rounds (all queries once, then again…):
     # VM noise is one-sided and bursty — back-to-back reps of one query
-    # let a single multi-second load storm poison both measurements,
-    # while round-interleaving spaces a query's reps minutes apart so
+    # let a single multi-second load storm poison every measurement,
+    # while round-interleaving spaces a query's reps ~a suite apart so
     # the min survives any storm shorter than a full round
     steal0 = _steal_sec()
     bw_start = _bw_probe_gbs()
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _round in range(2):
+    for _round in range(3):
         for name in HEADLINE:
             t0 = time.time()
             _materialize(qs[name](spark, sf_dir))

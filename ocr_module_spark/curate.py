@@ -130,7 +130,7 @@ def mix_from_audit(audit: DataFrame,
                     tier_expr().alias("tier"),
                     F.coalesce(F.size("w"), F.lit(0)).cast("long")
                     .alias("n_tokens"))
-    return budget_select(base, budgets).select(
+    return budget_select(base, budgets, checkpoint=True).select(
         F.col("doc_id").alias("url"), "tier", "n_tokens", "cum_tokens")
 
 

@@ -603,7 +603,8 @@ def tier_expr(w_col: str = "w", text_col: str = "text"):
 
 def budget_select(base: DataFrame,
                   budgets: dict[str, int] | None = None,
-                  cap: int = MIX_SRC_CAP) -> DataFrame:
+                  cap: int = MIX_SRC_CAP,
+                  checkpoint: bool = False) -> DataFrame:
     """Deterministic token-budget selection over any
     ``(doc_id, source, tier, n_tokens, …passthrough)`` frame — returns
     the selected rows (all input columns) plus ``cum_tokens``, the
@@ -614,6 +615,12 @@ def budget_select(base: DataFrame,
 
     See :func:`q_budget_mix` for the scale shape (salted two-phase
     source cap, bucketed prefix-sum cutoff).
+
+    ``checkpoint=True`` localCheckpoints the capped frame so the
+    bucket-totals branch and the selection branch share ONE
+    materialization (Spark doesn't dedupe common subplans across
+    DataFrame branches) — the production setting for pipeline use;
+    the default keeps the registry query fully declarative.
     """
     from pyspark.sql import Window
 
@@ -634,6 +641,10 @@ def budget_select(base: DataFrame,
     capped = (s1.withColumn("rn", F.row_number().over(w2))
               .where(F.col("rn") <= cap).drop("rn")
               .withColumn("bucket", F.pmod("h", F.lit(MIX_BUCKETS))))
+    if checkpoint:
+        # lazy: materialized once by the broadcast (totals) job, reused
+        # by the selection branch
+        capped = capped.localCheckpoint(eager=False)
 
     wb = Window.partitionBy("tier", "bucket").orderBy("h", "doc_id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -682,9 +693,11 @@ def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       cumulative window, but the only per-row window key is
       ``(tier, bucket)``, never ``tier`` alone (3 reducers for the
       whole corpus is the prefix-sum scale-killer this decomposes).
-      The offset branch re-derives the capped frame (Spark doesn't
-      share subplans across DataFrame branches); a production run
-      checkpoints the capped frame between the two passes.
+      The offset branch re-derives the capped frame in this registry
+      form (Spark doesn't share subplans across DataFrame branches);
+      ``budget_select(checkpoint=True)`` — the curation chain's
+      setting — localCheckpoints it so both passes share one
+      materialization.
 
     Zero-token docs never compete for budget (filtered before the cap).
     Deterministic, RNG-free: same corpus → same mix, across runs,
