@@ -116,3 +116,60 @@ def test_plan_shape(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if spec.startswith("tier") and "bucket" not in spec:
             pytest.fail(f"tier-only row window in plan: {spec}")
+
+
+def _py_budget_select(rows, budgets, cap):
+    """Brute-force reference: single-pass cap + cumulative budget in the
+    exact (bucket, h, doc_id) selection order — no salting, no bucketed
+    prefix decomposition. budget_select must match it row-for-row."""
+    import hashlib
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+    by_src = {}
+    for r in rows:
+        if r[3] > 0:
+            by_src.setdefault(r[1], []).append(r)
+    capped = []
+    for rs in by_src.values():
+        rs.sort(key=lambda r: (h(r[0]), r[0]))
+        capped += rs[:cap]
+    by_tier = {}
+    for r in capped:
+        by_tier.setdefault(r[2], []).append(r)
+    sel = []
+    for tier, rs in by_tier.items():
+        rs.sort(key=lambda r: (h(r[0]) % 64, h(r[0]), r[0]))
+        cum = 0
+        for r in rs:
+            cum += r[3]
+            if cum <= budgets[tier]:
+                sel.append((r[0], tier, r[3], cum))
+    return sel
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_docs_strategy = st.lists(
+    st.tuples(st.sampled_from("abcd"),                  # source
+              st.sampled_from(["high", "mid", "low"]),  # tier
+              st.integers(0, 40)),                      # n_tokens (0 = out)
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_docs_strategy, st.integers(0, 300), st.integers(0, 150))
+def test_fuzz_matches_python_reference(spark, docs, budget_high, budget_mid):
+    """Random corpora, tiny cap (3) so the salted two-phase cap and the
+    bucketed prefix-sum cutoff both truncate constantly; every selected
+    row and its running total must equal the brute-force reference."""
+    from ocr_module_spark.functions.textstats import budget_select
+
+    rows = [(i, src, tier, n) for i, (src, tier, n) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, tier string, n_tokens long")
+    budgets = {"high": budget_high, "mid": budget_mid, "low": 0}
+    got = sorted((r["doc_id"], r["tier"], r["n_tokens"], r["cum_tokens"])
+                 for r in budget_select(df, budgets, cap=3).collect())
+    assert got == sorted(_py_budget_select(rows, budgets, cap=3))
