@@ -115,6 +115,33 @@ def main() -> int:
             times[name] = min(times[name], time.time() - t0)
     times = {k: round(v, 3) for k, v in times.items()}
 
+    # sustained extraction (the north-star number): the sf-dir flagship
+    # run above is startup-dominated (16k docs ≈ 1 s of work next to
+    # plan/codegen cost); this one is big enough to amortize task waves.
+    # Input parquet cached on tmpfs across runs, scaling_bench-style.
+    sus_docs = int(os.environ.get("SPARK_GRAFT_SUSTAINED_DOCS", "200000"))
+    sus_rate = None
+    if os.path.isdir("/dev/shm") and sus_docs > 0:
+        from ocr_module_spark import pipeline
+        from ocr_module_spark.corpus import pages_df as _pages
+        sus_path = f"/dev/shm/ocr_bench_pages_{sus_docs}.parquet"
+        if not os.path.isdir(sus_path):
+            _pages(spark, sus_docs).repartition(64) \
+                .write.mode("overwrite").parquet(sus_path)
+        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+        try:
+            job = pipeline.extract(spark.read.parquet(sus_path))
+            _materialize(job)                       # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _materialize(job)
+                best = min(best, time.time() - t0)
+            sus_rate = round(sus_docs / best, 1)
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+
     bw_end = _bw_probe_gbs()
     n_docs = _n_docs(sf_dir)
     extract_docs_sec = round(n_docs / times["extract_text"], 1)
@@ -128,6 +155,8 @@ def main() -> int:
         "cpus": cpus,
         "extract_docs": n_docs,
         "extract_docs_sec": extract_docs_sec,
+        "extract_sustained_docs": sus_docs,
+        "extract_sustained_docs_sec": sus_rate,
         # host contamination markers: this VM has noisy neighbors (load
         # observed up to 4.0 with zero local processes; such windows
         # inflate the suite ~3x). The steal counter catches vCPU
