@@ -658,9 +658,12 @@ def budget_select(base: DataFrame,
     prefix = totals.withColumn(
         "tokens_before", F.sum("bt").over(wt) - F.col("bt")).drop("bt")
 
-    budget = (F.when(F.col("tier") == "high", b["high"])
-              .when(F.col("tier") == "mid", b["mid"])
-              .otherwise(b["low"]))
+    # budget CASE built from the dict: the tier column is just a mix
+    # key, so composite mixes (e.g. "en/high") work with a caller-
+    # crafted key column; unlisted keys get budget 0 (dropped)
+    budget = F.lit(0)
+    for key, amount in b.items():
+        budget = F.when(F.col("tier") == key, amount).otherwise(budget)
     sel = (cum.join(F.broadcast(prefix), ["tier", "bucket"])
            .where(F.col("tokens_before") + F.col("cum_in_bucket")
                   <= budget))
