@@ -683,10 +683,11 @@ def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — no global-order window anywhere:
 
     * **Per-source cap** is a salted two-phase ``row_number``: top-cap
-      per ``(source, doc_id % n_salts)`` first, then top-cap per
+      per ``(source, hash(doc_id) % n_salts)`` first, then top-cap per
       ``source`` over the ≤ cap×n_salts survivors. Provably equal to the
       single-window cap (any global top-cap row is in its salt group's
-      top-cap) but a 10^9-page host never lands in one task.
+      top-cap — fewer rows precede it there than globally, for ANY
+      deterministic salt) but a 10^9-page host never lands in one task.
     * **Budget cutoff** is a bucketed prefix sum: docs hash into
       64 buckets per tier; one window per ``(tier, bucket)``
       (well-spread keys) gives the in-bucket running total, a
