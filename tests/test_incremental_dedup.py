@@ -1,0 +1,77 @@
+"""Cross-snapshot incremental dedup: build_dedup_index +
+dedup_against_index — the daily-refresh operator that dedups a new
+crawl batch against a stored signature index WITHOUT rescanning the
+corpus text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_module_spark.functions.dedup import (IDX_SIGS, build_dedup_index,
+                                              dedup_against_index)
+
+T1 = ("the quick brown fox jumps over the lazy dog while the cat "
+      "watches from the warm stone wall near the garden gate today")
+T2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(
+        [(100, T1), (101, T2)], "doc_id long, text string")
+    return build_dedup_index(docs).localCheckpoint(eager=True)
+
+
+def _decide(spark, index, rows):
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r
+            for r in dedup_against_index(new, index).collect()}
+
+
+def test_index_shape(index):
+    rows = {r["doc_id"]: r for r in index.collect()}
+    assert set(rows) == {100, 101}
+    for r in rows.values():
+        assert len(r["sig"]) == IDX_SIGS and len(r["norm_md5"]) == 32
+
+
+def test_exact_dup_is_normalization_robust(spark, index):
+    # same text, different whitespace and case -> exact dup
+    mangled = "  " + T1.upper().replace(" ", "   ") + " "
+    got = _decide(spark, index, [(1, mangled)])
+    r = got[1]
+    assert r["exact_dup"] and not r["keep"]
+
+
+def test_near_dup_small_edit(spark, index):
+    # two words changed out of 22 -> high signature agreement
+    edited = T2.replace("alpha", "ALPHA2").replace("pi", "pie")
+    got = _decide(spark, index, [(2, edited)])
+    r = got[2]
+    assert not r["exact_dup"]
+    assert r["near_dup"] and not r["keep"]
+    assert r["matched_doc"] == 101
+    assert r["n_sig_agree"] >= 5
+
+
+def test_fresh_and_empty_docs_are_kept(spark, index):
+    got = _decide(spark, index, [
+        (3, "completely unrelated content about spark physical plans "
+            "broadcast joins and shuffle partitions in a data engine"),
+        (4, ""),
+        (5, None),
+    ])
+    for i in (3, 4, 5):
+        assert got[i]["keep"] and not got[i]["exact_dup"] \
+            and not got[i]["near_dup"]
+
+
+def test_no_all_pairs_join_in_plan(spark, index):
+    new = spark.createDataFrame([(2, T2), (3, "other words here")],
+                                "doc_id long, text string")
+    plan = dedup_against_index(new, index)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
