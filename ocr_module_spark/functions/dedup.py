@@ -655,7 +655,8 @@ def build_dedup_index(docs: DataFrame) -> DataFrame:
 
 
 def dedup_against_index(new_docs: DataFrame, index: DataFrame,
-                        min_agree: int = IDX_MIN_AGREE) -> DataFrame:
+                        min_agree: int = IDX_MIN_AGREE,
+                        exclude_self: bool = False) -> DataFrame:
     """Dedup a NEW batch against an existing :func:`build_dedup_index`
     table — the daily-refresh operator: a re-crawled or boilerplate-
     near-dup page is dropped without touching the stored corpus text.
@@ -678,7 +679,16 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     constant is pinned here.
     """
     new_idx = build_dedup_index(new_docs)
-    exact = (index.select("norm_md5").distinct()
+    # exact flag from (norm_md5, idx doc) pairs so ``exclude_self`` can
+    # ignore a doc's own index row (replayed epochs stay idempotent
+    # when the caller grows the index as it drains — see
+    # streaming.run_incremental_dedup)
+    exact_pairs = new_idx.select("doc_id", "norm_md5").join(
+        index.select("norm_md5", F.col("doc_id").alias("idx_id")),
+        "norm_md5")
+    if exclude_self:
+        exact_pairs = exact_pairs.where(F.col("doc_id") != F.col("idx_id"))
+    exact = (exact_pairs.select("doc_id").distinct()
              .withColumn("exact_dup", F.lit(True)))
 
     def _stack(idx: DataFrame, alias: str) -> DataFrame:
@@ -690,6 +700,8 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     cand = (_stack(new_idx, "new_id")
             .join(_stack(index, "idx_id"), ["band", "s"])
             .select("new_id", "idx_id").distinct())
+    if exclude_self:
+        cand = cand.where(F.col("new_id") != F.col("idx_id"))
     agree = F.expr("aggregate(zip_with(ns, xs, (a, b) -> IF(a = b, 1, 0)),"
                    " 0, (acc, x) -> acc + x)")
     scored = (cand
@@ -703,9 +715,8 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
             .agg(F.max("n_agree").alias("n_sig_agree"),
                  F.min("idx_id").alias("matched_doc")))
 
-    d = new_docs.select("doc_id").join(
-        new_idx.select("doc_id", "norm_md5"), "doc_id", "left")
-    out = (d.join(exact, "norm_md5", "left")
+    out = (new_docs.select("doc_id")
+           .join(exact, "doc_id", "left")
            .join(best.withColumnRenamed("new_id", "doc_id"),
                  "doc_id", "left"))
     exact_dup = F.coalesce("exact_dup", F.lit(False))

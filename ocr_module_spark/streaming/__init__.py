@@ -7,6 +7,7 @@ exactly-once file progress.
 """
 
 from .incremental import (  # noqa: F401
+    run_incremental_dedup,
     run_incremental_extraction,
     stream_crawl_metrics,
     stream_decon_flags,

@@ -72,6 +72,58 @@ def run_incremental_extraction(spark: SparkSession, landing_dir: str,
     q.stop()
 
 
+def run_incremental_dedup(spark: SparkSession, landing_dir: str,
+                          index_dir: str, decisions_dir: str,
+                          checkpoint_dir: Optional[str] = None,
+                          timeout_sec: int = 300) -> None:
+    """Drain the landing dir through cross-snapshot dedup
+    (functions/dedup.dedup_against_index), GROWING the signature index
+    as it goes: each epoch's kept documents append their ~300-byte
+    index rows to ``index_dir``, so later crawl batches dedup against
+    earlier ones — and against whatever corpus snapshot seeded the
+    index — without any corpus-text rescan.
+
+    Per-epoch verdict needs an aggregation (best match per doc), which
+    streaming append mode can't express statelessly — so this runs the
+    BATCH operator per epoch via foreachBatch, the same one-code-path
+    pattern as run_incremental_extraction. Crash/replay safety:
+    ``exclude_self=True`` means a replayed epoch that already appended
+    its own index rows reproduces identical decisions (a doc's own
+    index row never flags it); replayed index appends only duplicate
+    rows, which the any-match semantics tolerate (at scale, the index
+    table gets the same snapshot/compaction treatment as any Iceberg
+    table). Doc ids in this runner are urls (strings); seed the index
+    from a corpus snapshot with string ids for the schemas to line up.
+    """
+    from ..functions.dedup import build_dedup_index, dedup_against_index
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(decisions_dir, "_checkpoint")
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        docs = (batch_df.select(F.col("url").alias("doc_id"), "text")
+                .localCheckpoint(eager=True))
+        try:
+            index = s.read.parquet(index_dir)
+        except Exception:  # first epoch: no index yet
+            index = s.createDataFrame(
+                [], "doc_id string, norm_md5 string, sig array<string>")
+        dec = dedup_against_index(docs, index, exclude_self=True) \
+            .localCheckpoint(eager=True)
+        (dec.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append").parquet(decisions_dir + "/data"))
+        kept = docs.join(dec.where("keep").select("doc_id"), "doc_id")
+        build_dedup_index(kept).write.mode("append").parquet(index_dir)
+
+    q = (stream_pages(spark, landing_dir).writeStream
+         .foreachBatch(_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+    q.stop()
+
+
 DEDUP_OUT_SCHEMA = "fp string, url string, first_seen_epoch long"
 DEDUP_STATE_SCHEMA = "seen int"
 

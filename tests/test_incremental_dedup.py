@@ -75,3 +75,21 @@ def test_no_all_pairs_join_in_plan(spark, index):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exclude_self_replay_idempotence(spark):
+    """A doc whose OWN index row is already present (torn epoch replay)
+    must not flag itself with exclude_self=True — and must still be
+    flagged by any OTHER matching doc."""
+    docs = spark.createDataFrame(
+        [(10, T1), (11, T2)], "doc_id long, text string")
+    idx = build_dedup_index(docs)
+    # replay against an index already containing both docs themselves
+    got = {r["doc_id"]: r for r in
+           dedup_against_index(docs, idx, exclude_self=True).collect()}
+    assert got[10]["keep"] and got[11]["keep"]
+    # but a true duplicate under a different id is still caught
+    dup = spark.createDataFrame([(12, T1)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_against_index(dup, idx, exclude_self=True).collect()}
+    assert got[12]["exact_dup"] and not got[12]["keep"]

@@ -259,3 +259,57 @@ def test_stream_decon_flags_incremental_epochs(spark, dirs):
            for r in spark.read.parquet(out_dir).collect()}
     assert got == {"https://s.example/early-clean": False,
                    "https://s.example/late-contam": True}
+
+
+def test_run_incremental_dedup_grows_index_across_epochs(spark, dirs):
+    """Cross-snapshot dedup as a drain: epoch 2's batch is deduped
+    against epoch 1's KEPT docs via the on-disk signature index — no
+    corpus rescan, decisions parquet carries the verdicts."""
+    import datetime
+
+    import pandas as pd
+
+    from ocr_module_spark.schemas import PAGES_SCHEMA
+    from ocr_module_spark.streaming import run_incremental_dedup
+
+    t1 = ("the quick brown fox jumps over the lazy dog while the cat "
+          "watches from the warm stone wall near the garden gate today")
+    t2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    ts = datetime.datetime(2026, 1, 1)
+
+    def drop(name, rows):
+        pdf = pd.DataFrame.from_records(
+            [(u, ts, b"", t, "en") for u, t in rows],
+            columns=["url", "warc_ts", "html", "text", "lang"])
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(
+                os.path.join(dirs["landing"], name))
+
+    idx_dir = os.path.join(dirs["out"], "index")
+    dec_dir = os.path.join(dirs["out"], "decisions")
+
+    drop("b0", [("u1", t1), ("u2", t2)])
+    run_incremental_dedup(spark, dirs["landing"], idx_dir, dec_dir,
+                          checkpoint_dir=dirs["ckpt"], timeout_sec=120)
+    drop("b1", [("u3", "  " + t1.upper() + " "),       # exact dup of u1
+                ("u4", t2.replace("alpha", "A2").replace("pi", "pie")),
+                ("u5", "completely fresh words about broadcast joins "
+                       "and shuffle partitions in a spark data engine")])
+    run_incremental_dedup(spark, dirs["landing"], idx_dir, dec_dir,
+                          checkpoint_dir=dirs["ckpt"], timeout_sec=120)
+
+    dec = {r["doc_id"]: r
+           for r in spark.read.parquet(dec_dir + "/data").collect()}
+    assert dec["u1"]["keep"] and dec["u2"]["keep"]
+    assert dec["u3"]["exact_dup"] and not dec["u3"]["keep"]
+    assert dec["u4"]["near_dup"] and not dec["u4"]["keep"]
+    assert dec["u4"]["matched_doc"] == "u2"
+    assert dec["u5"]["keep"]
+    # index holds exactly the kept docs' signature rows
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(idx_dir).collect()}
+    assert idx_ids == {"u1", "u2", "u5"}
+    # re-drain with nothing new: checkpoint makes it a no-op
+    run_incremental_dedup(spark, dirs["landing"], idx_dir, dec_dir,
+                          checkpoint_dir=dirs["ckpt"], timeout_sec=120)
+    assert spark.read.parquet(dec_dir + "/data").count() == 5
