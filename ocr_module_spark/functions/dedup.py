@@ -650,7 +650,10 @@ def build_dedup_index(docs: DataFrame) -> DataFrame:
         for i in range(IDX_SIGS)])
     norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
                                   r"\s+", " ").cast("binary"))
-    return (d.where(F.col("w").isNotNull() & (F.size("w") > 0))
+    # length(trim(...)) > 0, not size(w) > 0: split("") yields [""], so
+    # a size test would index empty docs on the "" token and match them
+    # to each other (NULL text: the condition is NULL -> excluded)
+    return (d.where(F.length(F.trim(F.col("text"))) > 0)
             .select("doc_id", norm.alias("norm_md5"), sig.alias("sig")))
 
 
@@ -725,6 +728,67 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
         "doc_id", exact_dup.alias("exact_dup"), near_dup.alias("near_dup"),
         "n_sig_agree", "matched_doc",
         (~(exact_dup | near_dup)).alias("keep"))
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-checkable demo of the incremental operator pair:
+    index the even-doc_id half of the corpus, dedup the odd half
+    against it (the synthetic corpus is near-dup-rich, so both flag
+    kinds fire). Not a registry row (the driver window is full at 50);
+    parity-checked on the hostile gate instead."""
+    d = _docs(spark, sf_dir)
+    index = build_dedup_index(d.where("doc_id % 2 = 0"))
+    return dedup_against_index(
+        d.where("doc_id % 2 = 1").select("doc_id", "text"), index)
+
+
+def _sql_dedup_incremental() -> str:
+    sigs = ", ".join(f"min(md5('{i}|' || w)) AS sig_{i}"
+                     for i in range(IDX_SIGS))
+    stack = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, sig_{i} AS sig FROM {{side}}"
+        for i in range(IDX_SIGS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(
+           string_split_regex(trim(text), '\\s+'))) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), sigs AS (
+  SELECT doc_id, {sigs} FROM tok GROUP BY doc_id
+), norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS norm_md5
+  FROM documents WHERE length(trim(text)) > 0
+), idx_sigs AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+new_sigs AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+idx_stacked AS ({stack.format(side='idx_sigs')}),
+new_stacked AS ({stack.format(side='new_sigs')}),
+exact AS (
+  SELECT DISTINCT n.doc_id FROM norm n
+  JOIN norm i ON n.norm_md5 = i.norm_md5
+  WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+), agree AS (
+  SELECT n.doc_id AS new_id, i.doc_id AS idx_id, count(*) AS n_agree
+  FROM new_stacked n JOIN idx_stacked i USING (band, sig)
+  GROUP BY 1, 2
+), best AS (
+  SELECT new_id, max(n_agree) AS n_sig_agree, min(idx_id) AS matched_doc
+  FROM agree WHERE n_agree >= {IDX_MIN_AGREE} GROUP BY new_id
+)
+SELECT d.doc_id,
+       e.doc_id IS NOT NULL AS exact_dup,
+       b.matched_doc IS NOT NULL AS near_dup,
+       b.n_sig_agree, b.matched_doc,
+       NOT (e.doc_id IS NOT NULL OR b.matched_doc IS NOT NULL) AS keep
+FROM documents d
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+LEFT JOIN best b ON d.doc_id = b.new_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
 SPAN_K = 10                 # words per exact-dedup span (C4 uses 3 sentences)

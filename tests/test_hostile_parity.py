@@ -43,6 +43,7 @@ DOC_QUERIES = [
     "text_fingerprint",
     "text_rolling_fingerprint",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_spans",
     "dedup_minhash_signatures",
     "dedup_lsh_buckets",
@@ -97,6 +98,8 @@ def _extra_queries():
                                    textstats.SQL_SAMPLE_STRATIFIED_HASH),
         "dedup_minhash_signatures": (dedup.q_dedup_minhash,
                                      dedup.SQL_DEDUP_MINHASH),
+        "dedup_incremental": (dedup.q_dedup_incremental,
+                              dedup.SQL_DEDUP_INCREMENTAL),
         "dedup_lsh_buckets": (dedup.q_dedup_lsh_buckets,
                               dedup.SQL_DEDUP_LSH_BUCKETS),
         "knn_brute_cosine": (simsearch.q_knn_brute_cosine,
