@@ -580,21 +580,43 @@ def _sql_cc() -> str:
 SQL_DEDUP_CC_CLUSTERS = _sql_cc()
 
 
-def dedup_decision_frame(docs: DataFrame) -> DataFrame:
+def dedup_decision_frame(docs: DataFrame,
+                         quality: DataFrame | None = None) -> DataFrame:
     """The dedup pipeline's END PRODUCT over any ``(doc_id, text)``
     frame: one keep/drop decision per document. Docs in a near-dup
-    cluster keep only the cluster's min doc_id (the canonical survivor);
-    docs in no cluster are kept. This is the frame a training pipeline
-    semi-joins the corpus against — candidates (LSH) → clusters (CC) →
-    keep-list → filtered corpus. One extra join over the cluster labels;
-    the corpus side stays a scan + broadcast-able decision join at
-    10^12 rows (the decision frame is |clustered docs| rows, tiny
-    relative to the corpus)."""
+    cluster keep only the cluster's canonical survivor; docs in no
+    cluster are kept. This is the frame a training pipeline semi-joins
+    the corpus against — candidates (LSH) → clusters (CC) → keep-list →
+    filtered corpus. One extra join over the cluster labels; the corpus
+    side stays a scan + broadcast-able decision join at 10^12 rows (the
+    decision frame is |clustered docs| rows, tiny relative to the
+    corpus).
+
+    ``quality``: optional ``(doc_id, score)`` frame — the survivor
+    becomes the cluster's HIGHEST-score doc (ties and unscored docs
+    fall back to min doc_id), the keep-the-best-copy dial a curation
+    pipeline feeds from its quality signals (e.g. token count). One
+    broadcast-shaped extra join on the clustered-docs side only; the
+    default stays the stable quality-free min-doc canonical."""
     edges = lsh_edges_frame(docs)
     sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
         edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
     labels = cc_labels(sym, CC_ROUNDS)
-    keepers = labels.groupBy("label").agg(F.min("node").alias("keeper"))
+    if quality is None:
+        keepers = labels.groupBy("label").agg(F.min("node").alias("keeper"))
+    else:
+        scored = labels.join(
+            quality.select(F.col("doc_id").alias("node"), "score"),
+            "node", "left")
+        # min_by on (-score, node): best score wins, ties deterministic
+        # on the smallest doc_id (node may be a string url — only the
+        # score is negated); unscored docs rank below any score
+        rank = F.struct(
+            (-F.coalesce(F.col("score").cast("double"),
+                         F.lit(float("-inf")))).alias("s"),
+            F.col("node").alias("tie"))
+        keepers = scored.groupBy("label").agg(
+            F.min_by("node", rank).alias("keeper"))
     decision = (labels.join(keepers, "label")
                 .select(F.col("node").alias("doc_id"),
                         (F.col("node") == F.col("keeper")).alias("keep")))

@@ -93,3 +93,27 @@ def test_exclude_self_replay_idempotence(spark):
     got = {r["doc_id"]: r for r in
            dedup_against_index(dup, idx, exclude_self=True).collect()}
     assert got[12]["exact_dup"] and not got[12]["keep"]
+
+
+def test_keep_best_quality_survivor(spark):
+    """dedup_decision_frame(quality=...): the cluster survivor is the
+    highest-scored doc, not the min doc_id; unscored clusters fall back
+    to the min-doc canonical."""
+    from ocr_module_spark.functions.dedup import dedup_decision_frame
+
+    base = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " one"), (3, "ten " + base),   # one cluster
+         (7, T1), (8, T1 + " extra")],                        # another
+        "doc_id long, text string")
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50)], "doc_id long, score long")
+
+    got = {r["doc_id"]: r["keep"]
+           for r in dedup_decision_frame(docs, quality).collect()}
+    assert got == {1: False, 2: True, 3: False,   # best score wins
+                   7: True, 8: False}             # unscored -> min doc
+    # default (no quality): min doc_id keeps
+    got = {r["doc_id"]: r["keep"]
+           for r in dedup_decision_frame(docs).collect()}
+    assert got[1] and not got[2] and not got[3]
