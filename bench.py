@@ -57,6 +57,14 @@ def _bw_probe_gbs() -> float:
     return scaling_bench._bw_probe_gbs()
 
 
+def _bw_probe_mt_gbs() -> float:
+    """Aggregate (8-thread) bandwidth probe — catches neighbors the
+    single-thread probe can't see (shared with tools/scaling_bench)."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tools"))
+    import scaling_bench
+    return scaling_bench._bw_probe_mt_gbs()
+
+
 def _materialize(df) -> None:
     """Execute the full plan without driver collection.
 
@@ -106,7 +114,7 @@ def main() -> int:
     # while round-interleaving spaces a query's reps ~a suite apart so
     # the min survives any storm shorter than a full round
     steal0 = _steal_sec()
-    bw_start = _bw_probe_gbs()
+    bw_start, mt_start = _bw_probe_gbs(), _bw_probe_mt_gbs()
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _round in range(3):
         for name in HEADLINE:
@@ -142,7 +150,7 @@ def main() -> int:
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
 
-    bw_end = _bw_probe_gbs()
+    bw_end, mt_end = _bw_probe_gbs(), _bw_probe_mt_gbs()
     n_docs = _n_docs(sf_dir)
     extract_docs_sec = round(n_docs / times["extract_text"], 1)
     total = round(sum(times.values()), 3)
@@ -167,6 +175,10 @@ def main() -> int:
         "host_load_avg_1m": round(os.getloadavg()[0], 2),
         "host_steal_cpusec": round(_steal_sec() - steal0, 1),
         "host_bw_gbs": [round(bw_start, 1), round(bw_end, 1)],
+        # 8-thread AGGREGATE bandwidth: a neighbor can eat the socket's
+        # total bandwidth while one thread still reads clean (observed:
+        # suite 12.2s with st probes 5.9-7.0 but zero steal)
+        "host_bw_mt_gbs": [round(mt_start, 1), round(mt_end, 1)],
     }
     spark.stop()
     print(json.dumps(out))

@@ -170,6 +170,30 @@ def _bw_probe_gbs() -> float:
     return (2 * a.nbytes / best) / 1e9  # read + write
 
 
+def _bw_probe_mt_gbs(threads: int = 8) -> float:
+    """AGGREGATE-bandwidth probe: ``threads`` concurrent 128 MB copies
+    (numpy releases the GIL). The single-thread probe's blind spot,
+    observed 2026-08-18: a pair was ACCEPTED at eff 0.526 with
+    single-thread probes reading a pristine 8.1/8.5/8.5 GB/s — one
+    thread cannot saturate the socket's memory controllers, so it
+    reads clean while a neighbor consumes the aggregate. Eight
+    concurrent copies see exactly that. Reported alongside the
+    single-thread number; the acceptance floor applies to whichever
+    is scaled lower (mt/4 ≈ st on a clean socket here)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    arrs = [np.ones(16 * 1024 * 1024, dtype=np.float64)
+            for _ in range(threads)]
+    best = float("inf")
+    with ThreadPoolExecutor(threads) as ex:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(ex.map(lambda a: a.copy().nbytes, arrs))
+            best = min(best, time.perf_counter() - t0)
+    return (2 * threads * arrs[0].nbytes / best) / 1e9
+
+
 def _run_level_steal(cores: int, n_docs: int):
     s0, t0 = _steal_sec(), time.time()
     res = _run_level(cores, n_docs)
@@ -180,7 +204,8 @@ def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
                      want_pairs: int = 3, max_tries: int = 12,
                      load_gate: float = 1.5,
                      steal_gate: float = 0.04,
-                     bw_floor_gbs: float = 0.0) -> int:
+                     bw_floor_gbs: float = 0.0,
+                     mt_floor_gbs: float = 0.0) -> int:
     """Steal-gated variant: this VM has a noisy neighbor whose bursts can
     make a 16-core run measure at 4-core speed (observed pair
     efficiencies 0.245-1.007 for IDENTICAL code in one session).
@@ -203,11 +228,11 @@ def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
             time.sleep(60)
             continue
         print(f"-- try {tries}: load {load:.2f}, running pair", flush=True)
-        bw_lo = _bw_probe_gbs()
+        bw_lo, mt_lo = _bw_probe_gbs(), _bw_probe_mt_gbs()
         lo, st_lo, w_lo = _run_level_steal(n_small, n_docs)
-        bw_hi = _bw_probe_gbs()
+        bw_hi, mt_hi = _bw_probe_gbs(), _bw_probe_mt_gbs()
         hi, st_hi, w_hi = _run_level_steal(n_big, n_docs)
-        bw_end = _bw_probe_gbs()
+        bw_end, mt_end = _bw_probe_gbs(), _bw_probe_mt_gbs()
         frac_lo = st_lo / (w_lo * n_vcpu)
         frac_hi = st_hi / (w_hi * n_vcpu)
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_big / n_small)
@@ -224,12 +249,16 @@ def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
         # pair passes the relative check while slowing both levels and,
         # because the faster parser is proportionally more bandwidth-
         # bound at 16 cores than at 4, one-sidedly deflating efficiency
+        mt_min, mt_max = min(mt_lo, mt_hi, mt_end), max(mt_lo, mt_hi, mt_end)
         tainted = (frac_lo >= steal_gate or frac_hi >= steal_gate
                    or bw_min < 0.75 * bw_max
-                   or bw_min < bw_floor_gbs)
+                   or bw_min < bw_floor_gbs
+                   or mt_min < 0.75 * mt_max
+                   or mt_min < mt_floor_gbs)
         print(f"   pair eff {eff:.3f} (steal {st_lo:.1f}s/{frac_lo:.1%} "
               f"small, {st_hi:.1f}s/{frac_hi:.1%} big; bw probe "
-              f"{bw_lo:.1f}/{bw_hi:.1f}/{bw_end:.1f} GB/s)"
+              f"{bw_lo:.1f}/{bw_hi:.1f}/{bw_end:.1f} GB/s; mt probe "
+              f"{mt_lo:.1f}/{mt_hi:.1f}/{mt_end:.1f} GB/s)"
               f"{' TAINTED, discarded' if tainted else ''}", flush=True)
         if not tainted:
             effs.append(round(eff, 3))
@@ -244,6 +273,7 @@ def orchestrate_calm(n_docs: int, n_small: int = 4, n_big: int = 16,
         "load_gate": load_gate,
         "steal_gate": steal_gate,
         "bw_floor_gbs": bw_floor_gbs,
+        "mt_floor_gbs": mt_floor_gbs,
         "tries": tries,
         "pass_geq_0_8": bool(effs) and effs[len(effs) // 2] >= 0.8,
     }
@@ -260,7 +290,9 @@ if __name__ == "__main__":
         hi = int(sys.argv[4]) if len(sys.argv) > 4 else 16
         floor = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
         tries = int(sys.argv[6]) if len(sys.argv) > 6 else 12
+        mt_floor = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
         sys.exit(orchestrate_calm(n, lo, hi, bw_floor_gbs=floor,
+                                  mt_floor_gbs=mt_floor,
                                   max_tries=tries))
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
