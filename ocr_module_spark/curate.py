@@ -134,6 +134,31 @@ def mix_from_audit(audit: DataFrame,
         F.col("doc_id").alias("url"), "tier", "n_tokens", "cum_tokens")
 
 
+def pack_plan_from_curated(curated: DataFrame,
+                           seq_len: int | None = None) -> DataFrame:
+    """Sequence-packing plan over the curated output — the step that
+    turns the curated corpus into fixed-length training sequences
+    (functions/packing.pack_assignments). Keyed on the url HOST, the
+    same partition key the mix stage uses, so sequences shard by host
+    and the window reuses the crawl-skew axis the north_rule names.
+
+    Input is ``(url, text, n_tokens)`` from :func:`curated_from_audit`
+    (n_tokens already counts the POST-span-dedup text when that dial is
+    on — removed spans genuinely leave the packing stream). Returns the
+    plan frame ``(url_host, seq_no, url, tok_start, tok_end, seq_off)``;
+    the token-id sink joins it back against the tokenized text, so text
+    bytes never ride the packing shuffle.
+    """
+    from .functions.packing import SEQ_LEN, pack_assignments
+    base = pipeline.with_host(curated).select(
+        F.col("url").alias("doc_id"),
+        F.col("url_host").alias("source"), "n_tokens")
+    plan = pack_assignments(base, seq_len or SEQ_LEN)
+    return plan.select(F.col("source").alias("url_host"), "seq_no",
+                       F.col("doc_id").alias("url"),
+                       "tok_start", "tok_end", "seq_off")
+
+
 def stage_counters(audit: DataFrame) -> dict:
     """Per-stage drop accounting from the audit frame, one aggregation
     job: every count is derived from the same verdict columns the rows

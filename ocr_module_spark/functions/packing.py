@@ -1,0 +1,142 @@
+"""Sequence packing: curated documents → fixed-length training sequences.
+
+The last transform a pretraining pipeline runs before the tokenizer sink:
+concatenate the (shuffled) document token streams and split them into
+fixed-SEQ_LEN training sequences, letting a document span two sequences
+rather than padding (GPT-style concat-and-split packing — the reference's
+A8 prompt assembly, ``azure_openai_repository.py:214-258``, is the same
+"pack many small units into one fixed-budget payload" shape; here the
+budget is the model context window instead of a prompt).
+
+The operator emits the PACKING PLAN, not the packed text: one row per
+(document × overlapping sequence) with the doc-relative token slice and
+its offset inside the sequence. The sink that materializes token ids
+joins this plan against the tokenized corpus and writes sequences; the
+plan frame is what has to be exact, deterministic and cheap — text bytes
+never ride its shuffles (same decision-frame discipline as
+``dedup_keep_list`` / ``budget_select``).
+
+Scale shape (the whole point at 10^12 documents):
+
+* ONE shuffle: the running token offset is a window over the
+  ``source`` partition key (url-host analogue — the same key the
+  curation chain already partitions by, so a pipeline that just ran
+  budget_select reuses the exchange). No global window, no driver-side
+  order: sequences are numbered per source, so a 1000-executor cluster
+  packs every host independently and writes per-host shards.
+* The document order inside a source is ``hex4(md5(doc_id))`` — the
+  suite's RNG-free shuffle (hashing.py): packing wants adjacent docs
+  decorrelated (a training batch should not be one crawl directory in
+  order), and the hash order is identical across runs, retries,
+  parallelism levels, and engines — no ``rand()`` seed to lose.
+* The explode is bounded: a document overlaps at most
+  ``n_tokens // seq_len + 1`` sequences, so output rows ≈ corpus
+  tokens / seq_len + n_docs — linear, no all-pairs anywhere.
+* Skewed hosts: a single giant source serializes its own window; the
+  dial is the same composite-key salt budget_select uses (pack on
+  ``(source, floor(hash/…))`` and renumber) — not defaulted here
+  because sequence numbering must stay contiguous per shard key.
+
+Sequence-boundary semantics: sequences are [seq_no*L, (seq_no+1)*L)
+token windows over the concatenated per-source stream; the final
+sequence of a source is short (callers pad or drop it — both engines
+see the same fill, so the policy stays downstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .hashing import hex4_col, hex4_sql_duck
+
+SEQ_LEN = 64      # tokens per packed sequence — testdata-sized; a real
+                  # deployment dials 2048/4096/8192 (context window)
+
+
+def pack_assignments(base: DataFrame, seq_len: int = SEQ_LEN,
+                     key_col: str = "source") -> DataFrame:
+    """Packing plan over any ``(doc_id, <key_col>, n_tokens)`` frame.
+
+    Returns one row per (document × overlapping sequence):
+
+    * ``source``/``key_col``, ``seq_no`` — the output sequence;
+    * ``doc_id`` — the contributing document;
+    * ``tok_start``/``tok_end`` — the doc-relative token slice
+      [tok_start, tok_end) this sequence takes;
+    * ``seq_off`` — where that slice lands inside the sequence.
+
+    Zero-token documents pack nothing and are excluded (they were
+    already dropped by the quality gate upstream).
+    """
+    w = (Window.partitionBy(key_col)
+         .orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (base.where(F.col("n_tokens") > 0)
+         .withColumn("h", hex4_col(
+             F.md5(F.col("doc_id").cast("string").cast("binary"))))
+         .withColumn("end", F.sum("n_tokens").over(w).cast("long"))
+         .withColumn("start", (F.col("end") - F.col("n_tokens"))
+                     .cast("long")))
+    seq_no = F.explode(F.sequence(
+        F.expr(f"start div {seq_len}"),
+        F.expr(f"(end - 1) div {seq_len}"))).alias("seq_no")
+    e = c.select(key_col, "doc_id", "start", "end", seq_no)
+    seq_lo = F.col("seq_no") * seq_len
+    take_from = F.greatest(F.col("start"), seq_lo)
+    take_to = F.least(F.col("end"), seq_lo + seq_len)
+    return e.select(
+        key_col, F.col("seq_no").cast("long").alias("seq_no"), "doc_id",
+        (take_from - F.col("start")).cast("long").alias("tok_start"),
+        (take_to - F.col("start")).cast("long").alias("tok_end"),
+        (take_from - seq_lo).cast("long").alias("seq_off"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver/oracle surface: pack the documents table into SEQ_LEN-token
+    sequences per source (whitespace tokens, the suite's token unit)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.when(F.length(F.trim("text")) == 0, 0) \
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    base = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return pack_assignments(base)
+
+
+_H = hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           ::BIGINT AS n_tokens,
+         {_H} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         -- sum() OVER widens to HUGEINT in DuckDB; pin BIGINT so the
+         -- range() unnest and the hash compare see the Spark types
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS "end"
+  FROM d WHERE n_tokens > 0
+), s AS (
+  SELECT doc_id, source, "end", "end" - n_tokens AS "start",
+         unnest(range(("end" - n_tokens) // {SEQ_LEN},
+                      ("end" - 1) // {SEQ_LEN} + 1)) AS seq_no
+  FROM c
+)
+SELECT source, CAST(seq_no AS BIGINT) AS seq_no, doc_id,
+       CAST(greatest("start", seq_no * {SEQ_LEN}) - "start" AS BIGINT)
+         AS tok_start,
+       CAST(least("end", seq_no * {SEQ_LEN} + {SEQ_LEN}) - "start" AS BIGINT)
+         AS tok_end,
+       CAST(greatest("start", seq_no * {SEQ_LEN}) - seq_no * {SEQ_LEN}
+            AS BIGINT) AS seq_off
+FROM s
+"""
+
+
+REGISTRY = {
+    "curate_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+}

@@ -162,3 +162,30 @@ def test_budget_mix_stage_on_chain(spark, curated_audit):
         tr = [r for r in mix if r["tier"] == tier]
         assert max(r["cum_tokens"] for r in tr) == \
             sum(r["n_tokens"] for r in tr)
+
+
+def test_pack_stage_on_chain(spark, curated_audit):
+    """Smoke over the real extract→…→pack chain: the plan covers every
+    curated document's tokens exactly once and every non-final sequence
+    per host is exactly full."""
+    from collections import defaultdict
+
+    cur, audit, _ = curated_audit
+    L = 32
+    plan = curate.pack_plan_from_curated(cur, seq_len=L).collect()
+    n_by_url = {r["url"]: r["n_tokens"]
+                for r in cur.collect() if r["n_tokens"] > 0}
+
+    per_doc = defaultdict(int)
+    fill = defaultdict(int)
+    for r in plan:
+        assert 0 <= r["tok_start"] < r["tok_end"]
+        assert 0 <= r["seq_off"] < L
+        per_doc[r["url"]] += r["tok_end"] - r["tok_start"]
+        fill[(r["url_host"], r["seq_no"])] += r["tok_end"] - r["tok_start"]
+    assert per_doc == n_by_url
+    last = defaultdict(int)
+    for host, seq in fill:
+        last[host] = max(last[host], seq)
+    for (host, seq), f in fill.items():
+        assert f == L or seq == last[host]

@@ -42,6 +42,7 @@ DOC_QUERIES = [
     "text_lang_guess",
     "text_fingerprint",
     "text_rolling_fingerprint",
+    "curate_pack_sequences",
     "dedup_exact",
     "dedup_incremental",
     "dedup_spans",
@@ -79,9 +80,11 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, multimodal, simsearch,
-                                            textstats)
+    from ocr_module_spark.functions import (dedup, multimodal, packing,
+                                            simsearch, textstats)
     return {
+        "curate_pack_sequences": (packing.q_pack_sequences,
+                                  packing.SQL_PACK_SEQUENCES),
         "mm_metadata": (multimodal.q_mm_metadata,
                         multimodal.SQL_MM_METADATA),
         "text_token_count": (textstats.q_token_count,

@@ -1,0 +1,184 @@
+"""curate_pack_sequences — concat-and-split sequence packing.
+
+Planted-corpus invariants (full doc coverage, exact sequence fill,
+slice contiguity, cross-parallelism determinism), hypothesis fuzz vs a
+pure-Python reference, plan shape (one exchange, bounded explode, no
+BNLJ), and DuckDB value parity on the pinned testdata. The hostile
+corpus (NULL/empty text, NULL source) runs through the same query via
+tests/test_hostile_parity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ocr_module_spark.functions.packing import (SEQ_LEN, pack_assignments,
+                                                q_pack_sequences)
+
+
+def _h(doc_id) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+
+def ref_pack(rows, L):
+    """Pure-Python packing reference: rows = (doc_id, source, n_tokens)."""
+    by_src = defaultdict(list)
+    for doc_id, src, n in rows:
+        if n > 0:
+            by_src[src].append((_h(doc_id), doc_id, n))
+    out = []
+    for src, docs in by_src.items():
+        docs.sort()
+        off = 0
+        for _, doc_id, n in docs:
+            start, end = off, off + n
+            for seq in range(start // L, (end - 1) // L + 1):
+                lo, hi = max(start, seq * L), min(end, (seq + 1) * L)
+                out.append((src, seq, doc_id,
+                            lo - start, hi - start, lo - seq * L))
+            off = end
+    return sorted(out)
+
+
+def _pack(spark, rows, L=SEQ_LEN):
+    base = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long")
+    return sorted(tuple(r) for r in pack_assignments(base, L).collect())
+
+
+# ---------------------------------------------------------------------------
+# planted-corpus semantics
+# ---------------------------------------------------------------------------
+
+ROWS = [(1, "a", 10), (2, "a", 64), (3, "a", 100), (4, "a", 1),
+        (5, "b", 200), (6, "b", 0), (7, "b", 3),
+        (8, "c", 64)]
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    return _pack(spark, ROWS)
+
+
+def test_matches_python_reference(packed):
+    assert packed == ref_pack(ROWS, SEQ_LEN)
+
+
+def test_every_token_packed_exactly_once(packed):
+    got = defaultdict(list)
+    for _src, _seq, doc, lo, hi, _off in packed:
+        got[doc].append((lo, hi))
+    n_by_doc = {d: n for d, _s, n in ROWS if n > 0}
+    assert set(got) == set(n_by_doc)
+    for doc, pieces in got.items():
+        pieces.sort()
+        # doc-relative slices tile [0, n_tokens) with no gap or overlap
+        assert pieces[0][0] == 0 and pieces[-1][1] == n_by_doc[doc]
+        for (_, a_hi), (b_lo, _) in zip(pieces, pieces[1:]):
+            assert a_hi == b_lo
+
+
+def test_sequences_fill_exactly_except_last(packed):
+    fill = defaultdict(int)
+    for src, seq, _doc, lo, hi, _off in packed:
+        fill[(src, seq)] += hi - lo
+    last = {}
+    for src, seq in fill:
+        last[src] = max(last.get(src, -1), seq)
+    for (src, seq), f in fill.items():
+        if seq < last[src]:
+            assert f == SEQ_LEN, (src, seq)
+        else:
+            assert 0 < f <= SEQ_LEN
+    # sequence numbering is dense from 0 per source
+    per_src = defaultdict(set)
+    for src, seq in fill:
+        per_src[src].add(seq)
+    for src, seqs in per_src.items():
+        assert seqs == set(range(last[src] + 1))
+
+
+def test_slices_tile_each_sequence(packed):
+    by_seq = defaultdict(list)
+    for src, seq, _doc, lo, hi, off in packed:
+        by_seq[(src, seq)].append((off, off + (hi - lo)))
+    for pieces in by_seq.values():
+        pieces.sort()
+        assert pieces[0][0] == 0
+        for (_, a_hi), (b_lo, _) in zip(pieces, pieces[1:]):
+            assert a_hi == b_lo
+
+
+def test_deterministic_across_parallelism(spark, packed):
+    base = spark.createDataFrame(
+        ROWS, "doc_id long, source string, n_tokens long") \
+        .repartition(7, "doc_id")
+    assert sorted(tuple(r) for r in
+                  pack_assignments(base).collect()) == packed
+
+
+def test_zero_token_doc_packs_nothing(packed):
+    assert all(doc != 6 for _s, _q, doc, *_ in packed)
+
+
+# ---------------------------------------------------------------------------
+# fuzz vs the reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("abc"),
+                          st.integers(min_value=0, max_value=40)),
+                min_size=0, max_size=25),
+       st.sampled_from([1, 3, 16]))
+def test_fuzz_matches_reference(spark, docs, L):
+    rows = [(i, src, n) for i, (src, n) in enumerate(docs)]
+    assert _pack(spark, rows, L) == ref_pack(rows, L)
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+# ---------------------------------------------------------------------------
+
+def test_plan_one_exchange_no_bnlj(spark, sf_dir):
+    plan = q_pack_sequences(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1          # the source window, only
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan          # no join at all
+    assert "Generate" in plan                   # the bounded explode
+
+
+# ---------------------------------------------------------------------------
+# cross-engine parity on the pinned testdata (hostile corpus parity runs
+# in test_hostile_parity.py)
+# ---------------------------------------------------------------------------
+
+def test_duckdb_parity(spark, sf_dir):
+    import pathlib
+    import sys
+
+    import duckdb
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    from parity_check import value_hash
+
+    from ocr_module_spark.functions.packing import SQL_PACK_SEQUENCES
+
+    df = q_pack_sequences(spark, sf_dir)
+    s_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    res = con.sql(SQL_PACK_SEQUENCES)
+    d_cols, d_rows = res.columns, res.fetchall()
+    con.close()
+    assert sorted(df.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)

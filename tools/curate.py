@@ -12,6 +12,8 @@ decontamination (ocr_module_spark.curate) and writes:
 * ``<out>/audit``    — per-document stage verdicts (drop-reason dashboard)
 * ``<out>/mix``      — (url, tier, n_tokens, cum_tokens) token-budget
   mixture selection (``--budget-mix``; curated is restricted to it)
+* ``<out>/packs``    — (url_host, seq_no, url, tok_start, tok_end,
+  seq_off) sequence-packing plan (``--pack SEQ_LEN``)
 * stdout             — ONE JSON line of per-stage counters
 """
 
@@ -41,6 +43,11 @@ def main() -> int:
                          "corpus: strip cross-document boilerplate spans "
                          "the doc-level keep-list cannot see (rewrites "
                          "the curated text; audit/counters unchanged)")
+    ap.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
+                    help="emit the sequence-packing plan over the final "
+                         "curated output (concat-and-split into SEQ_LEN-"
+                         "token training sequences per url-host); writes "
+                         "<out>/packs and adds sequence counters")
     ap.add_argument("--budget-mix", action="store_true",
                     help="token-budget mixture selection as the final "
                          "stage: cap per-host contribution, fill each "
@@ -83,6 +90,20 @@ def main() -> int:
         counters["tokens_mixed"] = int(agg["tokens_mixed"])
     cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
     cur.write.mode("overwrite").parquet(f"{out}/curated")
+    if args.pack > 0:
+        # packing reads only (url, n_tokens) of the final curated frame
+        # (post mix restriction / span dedup), never the text column
+        from ocr_module_spark.curate import pack_plan_from_curated
+        plan = pack_plan_from_curated(
+            spark.read.parquet(f"{out}/curated"), args.pack) \
+            .localCheckpoint(eager=True)
+        plan.write.mode("overwrite").parquet(f"{out}/packs")
+        agg = plan.selectExpr(
+            "count(DISTINCT url_host || '#' || seq_no) AS sequences_packed",
+            "coalesce(sum(tok_end - tok_start), 0) AS tokens_packed") \
+            .first()
+        counters["sequences_packed"] = int(agg["sequences_packed"])
+        counters["tokens_packed"] = int(agg["tokens_packed"])
     audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
 
     print(json.dumps(counters))
