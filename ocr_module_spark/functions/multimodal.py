@@ -249,6 +249,39 @@ def fake_features(payload: bytes) -> list[float]:
     return feats
 
 
+def decode_features(payload: bytes) -> list[float]:
+    """Feature vector from DECODED PIXELS when the payload is a PNG the
+    engine can read (functions/png.py — the S5 region crops and anything
+    else 8-bit-RGB/filter-0), falling back to the byte-level
+    :func:`fake_features` for opaque formats. The decode seam is thereby
+    REAL for the engine's own media outputs: region bytes round-trip
+    container → pixels → features with no raster library; only foreign
+    codecs (JPEG, video) still go through ``_decode_real``.
+
+    Feature slots (fixed N_FEATURES=8, integer-exact like
+    fake_features): width, height, n_pixels, page (from the crop's tEXt
+    metadata, -1 if absent), mean R/G/B ×10000 floor-divided, mean over
+    all channels ×10000.
+    """
+    if payload and payload[:8] == REGION_MAGIC:
+        from .png import decode_png
+        try:
+            w, h, rgb, text = decode_png(payload)
+        except ValueError:
+            # valid signature, foreign flavor (interlaced, 16-bit, ...)
+            return fake_features(payload)
+        import numpy as np
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+        n_px = arr.shape[0]
+        chan = arr.sum(axis=0, dtype=np.int64) * 10000 // n_px
+        page = text.get("page", "")
+        return [float(w), float(h), float(n_px),
+                float(int(page)) if page.isdigit() else -1.0,
+                float(chan[0]), float(chan[1]), float(chan[2]),
+                float(int(arr.sum(dtype=np.int64)) * 10000 // (n_px * 3))]
+    return fake_features(payload)
+
+
 def media_features(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "doc_id",
                    passthrough: tuple = ()) -> DataFrame:
@@ -276,8 +309,11 @@ def media_features(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             cols = {
                 id_col: pdf[id_col],
+                # decode_features: real pixel decode for PNG payloads,
+                # byte-identical to fake_features for everything else
+                # (the oracle-checked text payloads take that branch)
                 "features": [
-                    fake_features(bytes(p) if p is not None else b"")
+                    decode_features(bytes(p) if p is not None else b"")
                     for p in pdf[payload_col]
                 ],
             }

@@ -158,6 +158,49 @@ def q_extract_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches, schema=REGIONS_SCHEMA)
 
 
+REGION_FEATURES_SCHEMA = ("url string, page_number int, block_no int, "
+                          "width int, height int, features array<double>")
+
+
+def q_region_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 region crops → features over DECODED PIXELS: the same in-stage
+    crop as q_extract_regions, immediately decoded back through the
+    stdlib PNG reader (functions/png.py) and reduced to the fixed
+    pixel-feature vector (multimodal.decode_features — dims, page,
+    per-channel means). Proves the media seam end-to-end with real
+    image bytes: encode → container → decode → pixels → features, all
+    inside ONE Arrow stage with zero extra I/O and zero shuffles. Not a
+    driver registry row (PNG decode has no SQL form; the registry holds
+    the 50-row driver window) — gated by tests/test_region_features.py
+    recomputing rows through the pure-Python reference path."""
+    import pandas as pd
+
+    from ..deploy import ensure_pyfiles
+    from ..functions.multimodal import decode_features, extract_image_region
+    from .. import oracle
+    ensure_pyfiles(spark)
+    pages = corpus.pages_df(spark, _n_docs(sf_dir))
+
+    def batches(it):
+        cols = ["url", "page_number", "block_no", "width", "height",
+                "features"]
+        for pdf in it:
+            recs = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                raw = bytes(payload) if payload is not None else None
+                for b in oracle.parse_payload(raw).blocks:
+                    if b.kind == "figure" and b.bbox is not None:
+                        rb = extract_image_region(raw, b.page_number,
+                                                  b.bbox)
+                        f = decode_features(rb)
+                        recs.append((url, b.page_number, b.block_no,
+                                     int(f[0]), int(f[1]), f))
+            yield pd.DataFrame.from_records(recs, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema=REGION_FEATURES_SCHEMA)
+
+
 def q_extract_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decomposed relational pipeline (parse → classify → window ids →
     placeholder alignment → grouped reassembly — one Spark operator per

@@ -43,6 +43,7 @@ DOC_QUERIES = [
     "text_fingerprint",
     "text_rolling_fingerprint",
     "curate_pack_sequences",
+    "fn_url_canonicalize",
     "dedup_exact",
     "dedup_incremental",
     "dedup_spans",
@@ -81,10 +82,12 @@ def _extra_queries():
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
     from ocr_module_spark.functions import (dedup, multimodal, packing,
-                                            simsearch, textstats)
+                                            simsearch, textstats, urls)
     return {
         "curate_pack_sequences": (packing.q_pack_sequences,
                                   packing.SQL_PACK_SEQUENCES),
+        "fn_url_canonicalize": (urls.q_url_canonicalize,
+                                urls.SQL_URL_CANONICALIZE),
         "mm_metadata": (multimodal.q_mm_metadata,
                         multimodal.SQL_MM_METADATA),
         "text_token_count": (textstats.q_token_count,

@@ -1,0 +1,82 @@
+"""URL canonicalization — constructed-case policy pins plus cross-engine
+value parity. The hostile NULL/empty corpus runs the same query through
+tests/test_hostile_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_module_spark.functions.urls import (canonical_url_cols,
+                                             q_url_canonicalize)
+
+CASES = [
+    # (raw, canon, valid, host)
+    ("https://WWW.Example.COM:443/A/b/?b=2&utm_source=x&a=1#frag",
+     "https://example.com/A/b?a=1&b=2", True, "example.com"),
+    ("http://example.com:80/", "http://example.com", True, "example.com"),
+    ("http://example.com:443/x",                    # non-default port kept
+     "http://example.com:443/x", True, "example.com:443"),
+    ("https://example.com:80/x",                    # non-default port kept
+     "https://example.com:80/x", True, "example.com:80"),
+    ("https://example.com/a?utm_a=1&utm_b=2&fbclid=z&gclid=1&msclkid=m",
+     "https://example.com/a", True, "example.com"),  # tracking-only query
+    ("https://example.com/a?z=9&a=1&a=0&ref=r&",
+     "https://example.com/a?a=0&a=1&z=9", True, "example.com"),
+    ("  https://example.com/pad  ",                 # whitespace trim
+     "https://example.com/pad", True, "example.com"),
+    ("https://example.com/a/refs?refx=1&ref=2",     # ref only as whole key
+     "https://example.com/a/refs?refx=1", True, "example.com"),
+    ("example.com/no-scheme", None, False, None),
+    ("ftp://example.com/file", None, False, None),
+    ("", None, False, None),
+    (None, None, False, None),
+]
+
+
+@pytest.fixture(scope="module")
+def got(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_rest) in enumerate(CASES)],
+        "i long, url string")
+    return {r["i"]: r for r in
+            df.select("i", *canonical_url_cols()).collect()}
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_policy(got, i):
+    _raw, canon, valid, host = CASES[i]
+    r = got[i]
+    assert (r["canon_url"], r["url_valid"], r["canon_host"]) == \
+        (canon, valid, host)
+
+
+def test_zero_exchange_projection(spark, sf_dir):
+    plan = q_url_canonicalize(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Project" in plan
+
+
+def test_duckdb_parity(spark, sf_dir):
+    import pathlib
+    import sys
+
+    import duckdb
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    from parity_check import value_hash
+
+    from ocr_module_spark.functions.urls import SQL_URL_CANONICALIZE
+
+    df = q_url_canonicalize(spark, sf_dir)
+    s_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    res = con.sql(SQL_URL_CANONICALIZE)
+    d_cols, d_rows = res.columns, res.fetchall()
+    con.close()
+    assert sorted(df.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows) > 0
+    assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)
