@@ -137,6 +137,102 @@ FROM s
 """
 
 
+def packed_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
+                     key_col: str = "source",
+                     checkpoint: bool = False) -> DataFrame:
+    """Materialize the packed sequences: join the packing plan back to
+    the per-document token arrays, slice each document's contribution,
+    and assemble every sequence's token stream in seq_off order.
+
+    Input ``docs`` is ``(doc_id, <key_col>, text)``. Output is one row
+    per sequence: ``(<key_col>, seq_no, n_fill, tokens array<string>)``
+    — the frame a token-id sink writes (a real deployment maps words →
+    BPE ids in the same projection).
+
+    Scale shape: the plan build is the one window exchange
+    (pack_assignments), the join back is a doc_id equi-join (plan rows
+    carry only ids and offsets — text rides the join ONCE, never the
+    window), and assembly is a single groupBy (key, seq_no) whose
+    per-group payload is bounded by seq_len tokens. In-sequence order
+    is reconstructed from seq_off via array_sort over (seq_off, piece)
+    structs — no window, deterministic (one piece per doc per sequence,
+    offsets are distinct by construction).
+
+    ``checkpoint=True`` localCheckpoints the tokenized base so the plan
+    branch and the join branch share one materialization (same dial as
+    budget_select; default stays declarative for the oracle).
+    """
+    w = F.when(F.length(F.trim("text")) == 0,
+               F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim("text"), r"\s+"))
+    base = docs.select("doc_id", key_col, w.alias("w")) \
+        .withColumn("n_tokens", F.size("w").cast("long"))
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    plan = pack_assignments(
+        base.select("doc_id", key_col, "n_tokens"), seq_len, key_col)
+    joined = plan.join(base.select("doc_id", "w"), "doc_id")
+    piece = F.slice("w", F.col("tok_start").cast("int") + 1,
+                    (F.col("tok_end") - F.col("tok_start")).cast("int"))
+    pieces = joined.select(
+        key_col, "seq_no", "seq_off", piece.alias("piece"))
+    assembled = pieces.groupBy(key_col, "seq_no").agg(
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("seq_off", "piece"))),
+            lambda s: s["piece"])).alias("tokens"))
+    return assembled.select(
+        key_col, "seq_no",
+        F.size("tokens").cast("long").alias("n_fill"), "tokens")
+
+
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle surface for the materialized sink: per-sequence fill and
+    the md5 of the space-joined token stream (order-sensitive — any
+    mis-assembly, wrong slice, or wrong offset changes the hash)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seqs = packed_sequences(d.select("doc_id", "source", "text"))
+    return seqs.select(
+        "source", "seq_no", "n_fill",
+        F.md5(F.array_join("tokens", " ").cast("binary")).alias("seq_md5"))
+
+
+SQL_PACK_MATERIALIZE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w,
+         {_H} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, w, len(w)::BIGINT AS n_tokens,
+         CAST(sum(len(w)) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS "end"
+  FROM d WHERE len(w) > 0
+), s AS (
+  SELECT doc_id, source, w, "end", "end" - n_tokens AS "start",
+         unnest(range(("end" - n_tokens) // {SEQ_LEN},
+                      ("end" - 1) // {SEQ_LEN} + 1)) AS seq_no
+  FROM c
+), p AS (
+  SELECT source, seq_no, doc_id,
+         greatest("start", seq_no * {SEQ_LEN}) - "start" AS tok_start,
+         least("end", seq_no * {SEQ_LEN} + {SEQ_LEN}) - "start" AS tok_end,
+         greatest("start", seq_no * {SEQ_LEN}) - seq_no * {SEQ_LEN}
+           AS seq_off,
+         w
+  FROM s
+)
+SELECT source, CAST(seq_no AS BIGINT) AS seq_no,
+       CAST(sum(tok_end - tok_start) AS BIGINT) AS n_fill,
+       md5(string_agg(
+             array_to_string(w[tok_start + 1 : tok_end], ' '), ' '
+             ORDER BY seq_off)) AS seq_md5
+FROM p
+GROUP BY source, seq_no
+"""
+
+
 REGISTRY = {
     "curate_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }

@@ -43,6 +43,7 @@ DOC_QUERIES = [
     "text_fingerprint",
     "text_rolling_fingerprint",
     "curate_pack_sequences",
+    "curate_pack_materialize",
     "fn_url_canonicalize",
     "dedup_exact",
     "dedup_incremental",
@@ -86,6 +87,8 @@ def _extra_queries():
     return {
         "curate_pack_sequences": (packing.q_pack_sequences,
                                   packing.SQL_PACK_SEQUENCES),
+        "curate_pack_materialize": (packing.q_pack_materialize,
+                                    packing.SQL_PACK_MATERIALIZE),
         "fn_url_canonicalize": (urls.q_url_canonicalize,
                                 urls.SQL_URL_CANONICALIZE),
         "mm_metadata": (multimodal.q_mm_metadata,

@@ -182,3 +182,68 @@ def test_duckdb_parity(spark, sf_dir):
     assert sorted(df.columns) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)
+
+
+# ---------------------------------------------------------------------------
+# materialized sink: packed_sequences / q_pack_materialize
+# ---------------------------------------------------------------------------
+
+def test_materialized_streams_match_reference(spark):
+    """Every sequence's token stream is exactly the reference plan's
+    slices assembled in seq_off order."""
+    from ocr_module_spark.functions.packing import packed_sequences
+
+    docs = [(i, src, " ".join(f"w{i}_{j}" for j in range(n)))
+            for i, (src, n) in enumerate(
+                [("a", 10), ("a", 64), ("a", 100), ("a", 1),
+                 ("b", 200), ("b", 0), ("b", 3)])]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {(r["source"], r["seq_no"]): (r["n_fill"], list(r["tokens"]))
+           for r in packed_sequences(df).collect()}
+
+    words = {i: t.split() if t else [] for i, _s, t in docs}
+    rows = [(i, s, len(words[i])) for i, s, _t in docs]
+    expect = defaultdict(list)
+    for src, seq, doc, lo, hi, off in sorted(
+            ref_pack(rows, SEQ_LEN), key=lambda r: (r[0], r[1], r[5])):
+        expect[(src, seq)].extend(words[doc][lo:hi])
+    assert {k: v[1] for k, v in got.items()} == dict(expect)
+    for (src, seq), (n_fill, toks) in got.items():
+        assert n_fill == len(toks)
+
+
+def test_materialize_duckdb_parity(spark, sf_dir):
+    import pathlib
+    import sys
+
+    import duckdb
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    from parity_check import value_hash
+
+    from ocr_module_spark.functions.packing import (SQL_PACK_MATERIALIZE,
+                                                    q_pack_materialize)
+
+    df = q_pack_materialize(spark, sf_dir)
+    s_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    res = con.sql(SQL_PACK_MATERIALIZE)
+    d_cols, d_rows = res.columns, res.fetchall()
+    con.close()
+    assert sorted(df.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows) > 0
+    assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)
+
+
+def test_materialize_plan_shape(spark, sf_dir):
+    from ocr_module_spark.functions.packing import q_pack_materialize
+
+    plan = q_pack_materialize(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # plan-window exchange + doc_id join + (source, seq_no) assembly agg;
+    # text rides only the equi-join, never the window
+    assert plan.count("Exchange") <= 5
