@@ -31,7 +31,9 @@ from .functions.textstats import (_words, budget_select, pii_scrub,
 
 
 def curate(spark: SparkSession, pages: DataFrame,
-           bench_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+           bench_docs: DataFrame,
+           model_weights: DataFrame | None = None) \
+        -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain. Returns ``(curated, audit)``:
 
     * ``curated`` — (url, text, n_tokens) of documents that survive
@@ -42,6 +44,13 @@ def curate(spark: SparkSession, pages: DataFrame,
 
     ``bench_docs`` is the (doc_id, text) benchmark/eval table to
     decontaminate against.
+
+    ``model_weights`` (optional) is a trained (word, w_x1000) classifier
+    table (functions/model_score): when given, the quality gate is the
+    AND of the rule-based Gopher filter and the model's keep verdict —
+    the CCNet-recipe combination, landing in the audit's
+    ``quality_keep`` column. The broadcast-join scoring adds no corpus
+    shuffle (see model_score).
     """
     extracted = pipeline.extract(pages).select("url", "text")
     # the unique url IS the doc key (the dedup/decon machinery only needs
@@ -55,7 +64,19 @@ def curate(spark: SparkSession, pages: DataFrame,
 
     quality = quality_frame(docs).select(
         "doc_id", F.col("keep").alias("quality_keep"))
-    passing = (docs.join(quality, "doc_id")
+    if model_weights is not None:
+        from .functions.model_score import score_frame
+        model = score_frame(docs, model_weights).select(
+            "doc_id", F.col("keep").alias("model_keep"))
+        quality = (quality.join(model, "doc_id", "left")
+                   .select("doc_id",
+                           F.coalesce("model_keep", F.lit(False))
+                           .alias("model_keep"),
+                           (F.col("quality_keep")
+                            & F.coalesce("model_keep", F.lit(False)))
+                           .alias("quality_keep")))
+    passing = (docs.join(quality.select("doc_id", "quality_keep"),
+                         "doc_id")
                .where(F.col("quality_keep")))
 
     dup = dedup_decision_frame(passing).withColumnRenamed(

@@ -189,3 +189,32 @@ def test_pack_stage_on_chain(spark, curated_audit):
         last[host] = max(last[host], seq)
     for (host, seq), f in fill.items():
         assert f == L or seq == last[host]
+
+
+def test_model_gate_tightens_quality(spark):
+    """curate(model_weights=...): the quality verdict becomes
+    rule-AND-model; a weights table that rejects everything empties the
+    kept set without touching the other stage verdicts."""
+    from ocr_module_spark.functions.model_score import weights_frame
+
+    pages = corpus.pages_df(spark, 60)
+    bench = spark.createDataFrame([(1, "nothing matches this")],
+                                  "doc_id long, text string")
+    _cur0, audit0 = curate.curate(spark, pages, bench)
+    base_kept = audit0.where("kept").count()
+
+    from ocr_module_spark import pipeline
+    docs = (pipeline.extract(pages)
+            .select(F.col("url").alias("doc_id"), "text"))
+    # real vocabulary -> scores straddle the neutral line; the gate can
+    # only shrink the kept set
+    w_real = weights_frame(docs)
+    _cur1, audit1 = curate.curate(spark, pages, bench,
+                                  model_weights=w_real)
+    kept_real = audit1.where("kept").count()
+    assert kept_real <= base_kept
+    # all-zero weights reject every scored doc
+    w_zero = w_real.select("word", F.lit(0).alias("w_x1000"))
+    _cur2, audit2 = curate.curate(spark, pages, bench,
+                                  model_weights=w_zero)
+    assert audit2.where("kept").count() == 0

@@ -45,6 +45,7 @@ DOC_QUERIES = [
     "curate_pack_sequences",
     "curate_pack_materialize",
     "fn_url_canonicalize",
+    "text_model_score",
     "dedup_exact",
     "dedup_incremental",
     "dedup_spans",
@@ -82,8 +83,9 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, multimodal, packing,
-                                            simsearch, textstats, urls)
+    from ocr_module_spark.functions import (dedup, model_score, multimodal,
+                                            packing, simsearch, textstats,
+                                            urls)
     return {
         "curate_pack_sequences": (packing.q_pack_sequences,
                                   packing.SQL_PACK_SEQUENCES),
@@ -91,6 +93,8 @@ def _extra_queries():
                                     packing.SQL_PACK_MATERIALIZE),
         "fn_url_canonicalize": (urls.q_url_canonicalize,
                                 urls.SQL_URL_CANONICALIZE),
+        "text_model_score": (model_score.q_model_score,
+                             model_score.SQL_MODEL_SCORE),
         "mm_metadata": (multimodal.q_mm_metadata,
                         multimodal.SQL_MM_METADATA),
         "text_token_count": (textstats.q_token_count,
