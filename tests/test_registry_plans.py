@@ -19,7 +19,23 @@ import __spark_entry__ as entry_mod
 #   1-row x 1-row combine of the two count aggregates
 BNLJ_OK = {"ann_recall_eval"}
 
-_QUERIES = sorted(entry_mod.queries().items())
+def _extra_queries():
+    """Oracled operators living outside the 50-row driver window (the
+    hostile gate carries their value parity; this sweep carries their
+    plan discipline)."""
+    from ocr_module_spark.functions import model_score, packing, urls
+    from ocr_module_spark.operators.extraction import (
+        q_region_pixel_features)
+    return {
+        "curate_pack_sequences": packing.q_pack_sequences,
+        "curate_pack_materialize": packing.q_pack_materialize,
+        "fn_url_canonicalize": urls.q_url_canonicalize,
+        "text_model_score": model_score.q_model_score,
+        "region_pixel_features": q_region_pixel_features,
+    }
+
+
+_QUERIES = sorted({**entry_mod.queries(), **_extra_queries()}.items())
 
 
 @pytest.mark.parametrize("name,fn", _QUERIES, ids=[n for n, _ in _QUERIES])

@@ -43,6 +43,10 @@ def main() -> int:
                          "corpus: strip cross-document boilerplate spans "
                          "the doc-level keep-list cannot see (rewrites "
                          "the curated text; audit/counters unchanged)")
+    ap.add_argument("--model-weights", default="", metavar="PARQUET",
+                    help="trained (word, w_x1000) classifier table: AND "
+                         "the model's keep verdict into the quality gate "
+                         "(broadcast-join scoring, no corpus shuffle)")
     ap.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
                     help="emit the sequence-packing plan over the final "
                          "curated output (concat-and-split into SEQ_LEN-"
@@ -66,7 +70,9 @@ def main() -> int:
 
     pages = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench)
-    _, audit = curate(spark, pages, bench)
+    weights = (spark.read.parquet(args.model_weights)
+               if args.model_weights else None)
+    _, audit = curate(spark, pages, bench, model_weights=weights)
     # one materialization of the decision pipeline; counters AND both
     # sinks read the checkpoint (deriving curated from the original plan
     # would re-run extraction/dedup/decontamination a second time)
