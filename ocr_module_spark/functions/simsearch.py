@@ -178,6 +178,61 @@ def ivf_assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
                     (-best["negcid"]).cast("int").alias("cid"))
 
 
+CENT_SCALE = 1_000_000      # 1e-6 fixed-point for exact Lloyd averaging
+
+
+def train_ivf_centroids(e: DataFrame, k: int = NLIST,
+                        rounds: int = 3) -> dict[int, list[float]]:
+    """Distributed k-means (Lloyd) training of the IVF coarse quantizer
+    — the 'trained' step the probe's docstring defers to, as DataFrame
+    ops:
+
+    * ASSIGN is the zero-exchange argmax projection (ivf_assign) against
+      the current centroid literal matrix — the same map-stage shape the
+      probe uses, so training costs ``rounds`` scans and ``rounds``
+      k×dim-row aggregations, never a vector shuffle;
+    * UPDATE sums per-(cell, dimension) in ×10^6 FIXED-POINT LONGS
+      (posexplode → partial-aggregated groupBy): integer addition is
+      associative, so the new centroids are bit-identical across
+      partitionings, parallelism levels, and retries — double sums are
+      not (per-partition order varies), and a last-bit wobble can flip
+      an assignment and cascade;
+    * the collect is k×dim rows per round (the model, not the data —
+      same budget as the probe's quantizer math); empty cells keep
+      their previous centroid (standard Lloyd).
+
+    Init is deterministic: the first ``k`` vec_ids (exactly the probe's
+    untrained quantizer, so training strictly refines what the oracle
+    query pins). Returns the same ``{cid: vector}`` dict ivf_assign
+    takes.
+    """
+    cents = {r["vec_id"]: list(r["vec"]) for r in
+             e.where(F.col("vec_id") < k).select("vec_id", "vec")
+              .collect()}
+    assert len(cents) == k, "corpus smaller than k"
+    cents = {i: cents[i] for i in sorted(cents)}
+    dim = len(cents[0])
+    for _ in range(rounds):
+        assigned = ivf_assign(e, cents)
+        sums = (assigned
+                .select("cid", F.posexplode("vec").alias("pos", "val"))
+                .select("cid", "pos",
+                        F.round(F.col("val") * CENT_SCALE)
+                        .cast("long").alias("v"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect())
+        new = {}
+        for r in sums:
+            acc = new.setdefault(r["cid"], [0] * dim + [0])
+            acc[r["pos"]] = r["s"]
+            acc[dim] = r["n"]
+        cents = {cid: ([x // acc[dim] / CENT_SCALE for x in acc[:dim]]
+                       if (acc := new.get(cid)) else old)
+                 for cid, old in cents.items()}
+    return cents
+
+
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse-quantize every vector to its nearest of NLIST
     centroids (one shuffle-free argmax projection — the inverted-file
