@@ -145,9 +145,12 @@ def packed_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
     and assemble every sequence's token stream in seq_off order.
 
     Input ``docs`` is ``(doc_id, <key_col>, text)``. Output is one row
-    per sequence: ``(<key_col>, seq_no, n_fill, tokens array<string>)``
-    — the frame a token-id sink writes (a real deployment maps words →
-    BPE ids in the same projection).
+    per sequence: ``(<key_col>, seq_no, n_fill, tokens array<string>,
+    doc_starts array<long>)`` — the frame a token-id sink writes (a real
+    deployment maps words → BPE ids in the same projection).
+    ``doc_starts`` holds the in-sequence offsets where a NEW document
+    begins (continuations of split docs are not boundaries) — the
+    attention-reset / loss-mask positions packed-batch training needs.
 
     Scale shape: the plan build is the one window exchange
     (pack_assignments), the join back is a doc_id equi-join (plan rows
@@ -175,14 +178,24 @@ def packed_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
     piece = F.slice("w", F.col("tok_start").cast("int") + 1,
                     (F.col("tok_end") - F.col("tok_start")).cast("int"))
     pieces = joined.select(
-        key_col, "seq_no", "seq_off", piece.alias("piece"))
+        key_col, "seq_no", "seq_off", piece.alias("piece"),
+        # a document STARTS here only when the piece is the document's
+        # own first slice — a split doc's continuation (tok_start > 0)
+        # lands at seq_off 0 of the next sequence but is NOT a boundary
+        F.when(F.col("tok_start") == 0, F.col("seq_off")).alias("dstart"))
+    # doc_starts: in-sequence offsets where a document begins — the
+    # attention-reset / loss-mask boundaries a trainer consumes (cross-
+    # document tokens must not attend to each other in packed batches);
+    # same aggregation, zero extra cost
     assembled = pieces.groupBy(key_col, "seq_no").agg(
         F.flatten(F.transform(
             F.array_sort(F.collect_list(F.struct("seq_off", "piece"))),
-            lambda s: s["piece"])).alias("tokens"))
+            lambda s: s["piece"])).alias("tokens"),
+        F.array_sort(F.collect_list("dstart")).alias("doc_starts"))
     return assembled.select(
         key_col, "seq_no",
-        F.size("tokens").cast("long").alias("n_fill"), "tokens")
+        F.size("tokens").cast("long").alias("n_fill"),
+        "tokens", "doc_starts")
 
 
 def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,9 +204,12 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-assembly, wrong slice, or wrong offset changes the hash)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     seqs = packed_sequences(d.select("doc_id", "source", "text"))
+    starts = F.array_join(
+        F.transform("doc_starts", lambda x: x.cast("string")), ",")
     return seqs.select(
         "source", "seq_no", "n_fill",
-        F.md5(F.array_join("tokens", " ").cast("binary")).alias("seq_md5"))
+        F.md5(F.array_join("tokens", " ").cast("binary")).alias("seq_md5"),
+        starts.alias("doc_starts_csv"))
 
 
 SQL_PACK_MATERIALIZE = f"""
@@ -227,7 +243,10 @@ SELECT source, CAST(seq_no AS BIGINT) AS seq_no,
        CAST(sum(tok_end - tok_start) AS BIGINT) AS n_fill,
        md5(string_agg(
              array_to_string(w[tok_start + 1 : tok_end], ' '), ' '
-             ORDER BY seq_off)) AS seq_md5
+             ORDER BY seq_off)) AS seq_md5,
+       coalesce(string_agg(
+             CASE WHEN tok_start = 0 THEN CAST(seq_off AS VARCHAR) END,
+             ',' ORDER BY seq_off), '') AS doc_starts_csv
 FROM p
 GROUP BY source, seq_no
 """

@@ -198,18 +198,27 @@ def test_materialized_streams_match_reference(spark):
                 [("a", 10), ("a", 64), ("a", 100), ("a", 1),
                  ("b", 200), ("b", 0), ("b", 3)])]
     df = spark.createDataFrame(docs, "doc_id long, source string, text string")
-    got = {(r["source"], r["seq_no"]): (r["n_fill"], list(r["tokens"]))
+    got = {(r["source"], r["seq_no"]):
+           (r["n_fill"], list(r["tokens"]), list(r["doc_starts"]))
            for r in packed_sequences(df).collect()}
 
     words = {i: t.split() if t else [] for i, _s, t in docs}
     rows = [(i, s, len(words[i])) for i, s, _t in docs]
     expect = defaultdict(list)
+    starts = defaultdict(list)
     for src, seq, doc, lo, hi, off in sorted(
             ref_pack(rows, SEQ_LEN), key=lambda r: (r[0], r[1], r[5])):
         expect[(src, seq)].extend(words[doc][lo:hi])
+        if lo == 0:  # a NEW document begins here (not a continuation)
+            starts[(src, seq)].append(off)
     assert {k: v[1] for k, v in got.items()} == dict(expect)
-    for (src, seq), (n_fill, toks) in got.items():
+    for (src, seq), (n_fill, toks, dstarts) in got.items():
         assert n_fill == len(toks)
+        assert dstarts == starts[(src, seq)]
+    # the 200-token doc spans sequences: its continuation sequences must
+    # NOT report offset 0 as a boundary
+    assert any(dstarts == [] or dstarts[0] > 0
+               for _n, _t, dstarts in got.values())
 
 
 def test_materialize_duckdb_parity(spark, sf_dir):
