@@ -55,8 +55,20 @@ SEQ_LEN = 64      # tokens per packed sequence — testdata-sized; a real
 
 
 def pack_assignments(base: DataFrame, seq_len: int = SEQ_LEN,
-                     key_col: str = "source") -> DataFrame:
+                     key_col: str = "source",
+                     salt_buckets: int = 0) -> DataFrame:
     """Packing plan over any ``(doc_id, <key_col>, n_tokens)`` frame.
+
+    ``salt_buckets > 0`` is the hot-host dial: the window key becomes
+    ``(key_col, hex4(md5(doc_id)) % salt_buckets)`` so a 10^9-page host
+    packs as ``salt_buckets`` independent streams instead of one
+    serialized window partition. Any disjoint partition of the documents
+    is a valid packing (each bucket's sequences are internally exact);
+    the cost is up to one short tail sequence per bucket instead of one
+    per host. The salt rides in the output ``pack_salt`` column so
+    (key, pack_salt, seq_no) stays a dense, shardable sequence id; the
+    salt derives from the same engine-portable hash as the document
+    order, so plans stay deterministic and oracle-able.
 
     Returns one row per (document × overlapping sequence):
 
@@ -69,24 +81,28 @@ def pack_assignments(base: DataFrame, seq_len: int = SEQ_LEN,
     Zero-token documents pack nothing and are excluded (they were
     already dropped by the quality gate upstream).
     """
-    w = (Window.partitionBy(key_col)
+    keys = [key_col] + (["pack_salt"] if salt_buckets > 0 else [])
+    w = (Window.partitionBy(*keys)
          .orderBy("h", "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     c = (base.where(F.col("n_tokens") > 0)
          .withColumn("h", hex4_col(
-             F.md5(F.col("doc_id").cast("string").cast("binary"))))
-         .withColumn("end", F.sum("n_tokens").over(w).cast("long"))
+             F.md5(F.col("doc_id").cast("string").cast("binary")))))
+    if salt_buckets > 0:
+        c = c.withColumn(
+            "pack_salt", F.pmod("h", F.lit(salt_buckets)).cast("int"))
+    c = (c.withColumn("end", F.sum("n_tokens").over(w).cast("long"))
          .withColumn("start", (F.col("end") - F.col("n_tokens"))
                      .cast("long")))
     seq_no = F.explode(F.sequence(
         F.expr(f"start div {seq_len}"),
         F.expr(f"(end - 1) div {seq_len}"))).alias("seq_no")
-    e = c.select(key_col, "doc_id", "start", "end", seq_no)
+    e = c.select(*keys, "doc_id", "start", "end", seq_no)
     seq_lo = F.col("seq_no") * seq_len
     take_from = F.greatest(F.col("start"), seq_lo)
     take_to = F.least(F.col("end"), seq_lo + seq_len)
     return e.select(
-        key_col, F.col("seq_no").cast("long").alias("seq_no"), "doc_id",
+        *keys, F.col("seq_no").cast("long").alias("seq_no"), "doc_id",
         (take_from - F.col("start")).cast("long").alias("tok_start"),
         (take_to - F.col("start")).cast("long").alias("tok_end"),
         (take_from - seq_lo).cast("long").alias("seq_off"))

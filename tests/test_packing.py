@@ -256,3 +256,38 @@ def test_materialize_plan_shape(spark, sf_dir):
     # plan-window exchange + doc_id join + (source, seq_no) assembly agg;
     # text rides only the equi-join, never the window
     assert plan.count("Exchange") <= 5
+
+
+# ---------------------------------------------------------------------------
+# hot-host salt dial
+# ---------------------------------------------------------------------------
+
+def test_salted_packing_partitions_hot_host(spark):
+    """salt_buckets splits one giant host into independent exact
+    streams: per-(host, salt) the packing invariants hold, every doc is
+    covered exactly once, and the salt matches the portable hash."""
+    rows = [(i, "hot", 10) for i in range(200)] + [(900, "cold", 5)]
+    base = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long")
+    got = pack_assignments(base, 16, salt_buckets=4).collect()
+
+    per_doc = defaultdict(int)
+    fill = defaultdict(int)
+    for r in got:
+        assert r["pack_salt"] == _h(r["doc_id"]) % 4
+        per_doc[r["doc_id"]] += r["tok_end"] - r["tok_start"]
+        fill[(r["source"], r["pack_salt"], r["seq_no"])] += \
+            r["tok_end"] - r["tok_start"]
+    assert per_doc == {i: n for i, _s, n in rows}
+    # hot host genuinely split across all 4 buckets
+    assert {k[1] for k in fill if k[0] == "hot"} == {0, 1, 2, 3}
+    # exact fill per bucket stream except its own tail
+    last = defaultdict(int)
+    for src, salt, seq in fill:
+        last[(src, salt)] = max(last[(src, salt)], seq)
+    for (src, salt, seq), f in fill.items():
+        assert f == 16 or seq == last[(src, salt)]
+    # dense numbering from 0 within each bucket
+    for (src, salt), mx in last.items():
+        assert {k[2] for k in fill if k[:2] == (src, salt)} == \
+            set(range(mx + 1))
