@@ -33,9 +33,9 @@ Scale shape (the whole point at 10^12 documents):
   ``n_tokens // seq_len + 1`` sequences, so output rows ≈ corpus
   tokens / seq_len + n_docs — linear, no all-pairs anywhere.
 * Skewed hosts: a single giant source serializes its own window; the
-  dial is the same composite-key salt budget_select uses (pack on
-  ``(source, floor(hash/…))`` and renumber) — not defaulted here
-  because sequence numbering must stay contiguous per shard key.
+  ``salt_buckets`` dial splits it into independent exact streams keyed
+  ``(source, hash % buckets)`` — off by default because an unskewed
+  corpus prefers one tail sequence per host over one per bucket.
 
 Sequence-boundary semantics: sequences are [seq_no*L, (seq_no+1)*L)
 token windows over the concatenated per-source stream; the final
