@@ -1,0 +1,145 @@
+"""BPE merge training — the tokenizer-training loop as corpus-scale
+DataFrame ops.
+
+A pretraining pipeline trains its tokenizer on (a sample of) the corpus
+it just curated. One BPE merge round is two corpus-shaped steps:
+
+* COUNT: every document's adjacent symbol pairs → explode →
+  partial-aggregated groupBy → the single most frequent pair (ties by
+  pair lexicographic order, so training is deterministic across runs,
+  partitionings, and engines — classic BPE leaves ties to dict order);
+* MERGE: rewrite every document's symbol array, replacing each
+  non-overlapping occurrence of the winning pair (leftmost-first) with
+  the merged symbol — a per-document local rewrite, done in ONE
+  Arrow-batched ``mapInPandas`` stage (the same seam the extraction
+  parser uses; a pure higher-order-function rewrite of "merge adjacent
+  non-overlapping pairs" needs an order-sensitive fold that Spark's
+  ``aggregate`` expresses poorly and slowly).
+
+The driver collects ONE row per round (the winning pair — the model);
+symbol arrays never leave the executors. ``rounds`` scans of the working
+frame is the algorithm's real cost; production trains on a hash sample
+(``sample_stratified_hash``) because merge quality saturates long before
+corpus scale — the shapes here are what has to be right.
+
+Initial symbols are the whitespace tokens' characters with a word-end
+marker on the final character (the GPT-2/SentencePiece convention that
+keeps merges from crossing word boundaries without a separate boundary
+symbol).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "▁"          # word-end marker appended to a word's last char
+N_MERGES = 8
+
+
+def initial_symbols(docs: DataFrame) -> DataFrame:
+    """(doc_id, syms array<string>): lowercased whitespace words split
+    into characters, last character of each word carrying the end
+    marker. Pure JVM projection (flatten over a nested transform)."""
+    w = F.when(F.length(F.trim("text")) == 0,
+               F.array().cast("array<string>")) \
+        .otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+    syms = F.expr(
+        "flatten(transform(w, word -> transform("
+        "  sequence(1, length(word)),"
+        f" i -> CASE WHEN i = length(word) THEN substring(word, i, 1) || '{END}'"
+        "        ELSE substring(word, i, 1) END)))")
+    return docs.select("doc_id", w.alias("w")).select(
+        "doc_id", syms.alias("syms")).where(F.size("syms") > 0)
+
+
+def top_pair(symframe: DataFrame) -> tuple[str, str, int] | None:
+    """The corpus's most frequent adjacent symbol pair (count desc, pair
+    asc). One explode + two-phase aggregation + TakeOrdered(1); word-end
+    markers terminate words, so pairs never span a word boundary."""
+    pairs = symframe.select(F.explode(F.expr(
+        "filter(zip_with(syms, slice(syms, 2, size(syms) - 1),"
+        " (a, b) -> struct(a, b)), p -> p.b IS NOT NULL"
+        f" AND NOT endswith(p.a, '{END}'))")).alias("p"))
+    top = (pairs.groupBy("p").agg(F.count("*").alias("n"))
+           .orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b"))
+           .limit(1).collect())
+    if not top:
+        return None
+    r = top[0]
+    return (r["p"]["a"], r["p"]["b"], r["n"])
+
+
+def _merge_batches(a: str, b: str):
+    merged = a + b
+
+    def fn(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: F401  (Arrow worker import)
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                res = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if (i + 1 < n and syms[i] == a and syms[i + 1] == b):
+                        res.append(merged)   # leftmost, non-overlapping
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            pdf = pdf.copy()
+            pdf["syms"] = out
+            yield pdf
+
+    return fn
+
+
+def apply_merge(symframe: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite every symbol array, merging non-overlapping (a, b) →
+    ``a+b`` leftmost-first — one Arrow stage, no shuffle."""
+    from ..deploy import ensure_pyfiles
+    ensure_pyfiles(symframe.sparkSession)
+    return symframe.mapInPandas(
+        _merge_batches(a, b), schema="doc_id long, syms array<string>")
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES,
+                     checkpoint: bool = True) -> list[tuple[str, str]]:
+    """The merge table (the trained tokenizer model), most-frequent
+    first. ``checkpoint=True`` localCheckpoints the working frame each
+    round — without it round k's plan nests k Arrow stages and
+    re-executes the whole history per action (the same dial as
+    budget_select/cc_labels)."""
+    frame = initial_symbols(docs)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if checkpoint:
+            frame = frame.localCheckpoint(eager=False)
+        best = top_pair(frame)
+        if best is None or best[2] < 2:
+            break                      # nothing left worth merging
+        a, b, _n = best
+        merges.append((a, b))
+        frame = apply_merge(frame, a, b)
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python encoder applying the merge table in training order —
+    the deployment-side twin (and the tests' reference semantics)."""
+    syms = [c for c in word[:-1]] + [word[-1] + END] if word else []
+    for a, b in merges:
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
