@@ -156,7 +156,8 @@ def mix_from_audit(audit: DataFrame,
 
 
 def pack_plan_from_curated(curated: DataFrame,
-                           seq_len: int | None = None) -> DataFrame:
+                           seq_len: int | None = None,
+                           salt_buckets: int = 0) -> DataFrame:
     """Sequence-packing plan over the curated output — the step that
     turns the curated corpus into fixed-length training sequences
     (functions/packing.pack_assignments). Keyed on the url HOST, the
@@ -174,9 +175,11 @@ def pack_plan_from_curated(curated: DataFrame,
     base = pipeline.with_host(curated).select(
         F.col("url").alias("doc_id"),
         F.col("url_host").alias("source"), "n_tokens")
-    plan = pack_assignments(base, seq_len or SEQ_LEN)
-    return plan.select(F.col("source").alias("url_host"), "seq_no",
-                       F.col("doc_id").alias("url"),
+    plan = pack_assignments(base, seq_len or SEQ_LEN,
+                            salt_buckets=salt_buckets)
+    salt = ["pack_salt"] if salt_buckets > 0 else []
+    return plan.select(F.col("source").alias("url_host"), *salt,
+                       "seq_no", F.col("doc_id").alias("url"),
                        "tok_start", "tok_end", "seq_off")
 
 

@@ -103,8 +103,9 @@ def apply_merge(symframe: DataFrame, a: str, b: str) -> DataFrame:
     ``a+b`` leftmost-first — one Arrow stage, no shuffle."""
     from ..deploy import ensure_pyfiles
     ensure_pyfiles(symframe.sparkSession)
-    return symframe.mapInPandas(
-        _merge_batches(a, b), schema="doc_id long, syms array<string>")
+    # schema passthrough: the doc key can be long or string (url)
+    return symframe.mapInPandas(_merge_batches(a, b),
+                                schema=symframe.schema)
 
 
 def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES,

@@ -52,6 +52,13 @@ def main() -> int:
                          "curated output (concat-and-split into SEQ_LEN-"
                          "token training sequences per url-host); writes "
                          "<out>/packs and adds sequence counters")
+    ap.add_argument("--pack-salt", type=int, default=0, metavar="BUCKETS",
+                    help="hot-host packing dial: split each host into "
+                         "BUCKETS independent packing streams")
+    ap.add_argument("--train-bpe", type=int, default=0, metavar="N_MERGES",
+                    help="train an N-merge BPE table on the curated "
+                         "output (deterministic tie-breaks); writes "
+                         "<out>/bpe_merges and a bpe_merges counter")
     ap.add_argument("--budget-mix", action="store_true",
                     help="token-budget mixture selection as the final "
                          "stage: cap per-host contribution, fill each "
@@ -101,7 +108,8 @@ def main() -> int:
         # (post mix restriction / span dedup), never the text column
         from ocr_module_spark.curate import pack_plan_from_curated
         plan = pack_plan_from_curated(
-            spark.read.parquet(f"{out}/curated"), args.pack) \
+            spark.read.parquet(f"{out}/curated"), args.pack,
+            salt_buckets=args.pack_salt) \
             .localCheckpoint(eager=True)
         plan.write.mode("overwrite").parquet(f"{out}/packs")
         agg = plan.selectExpr(
@@ -110,6 +118,18 @@ def main() -> int:
             .first()
         counters["sequences_packed"] = int(agg["sequences_packed"])
         counters["tokens_packed"] = int(agg["tokens_packed"])
+    if args.train_bpe > 0:
+        from ocr_module_spark.functions.bpe import train_bpe_merges
+        cur_docs = (spark.read.parquet(f"{out}/curated")
+                    .select("url", "text")
+                    .withColumnRenamed("url", "doc_id"))
+        merges = train_bpe_merges(cur_docs, n_merges=args.train_bpe)
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "merge_no int, a string, b string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{out}/bpe_merges")
+        counters["bpe_merges"] = len(merges)
     audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
 
     print(json.dumps(counters))
