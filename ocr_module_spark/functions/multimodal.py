@@ -75,7 +75,7 @@ def media_metadata_cols(payload: str = "payload"):
 RESIZE_TARGET = 96          # target "pixels" (bytes) after resample
 
 
-def resized_checksum_col():
+def resized_checksum_col(col: str = "text"):
     """Nearest-neighbor 1-D resample of the payload to RESIZE_TARGET
     samples, digested: sample i comes from source position
     floor(i*n/target) — the exact index arithmetic of an image
@@ -84,12 +84,18 @@ def resized_checksum_col():
     ``_decode_real`` and resizes pixels; the indexing and columnar shape
     are what this pins). All JVM-side — the payload never enters
     Python; works for both down- and up-sampling (n < target duplicates
-    samples); NULL for empty payloads."""
+    samples); NULL for empty payloads.
+
+    KEEP THIS IN A CODEGEN'D STAGE: any projection adjacent to an
+    Arrow/Python runner (input OR output side) runs interpreted, where
+    this transform costs ~300µs/row instead of ~10 (measured 1.5–1.7 s
+    vs 0.05 s at sf0.1) — the reason q_mm_features computes its resize
+    digest in Python inside its Arrow stage instead."""
     resized = F.expr(
         f"array_join(transform(sequence(0, {RESIZE_TARGET - 1}), "
-        f"i -> substring(text, cast((i * length(text)) div {RESIZE_TARGET} "
+        f"i -> substring({col}, cast((i * length({col})) div {RESIZE_TARGET} "
         "as int) + 1, 1)), '')")
-    return F.when(F.length("text") > 0, F.md5(resized.cast("binary")))
+    return F.when(F.length(F.expr(col)) > 0, F.md5(resized.cast("binary")))
 
 
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,8 +330,11 @@ def media_features(df: DataFrame, payload_col: str = "payload",
     schema = f"{id_col} long, features array<double>"
     for n, t in passthrough:
         schema += f", {n} {t}"
-    return df.select(id_col, payload_col, *names).mapInPandas(
-        batches, schema=schema)
+    # the payload itself may be a passthrough (ride through and let a
+    # codegen'd projection on top consume it) — select it once
+    sel = [id_col, payload_col] + [n for n in names
+                                   if n not in (id_col, payload_col)]
+    return df.select(*sel).mapInPandas(batches, schema=schema)
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,21 +350,60 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       arithmetic, the payload never enters Python.
 
     Both engines filter to ascii-only docs (byte == char semantics
-    pinned, see q_mm_frame_sample). ONE scan: the JVM metadata/resize
-    columns ride through the Arrow feature stage as passthrough columns
-    (no second scan, no join — plan-asserted single stage)."""
+    pinned, see q_mm_frame_sample). ONE scan, ONE Arrow stage, no join:
+    the payload is already in Python for the feature extraction, so the
+    per-row scalars (md5, mime sniff, resize digest) compute there too —
+    hashlib/C, ~µs/row. The JVM alternative is NOT cheaper here: any
+    projection adjacent to a Python runner (its input projection OR the
+    project above it) runs INTERPRETED, outside whole-stage codegen —
+    measured 1.5–1.7 s at sf0.1 for the 96-element resize transform in
+    either position vs 0.05 s in a codegen'd aggregate and ~0.03 s as
+    Python bytes sampling. The standalone JVM builders
+    (media_metadata_cols, resized_checksum_col) remain the right shape
+    for plans with no Python stage."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..deploy import ensure_pyfiles
+    ensure_pyfiles(spark)
     d = _docs_media(spark, sf_dir).where(
         F.octet_length("text") == F.length("text"))
-    d = d.select("doc_id", "payload", *media_metadata_cols(),
-                 resized_checksum_col().alias("resized_checksum"))
-    feats = media_features(d, passthrough=(
-        ("n_bytes", "int"), ("checksum", "string"), ("mime", "string"),
-        ("resized_checksum", "string")))
-    return feats.select(
-        "doc_id",
-        F.element_at("features", 1).alias("f_len"),
-        F.element_at("features", 2).alias("f_mean_byte"),
-        "n_bytes", "checksum", "mime", "resized_checksum")
+
+    def batches(it):
+        cols = ["doc_id", "f_len", "f_mean_byte", "n_bytes", "checksum",
+                "mime", "resized_checksum"]
+        for pdf in it:
+            recs = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                f = decode_features(p)
+                head = p[:4]
+                if head.startswith(b"<htm") or head.startswith(b"<!do"):
+                    mime = "text/html"
+                elif head.startswith(b"%PDF"):
+                    mime = "application/pdf"
+                elif head.startswith(b"{"):
+                    mime = "application/json"
+                else:
+                    mime = "application/octet-stream"
+                n = len(p)
+                # nearest-neighbor resample digest — same index
+                # arithmetic as resized_checksum_col, over the bytes
+                # (== chars on this ascii-filtered corpus)
+                rc = hashlib.md5(bytes(
+                    p[(i * n) // RESIZE_TARGET]
+                    for i in range(RESIZE_TARGET))).hexdigest() \
+                    if n > 0 else None
+                recs.append((doc_id, f[0], f[1], n,
+                             hashlib.md5(p).hexdigest(), mime, rc))
+            yield pd.DataFrame.from_records(recs, columns=cols)
+
+    return d.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema="doc_id long, f_len double, f_mean_byte double, "
+               "n_bytes int, checksum string, mime string, "
+               "resized_checksum string")
 
 
 SQL_MM_FEATURES = f"""
