@@ -58,8 +58,20 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = dict(entry_mod.queries())
+    oracles = dict(entry_mod.oracle_sql())
+    # oracled operators living OUTSIDE the 50-row driver window (the
+    # registry is pinned at 50 so every driver row stays green; these
+    # get the identical gate here and in tests/test_hostile_parity.py)
+    from ocr_module_spark.functions import model_score, packing, urls
+    for mod in (packing, urls, model_score):
+        for name, (fn, sql) in mod.REGISTRY.items():
+            qs.setdefault(name, fn)
+            if sql is not None:
+                oracles.setdefault(name, sql)
+    qs.setdefault("curate_pack_materialize", packing.q_pack_materialize)
+    oracles.setdefault("curate_pack_materialize",
+                       packing.SQL_PACK_MATERIALIZE)
     failures = []
     for name, fn in sorted(qs.items()):
         if name_filter and name_filter not in name:
