@@ -13,7 +13,10 @@ decontamination (ocr_module_spark.curate) and writes:
 * ``<out>/mix``      — (url, tier, n_tokens, cum_tokens) token-budget
   mixture selection (``--budget-mix``; curated is restricted to it)
 * ``<out>/packs``    — (url_host, seq_no, url, tok_start, tok_end,
-  seq_off) sequence-packing plan (``--pack SEQ_LEN``)
+  seq_off) sequence-packing plan (``--pack SEQ_LEN``; ``--pack-salt``
+  splits hot hosts into independent streams)
+* ``<out>/bpe_merges`` — (merge_no, a, b) trained BPE merge table
+  (``--train-bpe N``)
 * stdout             — ONE JSON line of per-stage counters
 """
 
