@@ -5,10 +5,12 @@ typed metadata struct — exactly how the reference separates ``image_data:
 bytes`` from its serialized entities (page_models.py:62-65,190-193; the
 design doc stores bytes in a keyed side-table, 設計.md:43-67). All
 operations here are Spark-side plumbing that is real and tested at scale
-semantics (schema, partitioning, Arrow batch shape); the pixel/sample
-*decode* itself is a deliberate stub (`NotImplementedError` or a
-deterministic fake) because no image/audio codec libraries exist in this
-sandbox — swap `_decode_real` for PIL/ffmpeg on a real deployment.
+semantics (schema, partitioning, Arrow batch shape). The pixel decode is
+REAL for PNG (functions/png.py — the engine's own S5 region crops
+round-trip container → pixels → features with zero raster libraries,
+see decode_features); only foreign codecs (JPEG/audio/video) remain a
+deployment seam — swap `_decode_real` for PIL/ffmpeg there, and
+byte-level `fake_features` stands in deterministically meanwhile.
 
 Scale notes:
 
