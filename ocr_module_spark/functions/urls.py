@@ -142,6 +142,42 @@ FROM u
 """
 
 
+def q_url_latest_revision(spark, sf_dir: str):
+    """The canonicalizer's consumer: a crawl sees one page under many
+    spellings and across many snapshots — collapse to ONE row per
+    canonical URL, keeping the latest revision (here: max doc_id, the
+    corpus's monotonic stamp; a real crawl orders by warc_ts the same
+    way). One aggregation shuffled on the canonical key; invalid URLs
+    drop (they never reach the url-keyed pipeline). n_revisions is the
+    revisit-rate signal crawl scheduling feeds on."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = d.select("doc_id", F.expr(_SYNTH_URL).alias("url")) \
+        .select("doc_id", *canonical_url_cols()) \
+        .where("url_valid")
+    return canon.groupBy("canon_url").agg(
+        F.max("doc_id").alias("latest_doc_id"),
+        F.count("*").alias("n_revisions"))
+
+
+SQL_URL_LATEST_REVISION = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL} AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         {_DUCK["canon_url"]} AS canon_url,
+         {_DUCK["url_valid"]} AS url_valid
+  FROM u
+)
+SELECT canon_url, max(doc_id) AS latest_doc_id,
+       count(*) AS n_revisions
+FROM c WHERE url_valid
+GROUP BY canon_url
+"""
+
+
 REGISTRY = {
     "fn_url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "fn_url_latest_revision": (q_url_latest_revision,
+                               SQL_URL_LATEST_REVISION),
 }

@@ -45,6 +45,7 @@ DOC_QUERIES = [
     "curate_pack_sequences",
     "curate_pack_materialize",
     "fn_url_canonicalize",
+    "fn_url_latest_revision",
     "text_model_score",
     "dedup_exact",
     "dedup_incremental",
@@ -93,6 +94,8 @@ def _extra_queries():
                                     packing.SQL_PACK_MATERIALIZE),
         "fn_url_canonicalize": (urls.q_url_canonicalize,
                                 urls.SQL_URL_CANONICALIZE),
+        "fn_url_latest_revision": (urls.q_url_latest_revision,
+                                   urls.SQL_URL_LATEST_REVISION),
         "text_model_score": (model_score.q_model_score,
                              model_score.SQL_MODEL_SCORE),
         "mm_metadata": (multimodal.q_mm_metadata,

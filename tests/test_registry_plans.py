@@ -30,6 +30,7 @@ def _extra_queries():
         "curate_pack_sequences": packing.q_pack_sequences,
         "curate_pack_materialize": packing.q_pack_materialize,
         "fn_url_canonicalize": urls.q_url_canonicalize,
+        "fn_url_latest_revision": urls.q_url_latest_revision,
         "text_model_score": model_score.q_model_score,
         "region_pixel_features": q_region_pixel_features,
     }

@@ -80,3 +80,40 @@ def test_duckdb_parity(spark, sf_dir):
     assert sorted(df.columns) == sorted(d_cols)
     assert len(s_rows) == len(d_rows) > 0
     assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)
+
+
+def test_latest_revision_collapses_revisits(spark, sf_dir):
+    """One row per canonical URL, max doc_id wins, counts match the
+    canonicalized frame; DuckDB parity."""
+    import pathlib
+    import sys
+    from collections import Counter, defaultdict
+
+    import duckdb
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    from parity_check import value_hash
+
+    from ocr_module_spark.functions.urls import (SQL_URL_LATEST_REVISION,
+                                                 q_url_latest_revision)
+
+    df = q_url_latest_revision(spark, sf_dir)
+    rows = df.collect()
+    canon = q_url_canonicalize(spark, sf_dir).where("url_valid").collect()
+    counts = Counter(r["canon_url"] for r in canon)
+    latest = defaultdict(int)
+    for r in canon:
+        latest[r["canon_url"]] = max(latest[r["canon_url"]], r["doc_id"])
+    assert {r["canon_url"]: r["n_revisions"] for r in rows} == dict(counts)
+    assert {r["canon_url"]: r["latest_doc_id"] for r in rows} == \
+        dict(latest)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    res = con.sql(SQL_URL_LATEST_REVISION)
+    d_cols, d_rows = res.columns, res.fetchall()
+    con.close()
+    s_rows = [tuple(r) for r in rows]
+    assert len(s_rows) == len(d_rows) > 0
+    assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)
