@@ -268,6 +268,55 @@ GROUP BY source, seq_no
 """
 
 
+SALT_DEMO = 4       # oracle surface for the hot-host dial
+
+
+def q_pack_sequences_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-host dial, value-verified cross-engine: same plan frame
+    as q_pack_sequences but windowed per (source, h % SALT_DEMO) — the
+    salt derives from the portable hash, so DuckDB mirrors it exactly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.when(F.length(F.trim("text")) == 0, 0) \
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    base = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    return pack_assignments(base, salt_buckets=SALT_DEMO)
+
+
+SQL_PACK_SEQUENCES_SALTED = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           ::BIGINT AS n_tokens,
+         {_H} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(h % {SALT_DEMO} AS INTEGER) AS pack_salt,
+         CAST(sum(n_tokens) OVER (PARTITION BY source, h % {SALT_DEMO}
+                                  ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS "end"
+  FROM d WHERE n_tokens > 0
+), s AS (
+  SELECT doc_id, source, pack_salt, "end", "end" - n_tokens AS "start",
+         unnest(range(("end" - n_tokens) // {SEQ_LEN},
+                      ("end" - 1) // {SEQ_LEN} + 1)) AS seq_no
+  FROM c
+)
+SELECT source, pack_salt, CAST(seq_no AS BIGINT) AS seq_no, doc_id,
+       CAST(greatest("start", seq_no * {SEQ_LEN}) - "start" AS BIGINT)
+         AS tok_start,
+       CAST(least("end", seq_no * {SEQ_LEN} + {SEQ_LEN}) - "start" AS BIGINT)
+         AS tok_end,
+       CAST(greatest("start", seq_no * {SEQ_LEN}) - seq_no * {SEQ_LEN}
+            AS BIGINT) AS seq_off
+FROM s
+"""
+
+
 REGISTRY = {
     "curate_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "curate_pack_salted": (q_pack_sequences_salted,
+                           SQL_PACK_SEQUENCES_SALTED),
 }

@@ -43,6 +43,7 @@ DOC_QUERIES = [
     "text_fingerprint",
     "text_rolling_fingerprint",
     "curate_pack_sequences",
+    "curate_pack_salted",
     "curate_pack_materialize",
     "fn_url_canonicalize",
     "fn_url_latest_revision",
@@ -92,6 +93,8 @@ def _extra_queries():
                                   packing.SQL_PACK_SEQUENCES),
         "curate_pack_materialize": (packing.q_pack_materialize,
                                     packing.SQL_PACK_MATERIALIZE),
+        "curate_pack_salted": (packing.q_pack_sequences_salted,
+                               packing.SQL_PACK_SEQUENCES_SALTED),
         "fn_url_canonicalize": (urls.q_url_canonicalize,
                                 urls.SQL_URL_CANONICALIZE),
         "fn_url_latest_revision": (urls.q_url_latest_revision,

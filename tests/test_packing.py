@@ -291,3 +291,28 @@ def test_salted_packing_partitions_hot_host(spark):
     for (src, salt), mx in last.items():
         assert {k[2] for k in fill if k[:2] == (src, salt)} == \
             set(range(mx + 1))
+
+
+def test_salted_duckdb_parity(spark, sf_dir):
+    import pathlib
+    import sys
+
+    import duckdb
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    from parity_check import value_hash
+
+    from ocr_module_spark.functions.packing import (
+        SQL_PACK_SEQUENCES_SALTED, q_pack_sequences_salted)
+
+    df = q_pack_sequences_salted(spark, sf_dir)
+    s_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    res = con.sql(SQL_PACK_SEQUENCES_SALTED)
+    d_cols, d_rows = res.columns, res.fetchall()
+    con.close()
+    assert sorted(df.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows) > 0
+    assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)

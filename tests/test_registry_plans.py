@@ -28,6 +28,7 @@ def _extra_queries():
         q_region_pixel_features)
     return {
         "curate_pack_sequences": packing.q_pack_sequences,
+        "curate_pack_salted": packing.q_pack_sequences_salted,
         "curate_pack_materialize": packing.q_pack_materialize,
         "fn_url_canonicalize": urls.q_url_canonicalize,
         "fn_url_latest_revision": urls.q_url_latest_revision,

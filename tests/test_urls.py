@@ -117,3 +117,43 @@ def test_latest_revision_collapses_revisits(spark, sf_dir):
     s_rows = [tuple(r) for r in rows]
     assert len(s_rows) == len(d_rows) > 0
     assert value_hash(s_rows, df.columns) == value_hash(d_rows, d_cols)
+
+
+# ---------------------------------------------------------------------------
+# idempotence fuzz: canonical(canonical(u)) == canonical(u)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", ""])
+_host = st.sampled_from(["Example.COM", "www.Example.com", "a.b.c",
+                         "example.com:80", "example.com:443",
+                         "example.com:8080"])
+_path = st.sampled_from(["", "/", "/A/b", "/a/b/", "/x//y", "/%7Euser"])
+_query = st.sampled_from(["", "?a=1", "?utm_source=x", "?b=2&a=1&a=0",
+                          "?utm_a=1&z=9&", "?ref=r&refx=1", "?&&"])
+_frag = st.sampled_from(["", "#f", "#a?b=1"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(_scheme, _host, _path, _query, _frag),
+                min_size=1, max_size=20))
+def test_canonicalization_is_idempotent(spark, parts):
+    urls = [(i, (f"{s}://{h}{p}{q}{f}" if s else f"{h}{p}{q}{f}"))
+            for i, (s, h, p, q, f) in enumerate(parts)]
+    df = spark.createDataFrame(urls, "i long, url string")
+    once = df.select("i", *canonical_url_cols()).collect()
+    valid = [(r["i"], r["canon_url"]) for r in once if r["url_valid"]]
+    for r in once:  # canonical output never carries tracking params
+        if r["canon_url"]:
+            assert "utm_" not in r["canon_url"]
+            assert "#" not in r["canon_url"]
+    if not valid:
+        return
+    again = spark.createDataFrame(valid, "i long, url string") \
+        .select("i", *canonical_url_cols()).collect()
+    got = {r["i"]: r["canon_url"] for r in again}
+    for i, c in valid:
+        assert got[i] == c, (i, c, got[i])
+        assert all(r["url_valid"] for r in again)
