@@ -56,6 +56,15 @@ HOSTILE_ROWS = [
     ("the the the the the", "en", "src11", 19),   # all-stopword doc
     ("x" * 5000, "en", "src12", 5000),    # long single token
     ("tab\tseparated\twords here", "en", "src13", 24),
+    # giant many-token doc: spans dozens of packing sequences, trips
+    # budget cutoffs mid-doc, stresses repetition/window paths
+    (" ".join(f"w{i % 97}t{i % 13}" for i in range(3000)),
+     "en", "src14", 0),
+    # exactly 64 tokens (SEQ_LEN): the packing boundary where a doc's
+    # end lands on a sequence edge — (end-1) div L, not end div L
+    (" ".join(f"b{i}" for i in range(64)), "en", "src15", 0),
+    # 128 tokens = exactly two full sequences from one doc
+    (" ".join(f"c{i}" for i in range(128)), "en", "src16", 0),
 ]
 
 
