@@ -183,16 +183,20 @@ def q_decon_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; candidates = bucket collisions only (never all-pairs, no
     BNLJ — plan-asserted), deduped across bands, exact dot on candidates,
     row_number window per query id for the top-k. Dots rounded to 4dp
-    with vec_id tie-break — FP-stable across engines."""
-    from .simsearch import _dot, _emb
+    with vec_id tie-break — FP-stable across engines (the dots run in
+    the numpy fold kernel, bit-identical to the HOF fold; the rounding
+    stays JVM-side)."""
+    from .simsearch import _emb
+    from .veckernel import fold_dots
     e = _emb(spark, sf_dir)
     corpus = _stacked_bucket_keys(e.where(~_is_bench("vec_id")),
                                   "vec_id", "vec")
     queries = _stacked_bucket_keys(e.where(_is_bench("vec_id")),
                                    "query_id", "qvec")
-    cands = (corpus.join(F.broadcast(queries), ["band", "bucket"])
+    paired = corpus.join(F.broadcast(queries), ["band", "bucket"])
+    cands = (fold_dots(paired, [("vec", "qvec", "_d")])
              .select("query_id", "vec_id",
-                     F.round(_dot("vec", "qvec"), 4).alias("dot"))
+                     F.round("_d", 4).alias("dot"))
              .distinct())
     rk = F.row_number().over(
         W.partitionBy("query_id")

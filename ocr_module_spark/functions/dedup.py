@@ -410,16 +410,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded sign-LSH candidates (see
     emb_candidate_pairs — never all-pairs, bucket width and band count
     are the scale/recall dials), exact cosine verified on candidates
-    only. Vectors are L2-normalized so dot == cosine; computed JVM-side
-    with zip_with/aggregate."""
-    from .simsearch import _dot, _emb
+    only. Vectors are L2-normalized so dot == cosine; the candidate dots
+    run in the numpy fold kernel (veckernel — bit-identical to the
+    zip_with/aggregate fold), rounding stays JVM-side."""
+    from .simsearch import _emb
+    from .veckernel import fold_dots
     cands = emb_candidate_pairs(spark, sf_dir)
     e = _emb(spark, sf_dir)
     va = e.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
-    cos = F.round(_dot("va", "vb"), 4)
-    return (cands.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", cos.alias("cosine"))
+    dotted = fold_dots(cands.join(va, "id_a").join(vb, "id_b"),
+                       [("va", "vb", "_d")])
+    return (dotted.select("id_a", "id_b",
+                          F.round("_d", 4).alias("cosine"))
             .where(F.col("cosine") >= COSINE_THRESHOLD))
 
 

@@ -31,13 +31,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: str, b: str):
+    """Interpreted HOF fold — kept as the semantic reference (and for
+    one-off tiny arrays). Hot paths use veckernel.fold_dots, which is
+    bit-identical (same IEEE op sequence) but vectorized."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         f"cast(0.0 as double), (acc, v) -> acc + v)")
 
 
 def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k neighbors of the query vector by cosine, brute force."""
+    """Top-k neighbors of the query vector by cosine, brute force.
+    Dots run in the numpy fold kernel (veckernel — bit-identical to the
+    HOF fold); rounding and the division stay JVM-side."""
+    from .veckernel import fold_dots
     e = _emb(spark, sf_dir)
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("vec").alias("qvec")))
@@ -45,13 +51,16 @@ def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float division-by-zero semantics) instead of an ANSI
     # DIVIDE_BY_ZERO failing the whole job — zero vectors are routine in
     # real embedding corpora (hostile-corpus regression)
-    scored = (e.where(F.col("vec_id") != QUERY_VEC_ID)
-              .crossJoin(F.broadcast(q))
-              .select("vec_id", "label",
-                      F.round(F.try_divide(
-                          _dot("vec", "qvec"),
-                          F.sqrt(_dot("vec", "vec")) *
-                          F.sqrt(_dot("qvec", "qvec"))), 4).alias("cosine")))
+    paired = (e.where(F.col("vec_id") != QUERY_VEC_ID)
+              .crossJoin(F.broadcast(q)))
+    dotted = fold_dots(paired, [("vec", "qvec", "_d"),
+                                ("vec", "vec", "_nv"),
+                                ("qvec", "qvec", "_nq")])
+    scored = dotted.select(
+        "vec_id", "label",
+        F.round(F.try_divide(
+            F.col("_d"),
+            F.sqrt("_nv") * F.sqrt("_nq")), 4).alias("cosine"))
     return (scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
             .limit(TOP_K))
 
@@ -112,14 +121,14 @@ def q_ann_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: top-k within the query's sign bucket only (the equi-join
     candidate set), cosine-ranked. Recall < 1.0 by design; the bucket key
     is what makes the join shuffle-bounded at scale."""
+    from .veckernel import fold_dots
     e = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket("vec"))
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")))
     cands = (e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
              .where(F.col("vec_id") != QUERY_VEC_ID))
-    scored = cands.select(
-        "vec_id", "label",
-        F.round(_dot("vec", "qvec"), 4).alias("dot"))
+    scored = fold_dots(cands, [("vec", "qvec", "_d")]).select(
+        "vec_id", "label", F.round("_d", 4).alias("dot"))
     return scored.orderBy(F.col("dot").desc(), F.col("vec_id")).limit(TOP_K)
 
 
@@ -144,38 +153,42 @@ NLIST = 16                  # IVF coarse centroids (deterministic: first 16 vecs
 NPROBE = 4                  # cells probed per query
 
 
-def _cents_sql(cents: dict[int, list[float]]) -> str:
-    """The centroid matrix as ONE parsed SQL array-of-arrays literal
-    (17-sig-digit exponent form round-trips every double exactly).
-    Building it as thousands of individual F.lit Columns costs seconds of
-    py4j/Catalyst overhead; a single expression string parses once.
-    Centroid i of the sorted dict sits at array index i, so the transform
-    index IS the cell id (asserted by the caller)."""
-    return "array(" + ", ".join(
-        "array(" + ", ".join(f"{float(v):.17e}D" for v in cvec) + ")"
-        for _cid, cvec in sorted(cents.items())) + ")"
+#: JVM argmax over the emitted raw-dots array: round each dot to 4dp
+#: (the SAME Spark Round the old all-JVM form applied — bit-exact
+#: cross-engine behavior preserved), pick highest dot / lowest cid.
+_ARGMAX_CDOTS = ("array_max(transform(cdots, (d, i) -> "
+                 "struct(round(d, 4) AS cdot, -i AS negcid)))")
+
+
+def _assign_dots(e: DataFrame, cents: dict[int, list[float]],
+                 vec_col: str = "vec",
+                 keep: tuple[str, ...] = ("vec_id", "label", "vec")
+                 ) -> DataFrame:
+    """keep + ``cdots array<double>``: raw left-fold dots of every row
+    against the centroid matrix (index i == cid i), one zero-exchange
+    numpy mapInArrow stage (veckernel — bit-identical to the HOF fold).
+    The 4dp rounding the argmax / ranking needs stays JVM-side."""
+    from .veckernel import fold_dot_matrix
+    assert sorted(cents) == list(range(len(cents))), "dense centroid ids"
+    mat = [cents[i] for i in sorted(cents)]
+    return fold_dot_matrix(e, vec_col, mat, "cdots", keep=keep)
 
 
 def ivf_assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """Coarse-quantize every vector to its nearest centroid as a SINGLE
-    shuffle-free projection: the per-row cell id is the argmax over
-    (rounded dot, -cid) structs — lexicographic ``array_max`` picks the
-    highest dot, lowest cid on ties. The previous shape (crossJoin
-    against the centroid table + a row_number window partitioned by
-    vec_id) was a NLIST× row blowup plus a full shuffle of every vector
-    just to compute a per-row argmax; this is zero exchanges and zero
-    extra rows (plan-asserted in tests), which at 10^12 vectors is the
-    difference between a map stage and the biggest shuffle in the job.
-    Centroids arrive as a driver-side dict (the 'trained' coarse
-    quantizer — NLIST rows, the moral equivalent of a broadcast)."""
-    assert sorted(cents) == list(range(len(cents))), "dense centroid ids"
-    best = F.expr(
-        f"array_max(transform({_cents_sql(cents)}, (c, i) -> struct("
-        "round(aggregate(zip_with(vec, c, (x, y) -> x * y), "
-        "cast(0.0 as double), (acc, v) -> acc + v), 4) AS cdot, "
-        "-i AS negcid)))")
-    return e.select("vec_id", "label", "vec",
-                    (-best["negcid"]).cast("int").alias("cid"))
+    shuffle-free map stage: raw dots against the centroid matrix come
+    from the vectorized fold kernel (one mapInArrow, zero exchanges,
+    zero row blowup — plan-asserted in tests), the per-row cell id is
+    the JVM argmax over (rounded dot, -cid) structs — lexicographic
+    ``array_max`` picks the highest dot, lowest cid on ties, on exactly
+    the doubles the interpreted form produced. The crossJoin +
+    row_number shape this replaced was a NLIST× row blowup plus a full
+    vector shuffle; at 10^12 vectors this stays a map stage. Centroids
+    arrive as a driver-side dict (the 'trained' coarse quantizer —
+    NLIST rows, the moral equivalent of a broadcast)."""
+    best = F.expr(_ARGMAX_CDOTS)
+    return _assign_dots(e, cents).select(
+        "vec_id", "label", "vec", (-best["negcid"]).cast("int").alias("cid"))
 
 
 CENT_SCALE = 1_000_000      # 1e-6 fixed-point for exact Lloyd averaging
@@ -205,6 +218,17 @@ def train_ivf_centroids(e: DataFrame, k: int = NLIST,
     untrained quantizer, so training strictly refines what the oracle
     query pins). Returns the same ``{cid: vector}`` dict ivf_assign
     takes.
+
+    PRECONDITION (ADVICE r3): inputs must be L2-normalized — the corpus
+    invariant this module states up top. Assignment is by max DOT
+    PRODUCT (MIPS) while the Lloyd update is an arithmetic mean: on
+    unit vectors that is the standard spherical-k-means round (the mean
+    direction; its < 1 norm only damps ties uniformly), but on
+    UN-normalized corpora a large-norm centroid can out-dot every rival
+    and absorb all points — normalize before training. Centroids are
+    deliberately NOT re-normalized between rounds: the quantizer must
+    stay exactly what the bit-deterministic update produced (re-scaling
+    would break the fixed-point bit-identity this function guarantees).
     """
     cents = {r["vec_id"]: list(r["vec"]) for r in
              e.where(F.col("vec_id") < k).select("vec_id", "vec")
@@ -241,18 +265,28 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed fraction bounds the work; the centroid 'training' is
     deterministic (first NLIST vectors) so both engines agree exactly.
     Ranking uses dots rounded to 4dp with id tie-breaks — FP-stable
-    across engines."""
+    across engines.
+
+    One Arrow map stage does ALL the vector math: the raw dots against
+    the centroid matrix serve both the cell assignment (JVM argmax over
+    rounded dots) and the final query scoring — the query vector IS
+    centroid QUERY_VEC_ID, so its dot is ``cdots[QUERY_VEC_ID]``; no
+    join, no second scan, and the float→double cast happens exactly
+    (numpy widening) without an interpreted transform."""
     e = _emb(spark, sf_dir)
     cents = {r["vec_id"]: list(r["vec"]) for r in
              e.where(F.col("vec_id") < NLIST)
               .select("vec_id", "vec").collect()}
-    assigned = ivf_assign(e, cents)
+    d = _assign_dots(e, cents, keep=("vec_id", "label"))
+    best = F.expr(_ARGMAX_CDOTS)
+    assigned = d.select(
+        "vec_id", "label", "cdots",
+        (-best["negcid"]).cast("int").alias("cid"))
     # the query's NPROBE nearest cells: pure driver-side quantizer math
-    # (the query vector IS centroid QUERY_VEC_ID; NLIST x NLIST dots on
-    # the already-collected 'trained' centroids) — no second giant
-    # centroid-literal expression, no explode. The sequential-sum dot
-    # mirrors both engines' left-fold exactly, and the (round 4dp desc,
-    # cid asc) ordering matches the oracle's ORDER BY.
+    # (NLIST x NLIST dots on the already-collected 'trained' centroids).
+    # The sequential-sum dot mirrors both engines' left-fold exactly,
+    # and the (round 4dp desc, cid asc) ordering matches the oracle's
+    # ORDER BY.
     qvec = cents[QUERY_VEC_ID]
 
     def _pydot(a, b):
@@ -270,13 +304,13 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probe = sorted(((-_round4_half_up(_pydot(qvec, c)), cid)
                     for cid, c in cents.items()))[:NPROBE]
-    qcells = spark.createDataFrame(
-        [(cid,) for _nd, cid in probe], "cid int"
-    ).withColumn("qvec", F.expr(_cents_sql({0: qvec}))[0])
-    cands = (assigned.join(F.broadcast(qcells), "cid")
-             .where(F.col("vec_id") != QUERY_VEC_ID))
-    return (cands.select("vec_id", "label", "cid",
-                         F.round(_dot("vec", "qvec"), 4).alias("dot"))
+    probe_cids = [cid for _nd, cid in probe]
+    return (assigned
+            .where(F.col("cid").isin(probe_cids)
+                   & (F.col("vec_id") != QUERY_VEC_ID))
+            .select("vec_id", "label", "cid",
+                    F.round(F.element_at("cdots", QUERY_VEC_ID + 1), 4)
+                    .alias("dot"))
             .orderBy(F.col("dot").desc(), F.col("vec_id"))
             .limit(TOP_K))
 
@@ -343,7 +377,9 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot reach parquet row-group pruning (only raw-column predicates
     push down); a production run stores the sample key as a partition
     column to prune at the source. Recall = |truth ∩ approx| over all
-    sampled queries."""
+    sampled queries. The |sample| × corpus dots run in the numpy fold
+    kernel (bit-identical to the HOF fold; rounding stays JVM-side)."""
+    from .veckernel import fold_dots
     e = _emb(spark, sf_dir)
     q = (e.where(sampled_query_ids())
          .select(F.col("vec_id").alias("query_id"),
@@ -358,16 +394,17 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("rank") <= TOP_K)
                 .select("query_id", "vec_id"))
 
-    scored = F.round(_dot("vec", "qvec"), 4).alias("dot")
-    truth = topk(e.crossJoin(F.broadcast(q))
-                 .where(F.col("vec_id") != F.col("query_id"))
-                 .select("query_id", "vec_id", scored))
-    approx = topk(e.withColumn("bucket",
-                                 _sign_bucket("vec", RECALL_EVAL_BITS))
-                  .join(F.broadcast(q),
-                        F.col("bucket") == F.col("qbucket"))
-                  .where(F.col("vec_id") != F.col("query_id"))
-                  .select("query_id", "vec_id", scored))
+    def scored(paired: DataFrame) -> DataFrame:
+        return fold_dots(paired, [("vec", "qvec", "_d")]).select(
+            "query_id", "vec_id", F.round("_d", 4).alias("dot"))
+
+    truth = topk(scored(e.crossJoin(F.broadcast(q))
+                        .where(F.col("vec_id") != F.col("query_id"))))
+    approx = topk(scored(e.withColumn("bucket",
+                                      _sign_bucket("vec", RECALL_EVAL_BITS))
+                         .join(F.broadcast(q),
+                               F.col("bucket") == F.col("qbucket"))
+                         .where(F.col("vec_id") != F.col("query_id"))))
     hits = truth.join(approx, ["query_id", "vec_id"])
     # n_queries derived in-plan (brute truth always yields exactly K rows
     # per query on a corpus > K): no separate driver-side count() action
