@@ -1,30 +1,44 @@
-"""Model-based quality scoring: a broadcast weights-table join.
+"""Model-based quality scoring: train the weights, score as a join.
 
 The CCNet/LLaMA-recipe quality gate is a trained linear classifier
-(fastText-style) scored over every document — at Spark scale that is a
-JOIN shape, not a UDF shape: the model's weights live in a small table
-(word → weight, ~10^5–10^6 rows ≈ a few MB), the corpus tokens equi-join
-it broadcast-side, and the per-document score is one aggregation. This
-module pins that shape with a deterministic pseudo-model so both engines
-agree bit-for-bit:
+(fastText-style) scored over every document — at Spark scale both halves
+are relational shapes, not UDF shapes:
 
-* weights = the corpus's top-K vocabulary weighted by
-  ``hex4(md5(word)) % 2001`` (0..2000, 1000 = neutral) — a stand-in
-  with the exact storage/join/OOV profile of trained weights (a real
-  deployment reads the trained table instead; nothing else changes);
-* scoring = explode(lower(tokens)) → LEFT broadcast join (OOV words hit
-  the neutral prior 1000, and are counted — the OOV rate is itself a
-  quality signal) → one groupBy(doc_id) with map-side partial
-  aggregation soaking up the explode;
-* score = integer mean weight ×1000 (floor division on non-negative
-  sums, so Spark ``div`` and DuckDB ``//`` agree), keep = score above
-  the neutral line.
+* TRAIN — the CCNet bootstrap: label every document with the heuristic
+  Gopher gate (``textstats.quality_label_frame`` — the stand-in for
+  "Wikipedia-referenced pages" positives), then one token explode +
+  one groupBy(word) learns a Naive-Bayes count-ratio weight per word::
 
-Scale notes: the corpus side never shuffles tokens — the join is
-broadcast, the aggregation reduces map-side to one row per (partition,
-doc) before the only exchange. The weights build here scans the corpus
-(demo: the "training set" is the corpus itself); in production the
-weights table is a parquet read, making the whole gate one scan.
+      w_x1000 = (2000 * (n_pos + 1)) div (n + 2)     # add-one smoothing
+
+  Integer arithmetic end-to-end (counts are longs, division is floor
+  div), so the trained weights are BIT-identical across partitionings,
+  retries, parallelism levels, and engines — the same fixed-point
+  determinism discipline as ``train_ivf_centroids``. Weights live in
+  0..2000 with 1000 the balanced-evidence midpoint; a word seen only in
+  gate-passing documents trains toward 2000, only in gate-failing ones
+  toward 0. The vocabulary is the top-``W_VOCAB_K`` words by total
+  count (ties by word — deterministic).
+
+* SCORE — the weights table is model-sized (~10^5-10^6 rows ≈ a few
+  MB): explode(lower(tokens)) → LEFT broadcast join (OOV words hit the
+  neutral prior 1000 and are counted — the OOV rate is itself a quality
+  signal) → one groupBy(doc_id) with map-side partial aggregation
+  soaking up the explode; score = integer mean weight ×1000 (floor
+  division on non-negative sums, so Spark ``div`` and DuckDB ``//``
+  agree), keep = score above the neutral line.
+
+Scale notes: the corpus side never shuffles tokens — the scoring join
+is broadcast, the aggregation reduces map-side to one row per
+(partition, doc) before the only exchange. Training scans the corpus
+once more (the demo trains on the corpus it scores; production trains
+on a hash sample — ``sample_stratified_hash`` — and persists the
+weights table to parquet, making the gate itself one scan + one
+broadcast join).
+
+Reference tie: generalizes the role-classification dispatch of
+``pylatex_generate_pdf_repository.py:100-112`` to a trained,
+corpus-scale gate.
 """
 
 from __future__ import annotations
@@ -32,11 +46,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import hex4_col, hex4_sql_duck
+from .textstats import quality_label_frame, sql_quality_label_expr
 
-W_VOCAB_K = 256        # pseudo-model vocabulary size
-W_MOD = 2001           # weights 0..2000; 1000 = neutral prior
-W_NEUTRAL = 1000
+W_VOCAB_K = 256        # model vocabulary size
+W_NEUTRAL = 1000       # OOV prior; 2000 = certain-positive, 0 = negative
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -47,16 +60,29 @@ def _tokens(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.lower("word").alias("word"))
 
 
-def weights_frame(docs: DataFrame, k: int = W_VOCAB_K) -> DataFrame:
-    """(word, w_x1000) pseudo-model weights over the top-k vocabulary
-    (ties broken by word — deterministic across engines/runs)."""
-    counts = _tokens(docs).groupBy("word") \
-        .agg(F.count("*").alias("n_occurrences"))
-    top = counts.orderBy(F.col("n_occurrences").desc(), "word").limit(k)
+def train_weights(docs: DataFrame, labels: DataFrame,
+                  k: int = W_VOCAB_K) -> DataFrame:
+    """(word, w_x1000): Naive-Bayes count-ratio weights over the top-k
+    vocabulary, trained against ``labels`` (doc_id, label ∈ {0, 1}).
+    One explode + one partial-aggregated groupBy + a k-row TakeOrdered —
+    the trainer never shuffles document text, and every weight is an
+    integer function of (n_pos, n) so training is bit-deterministic."""
+    t = _tokens(docs).join(labels, "doc_id")
+    counts = t.groupBy("word").agg(
+        F.count("*").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"))
+    top = counts.orderBy(F.col("n").desc(), "word").limit(k)
     return top.select(
         "word",
-        (hex4_col(F.md5(F.col("word").cast("binary"))) % W_MOD)
-        .alias("w_x1000"))
+        F.expr("(2000 * (n_pos + 1)) div (n + 2)")
+        .cast("long").alias("w_x1000"))
+
+
+def weights_frame(docs: DataFrame, k: int = W_VOCAB_K) -> DataFrame:
+    """Trained weights over the corpus's own heuristic labels (the CCNet
+    bootstrap). Kept as the one-call surface score_frame consumers use;
+    pass precomputed labels via train_weights directly."""
+    return train_weights(docs, quality_label_frame(docs), k)
 
 
 def score_frame(docs: DataFrame, weights: DataFrame) -> DataFrame:
@@ -85,23 +111,24 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_frame(d, weights_frame(d))
 
 
-_W_HEX = hex4_sql_duck("md5(word)")
-
 SQL_MODEL_SCORE = f"""
 WITH d AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
               ELSE string_split_regex(trim(text), '\\s+') END AS w
   FROM documents
+), lab AS (
+  SELECT doc_id, {sql_quality_label_expr()} AS label FROM d
 ), t AS (
   SELECT doc_id, lower(u.word) AS word
   FROM d, unnest(w) AS u(word)
 ), v AS (
-  SELECT word, count(*) AS n_occurrences
-  FROM t GROUP BY 1
-  ORDER BY n_occurrences DESC, word LIMIT {W_VOCAB_K}
+  SELECT word, count(*)::BIGINT AS n, sum(lab.label)::BIGINT AS n_pos
+  FROM t JOIN lab ON t.doc_id = lab.doc_id
+  GROUP BY word
+  ORDER BY count(*) DESC, word LIMIT {W_VOCAB_K}
 ), wt AS (
-  SELECT word, {_W_HEX} % {W_MOD} AS w_x1000 FROM v
+  SELECT word, (2000 * (n_pos + 1)) // (n + 2) AS w_x1000 FROM v
 ), s AS (
   SELECT t.doc_id,
          count(*)::BIGINT AS n_tokens,

@@ -170,6 +170,37 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_frame(_docs(spark, sf_dir))
 
 
+def quality_label_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, label): 1 = passes the Gopher gate (drop_reasons == 0) —
+    the heuristic positive set the trained model-score classifier
+    bootstraps from (the CCNet recipe: heuristic/wiki-labeled positives
+    train the linear quality gate). Same reason expressions as
+    quality_frame; the reason-bitmask sum (not a boolean AND) so NULL
+    text labels 0/1 identically across engines."""
+    dd = d.select("doc_id", "text", _words().alias("w"))
+    n_words = F.size("w")
+    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
+    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
+    r_words = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+    r_wlen = (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10) | \
+             (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
+    r_stop = n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)
+    reasons = (F.when(r_words, 1).otherwise(0)
+               + F.when(r_wlen, 2).otherwise(0)
+               + F.when(r_stop, 4).otherwise(0))
+    return dd.select(
+        "doc_id",
+        F.when(reasons == 0, 1).otherwise(0).cast("int").alias("label"))
+
+
+def sql_quality_label_expr() -> str:
+    """DuckDB twin of quality_label_frame's label column, over a CTE
+    exposing (text, w)."""
+    reasons = _SQL_QF_REASONS.format(
+        sw=_SW_LIST, min_stop=int(QF_MIN_STOPWORD_RATIO * 100))
+    return f"CASE WHEN {reasons} = 0 THEN 1 ELSE 0 END"
+
+
 _SQL_QF_REASONS = (
     f"(CASE WHEN len(w) < {QF_MIN_WORDS} OR len(w) > {QF_MAX_WORDS}"
     f" THEN 1 ELSE 0 END"
