@@ -42,10 +42,17 @@ N_MERGES = 8
 def initial_symbols(docs: DataFrame) -> DataFrame:
     """(doc_id, syms array<string>): lowercased whitespace words split
     into characters, last character of each word carrying the end
-    marker. Pure JVM projection (flatten over a nested transform)."""
-    w = F.when(F.length(F.trim("text")) == 0,
+    marker. Pure JVM projection (flatten over a nested transform).
+
+    A literal ``▁`` in corpus text would be indistinguishable from the
+    word-end marker (breaking the boundary-isolation filter), so the
+    normalization strips it BEFORE tokenizing — the standard
+    SentencePiece move (it likewise reserves the character). Mirrored
+    in encode_corpus."""
+    clean = F.trim(F.regexp_replace(F.lower(F.trim("text")), END, ""))
+    w = F.when(F.length(clean) == 0,
                F.array().cast("array<string>")) \
-        .otherwise(F.split(F.lower(F.trim("text")), r"\s+"))
+        .otherwise(F.split(clean, r"\s+"))
     syms = F.expr(
         "flatten(transform(w, word -> transform("
         "  sequence(1, length(word)),"
@@ -131,7 +138,9 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES,
 
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Pure-Python encoder applying the merge table in training order —
-    the deployment-side twin (and the tests' reference semantics)."""
+    the deployment-side twin (and the tests' reference semantics).
+    Callers normalize first (lowercase, strip the reserved ``END``
+    marker) — see initial_symbols / encode_corpus."""
     syms = [c for c in word[:-1]] + [word[-1] + END] if word else []
     for a, b in merges:
         res, i = [], 0
@@ -144,3 +153,107 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         syms = res
     return syms
+
+
+# ---------------------------------------------------------------------------
+# corpus-scale encoding: trained merges -> token-id arrays
+# ---------------------------------------------------------------------------
+
+UNK_ID = -1        # symbol whose character never appeared at train time
+
+
+def corpus_alphabet(docs: DataFrame) -> list[str]:
+    """Sorted distinct initial symbols of the training corpus (plain
+    chars + end-marked chars) — one distinct aggregation, model-sized
+    collect (≤ 2× alphabet size). Train-time companion of
+    train_bpe_merges: alphabet + merges define the vocabulary."""
+    rows = (initial_symbols(docs)
+            .select(F.explode("syms").alias("s")).distinct().collect())
+    return sorted(r["s"] for r in rows)
+
+
+def bpe_vocab(alphabet: list[str],
+              merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol → id table: the sorted alphabet first, then
+    merged symbols in merge order (the GPT-2 convention — ids are stable
+    across runs/engines because both inputs are)."""
+    vocab = {s: i for i, s in enumerate(alphabet)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
+                  vocab: dict[str, int], text_col: str = "text",
+                  keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(keep..., token_ids array<int>, n_bpe long): apply the trained
+    merge table to every document — ONE Arrow stage, zero shuffles.
+
+    The per-batch WORD CACHE is what makes this corpus-scale: natural
+    text repeats words heavily (Zipf), so each unique word is encoded
+    once per batch and the merge loop cost is ~|vocab of the batch|,
+    not |tokens|. Characters unseen at train time map to UNK_ID.
+    Normalization mirrors initial_symbols exactly (lowercase, reserved
+    ``END`` marker stripped pre-tokenization, Java-\\s whitespace split)
+    so deployment encoding and training see the same words."""
+    import re
+
+    from ..deploy import ensure_pyfiles
+    ensure_pyfiles(docs.sparkSession)
+    merges_t = [tuple(m) for m in merges]
+    vocab_d = dict(vocab)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")       # Java regex \s
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in docs.select(*keep).schema.fields
+    ) + ", token_ids array<int>, n_bpe long"
+
+    def batches(it):
+        import numpy as np
+        cache: dict[str, list[int]] = {}
+
+        def enc(word: str) -> list[int]:
+            ids = cache.get(word)
+            if ids is None:
+                ids = [vocab_d.get(s, UNK_ID)
+                       for s in encode_word(word, merges_t)]
+                cache[word] = ids
+            return ids
+
+        for pdf in it:
+            out_ids = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out_ids.append(np.array([], dtype="int32"))
+                    continue
+                clean = ws.sub(" ", text.strip().lower()
+                               .replace(END, "")).strip()
+                if not clean:
+                    out_ids.append(np.array([], dtype="int32"))
+                    continue
+                ids: list[int] = []
+                for wd in clean.split(" "):
+                    ids.extend(enc(wd))
+                out_ids.append(np.array(ids, dtype="int32"))
+            res = pdf[list(keep)].copy()
+            res["token_ids"] = out_ids
+            res["n_bpe"] = [len(x) for x in out_ids]
+            yield res
+
+    return docs.select(*keep, text_col).mapInPandas(batches, schema=schema)
+
+
+def packed_bpe_sequences(docs: DataFrame, merges: list[tuple[str, str]],
+                         vocab: dict[str, int], seq_len: int | None = None,
+                         key_col: str = "source") -> DataFrame:
+    """Token-ID training sequences: encode the corpus with the trained
+    merges (one Arrow stage), then run the standard packing plan over
+    the id arrays — ``(key, seq_no, n_fill, tokens array<int>,
+    doc_starts array<long>)``, the frame a pretraining data sink
+    writes. Same scale shape as packed_sequences: one window exchange
+    on (key) for the plan, one doc_id equi-join, one bounded groupBy."""
+    from .packing import SEQ_LEN, packed_sequences_from_tokens
+    enc = encode_corpus(docs, merges, vocab, keep=("doc_id", key_col))
+    base = enc.select("doc_id", key_col, F.col("token_ids").alias("w"))
+    return packed_sequences_from_tokens(
+        base, seq_len if seq_len is not None else SEQ_LEN, key_col)

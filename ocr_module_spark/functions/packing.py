@@ -153,52 +153,65 @@ FROM s
 """
 
 
-def packed_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
-                     key_col: str = "source",
-                     checkpoint: bool = False) -> DataFrame:
-    """Materialize the packed sequences: join the packing plan back to
-    the per-document token arrays, slice each document's contribution,
-    and assemble every sequence's token stream in seq_off order.
+def packed_sequences_from_tokens(base: DataFrame,
+                                 seq_len: int = SEQ_LEN,
+                                 key_col: str = "source",
+                                 checkpoint: bool = False,
+                                 modality_col: str | None = None
+                                 ) -> DataFrame:
+    """Materialize packed sequences from a PRE-TOKENIZED frame: join the
+    packing plan back to the per-document token arrays, slice each
+    document's contribution, and assemble every sequence's stream in
+    seq_off order.
 
-    Input ``docs`` is ``(doc_id, <key_col>, text)``. Output is one row
-    per sequence: ``(<key_col>, seq_no, n_fill, tokens array<string>,
-    doc_starts array<long>)`` — the frame a token-id sink writes (a real
-    deployment maps words → BPE ids in the same projection).
-    ``doc_starts`` holds the in-sequence offsets where a NEW document
-    begins (continuations of split docs are not boundaries) — the
-    attention-reset / loss-mask positions packed-batch training needs.
+    Input ``base`` is ``(doc_id, <key_col>, w)`` where ``w`` is the
+    per-document token array — any element type (whitespace words for
+    the oracle surface, BPE token ids via ``bpe.encode_corpus`` for the
+    production sink). Output is one row per sequence: ``(<key_col>,
+    seq_no, n_fill, tokens array<same element>, doc_starts
+    array<long>)``. ``doc_starts`` holds the in-sequence offsets where
+    a NEW document begins (continuations of split docs are not
+    boundaries) — the attention-reset / loss-mask positions
+    packed-batch training needs.
 
     Scale shape: the plan build is the one window exchange
     (pack_assignments), the join back is a doc_id equi-join (plan rows
-    carry only ids and offsets — text rides the join ONCE, never the
-    window), and assembly is a single groupBy (key, seq_no) whose
-    per-group payload is bounded by seq_len tokens. In-sequence order
-    is reconstructed from seq_off via array_sort over (seq_off, piece)
-    structs — no window, deterministic (one piece per doc per sequence,
-    offsets are distinct by construction).
+    carry only ids and offsets — token payloads ride the join ONCE,
+    never the window), and assembly is a single groupBy (key, seq_no)
+    whose per-group payload is bounded by seq_len tokens. In-sequence
+    order is reconstructed from seq_off via array_sort over
+    (seq_off, piece) structs — no window, deterministic (one piece per
+    doc per sequence, offsets are distinct by construction).
 
     ``checkpoint=True`` localCheckpoints the tokenized base so the plan
     branch and the join branch share one materialization (same dial as
     budget_select; default stays declarative for the oracle).
+
+    ``modality_col``: when the base is MULTIMODAL (each row an item —
+    text doc, image region, audio clip — tagged with a modality and
+    costed in tokens), the output additionally carries
+    ``start_modalities array<string>`` aligned 1:1 with ``doc_starts``,
+    so the trainer's modality-boundary mask (which spans are text loss,
+    which are image-embedding slots) falls out of the same aggregation
+    at zero extra cost.
     """
-    w = F.when(F.length(F.trim("text")) == 0,
-               F.array().cast("array<string>")) \
-        .otherwise(F.split(F.trim("text"), r"\s+"))
-    base = docs.select("doc_id", key_col, w.alias("w")) \
-        .withColumn("n_tokens", F.size("w").cast("long"))
+    base = base.withColumn("n_tokens", F.size("w").cast("long"))
     if checkpoint:
         base = base.localCheckpoint(eager=False)
     plan = pack_assignments(
         base.select("doc_id", key_col, "n_tokens"), seq_len, key_col)
-    joined = plan.join(base.select("doc_id", "w"), "doc_id")
+    side = ["doc_id", "w"] + ([modality_col] if modality_col else [])
+    joined = plan.join(base.select(*side), "doc_id")
     piece = F.slice("w", F.col("tok_start").cast("int") + 1,
                     (F.col("tok_end") - F.col("tok_start")).cast("int"))
+    # a document STARTS here only when the piece is the document's
+    # own first slice — a split doc's continuation (tok_start > 0)
+    # lands at seq_off 0 of the next sequence but is NOT a boundary
+    start_payload = F.col("seq_off") if not modality_col else \
+        F.struct(F.col("seq_off"), F.col(modality_col).alias("_m"))
     pieces = joined.select(
         key_col, "seq_no", "seq_off", piece.alias("piece"),
-        # a document STARTS here only when the piece is the document's
-        # own first slice — a split doc's continuation (tok_start > 0)
-        # lands at seq_off 0 of the next sequence but is NOT a boundary
-        F.when(F.col("tok_start") == 0, F.col("seq_off")).alias("dstart"))
+        F.when(F.col("tok_start") == 0, start_payload).alias("dstart"))
     # doc_starts: in-sequence offsets where a document begins — the
     # attention-reset / loss-mask boundaries a trainer consumes (cross-
     # document tokens must not attend to each other in packed batches);
@@ -207,11 +220,89 @@ def packed_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
         F.flatten(F.transform(
             F.array_sort(F.collect_list(F.struct("seq_off", "piece"))),
             lambda s: s["piece"])).alias("tokens"),
-        F.array_sort(F.collect_list("dstart")).alias("doc_starts"))
-    return assembled.select(
-        key_col, "seq_no",
-        F.size("tokens").cast("long").alias("n_fill"),
-        "tokens", "doc_starts")
+        F.array_sort(F.collect_list("dstart")).alias("_starts"))
+    starts = F.col("_starts") if not modality_col else \
+        F.transform("_starts", lambda s: s["seq_off"])
+    out = [key_col, "seq_no",
+           F.size("tokens").cast("long").alias("n_fill"),
+           F.col("tokens"), starts.alias("doc_starts")]
+    if modality_col:
+        out.append(F.transform("_starts", lambda s: s["_m"])
+                   .alias("start_modalities"))
+    return assembled.select(*out)
+
+
+def packed_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
+                     key_col: str = "source",
+                     checkpoint: bool = False) -> DataFrame:
+    """Whitespace-token surface over packed_sequences_from_tokens:
+    input ``docs`` is ``(doc_id, <key_col>, text)`` — the oracle-able
+    demo tokenization (a production sink feeds BPE ids instead, see
+    ``bpe.packed_bpe_sequences``)."""
+    w = F.when(F.length(F.trim("text")) == 0,
+               F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim("text"), r"\s+"))
+    base = docs.select("doc_id", key_col, w.alias("w"))
+    return packed_sequences_from_tokens(base, seq_len, key_col, checkpoint)
+
+
+IMG_TOKEN_COST = 16   # context-window slots one image item occupies —
+                      # testdata-sized; a deployment dials the vision
+                      # encoder's patch-sequence length (e.g. 256/576)
+
+
+def multimodal_pack_base(docs: DataFrame, media: DataFrame,
+                         img_token_cost: int = IMG_TOKEN_COST,
+                         key_col: str = "source") -> DataFrame:
+    """Modality-tagged packing base ``(doc_id, <key_col>, modality, w)``
+    over text documents UNIONed with media items — the multimodal
+    training-sample assembly step.
+
+    * text: ``docs (doc_id, <key_col>, text)`` → whitespace words,
+      modality ``'text'``;
+    * image: ``media (item_id, <key_col>)`` → ``img_token_cost``
+      placeholder slots ``<img:item:j>`` (the positions a vision
+      encoder's embeddings occupy in the packed batch — the id sink
+      swaps them for embedding-slot sentinels), modality ``'image'``.
+
+    Item ids are modality-prefixed (``txt:``/``img:``): ids can never
+    collide across modalities, and the packing plan's portable-hash
+    document order interleaves modalities within a source stream
+    (training batches should not be all-text then all-image runs).
+    Token COSTS, not payloads, drive the plan — image bytes never ride
+    any shuffle (same decision-frame discipline as the text plan)."""
+    wt = F.when(F.length(F.trim("text")) == 0,
+                F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim("text"), r"\s+"))
+    text_base = docs.select(
+        F.concat(F.lit("txt:"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.col(key_col), F.lit("text").alias("modality"), wt.alias("w"))
+    slots = F.expr(
+        f"transform(sequence(1, {img_token_cost}), "
+        "j -> concat('<img:', item_id, ':', j, '>'))")
+    media_base = media.select(
+        F.concat(F.lit("img:"), F.col("item_id").cast("string"))
+        .alias("doc_id"),
+        F.col(key_col), F.lit("image").alias("modality"),
+        slots.alias("w"))
+    return text_base.unionByName(media_base)
+
+
+def packed_multimodal_sequences(docs: DataFrame, media: DataFrame,
+                                seq_len: int = SEQ_LEN,
+                                key_col: str = "source",
+                                img_token_cost: int = IMG_TOKEN_COST
+                                ) -> DataFrame:
+    """Multimodal packed sequences: ``(<key_col>, seq_no, n_fill,
+    tokens, doc_starts, start_modalities)`` — text spans and image
+    placeholder spans interleaved in one fixed-length stream, with the
+    per-item boundary offsets AND their modalities (the loss/embedding
+    mask). Same plan shape as text packing: ONE window exchange, one
+    equi-join, one bounded groupBy."""
+    base = multimodal_pack_base(docs, media, img_token_cost, key_col)
+    return packed_sequences_from_tokens(
+        base, seq_len, key_col, modality_col="modality")
 
 
 def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,152 @@
+"""Corpus-scale BPE encoding (encode_corpus) + packed-BPE integration.
+
+The trainer (train_bpe_merges) was already twin-tested in test_bpe; this
+suite covers the deployment half: vocabulary construction, the Arrow
+encode stage vs the pure-Python encode_word twin, UNK handling, the
+reserved-marker normalization (ADVICE r3), and end-to-end packing over
+real token ids (sequence streams equal the concat-and-split reference).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from ocr_module_spark.functions.bpe import (END, UNK_ID, bpe_vocab,
+                                            corpus_alphabet, encode_corpus,
+                                            encode_word, initial_symbols,
+                                            packed_bpe_sequences,
+                                            train_bpe_merges)
+
+DOCS = [
+    (1, "s1", "the cat sat on the mat"),
+    (2, "s1", "the cat ate the rat"),
+    (3, "s2", "THE CAT and the cat"),     # case folding
+    (4, "s2", "   "),                      # whitespace-only -> no tokens
+    (5, "s2", None),                       # NULL text
+    (6, "s1", "thecat catcat the the the"),
+]
+
+
+def _frame(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, source string, text string")
+
+
+def _ref_encode(text, merges, vocab):
+    """Pure-Python twin of encode_corpus's per-document path."""
+    if text is None:
+        return []
+    clean = text.strip().lower().replace(END, "")
+    words = [w for w in clean.split() if w]
+    out = []
+    for w in words:
+        out.extend(vocab.get(s, UNK_ID) for s in encode_word(w, merges))
+    return out
+
+
+def test_vocab_is_deterministic_and_covers_merges(spark):
+    d = _frame(spark)
+    merges = train_bpe_merges(d, n_merges=4)
+    alpha = corpus_alphabet(d)
+    assert alpha == sorted(alpha) and len(set(alpha)) == len(alpha)
+    vocab = bpe_vocab(alpha, merges)
+    # alphabet ids are 0..len(alpha)-1 in sorted order, merges follow in
+    # training order
+    assert [vocab[s] for s in alpha] == list(range(len(alpha)))
+    for i, (a, b) in enumerate(merges):
+        assert vocab[a + b] >= len(alpha)
+    assert bpe_vocab(alpha, merges) == vocab  # pure function
+
+
+def test_encode_corpus_matches_pure_python_twin(spark):
+    d = _frame(spark)
+    merges = train_bpe_merges(d, n_merges=4)
+    vocab = bpe_vocab(corpus_alphabet(d), merges)
+    got = {r["doc_id"]: (list(r["token_ids"]), r["n_bpe"])
+           for r in encode_corpus(d, merges, vocab).collect()}
+    for doc_id, _src, text in DOCS:
+        ref = _ref_encode(text, merges, vocab)
+        assert got[doc_id] == (ref, len(ref)), doc_id
+    # decodability: every non-UNK id round-trips through the vocab to a
+    # symbol stream that reassembles the normalized words
+    inv = {i: s for s, i in vocab.items()}
+    ids, _n = got[1]
+    joined = "".join(inv[i] for i in ids)
+    assert joined.replace(END, " ").strip() == "the cat sat on the mat"
+
+
+def test_unknown_characters_map_to_unk(spark):
+    d = _frame(spark)
+    merges = train_bpe_merges(d, n_merges=2)
+    vocab = bpe_vocab(corpus_alphabet(d), merges)
+    held = spark.createDataFrame([(9, "s9", "qqq the")],
+                                 "doc_id long, source string, text string")
+    ids = {r["doc_id"]: list(r["token_ids"])
+           for r in encode_corpus(held, merges, vocab).collect()}[9]
+    assert UNK_ID in ids                       # 'q' never seen at training
+    assert any(i != UNK_ID for i in ids)       # 'the' still encodes
+
+
+def test_reserved_marker_stripped_before_tokenizing(spark):
+    """ADVICE r3: a literal ▁ in corpus text must not alias the word-end
+    marker — training and encoding normalize it away identically."""
+    a = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, f"a{END}b {END} cd{END}")],
+                              "doc_id long, text string")
+    syms_a = initial_symbols(a).collect()[0]["syms"]
+    syms_b = initial_symbols(b).collect()[0]["syms"]
+    assert syms_a == syms_b
+    # no symbol except legitimate word-end forms carries the marker
+    assert all(s.count(END) <= 1 and (END not in s or s.endswith(END))
+               for s in syms_b)
+
+
+def _h(doc_id) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+
+def test_packed_bpe_sequences_match_concat_and_split_reference(spark):
+    d = _frame(spark)
+    merges = train_bpe_merges(d, n_merges=4)
+    vocab = bpe_vocab(corpus_alphabet(d), merges)
+    L = 8
+    seqs = packed_bpe_sequences(d, merges, vocab, seq_len=L).collect()
+
+    # reference: per source, docs in hex4(md5(doc_id)) order, ids
+    # concatenated then chunked into L-token windows
+    streams = defaultdict(list)
+    starts = defaultdict(list)
+    for doc_id, src, text in DOCS:
+        ids = _ref_encode(text, merges, vocab)
+        if ids:
+            streams[src].append((_h(doc_id), doc_id, ids))
+    exp_chunks = {}
+    exp_starts = defaultdict(lambda: defaultdict(list))
+    for src, docs in streams.items():
+        docs.sort()
+        flat = []
+        for _h_, _id, ids in docs:
+            exp_starts[src][len(flat) // L].append(len(flat) % L)
+            flat.extend(ids)
+        for seq_no in range((len(flat) + L - 1) // L):
+            exp_chunks[(src, seq_no)] = flat[seq_no * L:(seq_no + 1) * L]
+
+    got = {(r["source"], r["seq_no"]): r for r in seqs}
+    assert set(got) == set(exp_chunks)
+    for k, chunk in exp_chunks.items():
+        r = got[k]
+        assert list(r["tokens"]) == chunk, k
+        assert r["n_fill"] == len(chunk), k
+        assert list(r["doc_starts"]) == sorted(exp_starts[k[0]][k[1]]), k
+
+
+def test_encode_plan_is_single_arrow_stage(spark):
+    d = _frame(spark)
+    merges = train_bpe_merges(d, n_merges=2)
+    vocab = bpe_vocab(corpus_alphabet(d), merges)
+    plan = (encode_corpus(d, merges, vocab)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
