@@ -755,6 +755,66 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
         (~(exact_dup | near_dup)).alias("keep"))
 
 
+def compact_dedup_index(index: DataFrame, url_keyed: bool = False,
+                        order_col: str | None = None,
+                        ttl_min_order: int | None = None) -> DataFrame:
+    """Maintenance compaction for a :func:`build_dedup_index` table —
+    the signature-index analogue of Iceberg's OPTIMIZE / expire, run
+    BETWEEN drains (never inside an epoch, so
+    streaming.run_incremental_dedup's torn-epoch idempotence is
+    untouched):
+
+    * **merge epochs** — replayed ``mode=append`` epochs duplicate
+      rows; one row per doc_id survives (the greatest
+      (order, norm_md5, sig) struct — deterministic on ties);
+    * **drop superseded revisions** (``url_keyed=True``, doc ids are
+      urls) — re-crawls of the same page accumulate one index row per
+      revision URL; rows collapse on the canonical-URL key
+      (functions/urls.canonical_url_cols) keeping the greatest
+      (order, doc_id) row. Invalid/unparseable urls keep their raw id
+      as the key (never silently merged);
+    * **TTL** (``ttl_min_order``) — when the caller's index carries an
+      ordering column (e.g. an ``epoch`` stamp), rows below the floor
+      expire.
+
+    Decisions are preserved for the rows a compaction is FOR (exact
+    re-appends, same-content revisions); dropping a *different-content*
+    revision row narrows matching by design — that is the retention
+    policy, not an accident (test-pinned both ways).
+
+    Scale shape: one groupBy per collapse level on model-sized keys
+    (the index is ~0.3% of corpus bytes; compaction never reads corpus
+    text). ``order_col=None`` orders by doc_id.
+    """
+    order = F.col(order_col) if order_col else F.col("doc_id")
+    if ttl_min_order is not None:
+        if order_col is None:
+            raise ValueError("ttl_min_order needs order_col")
+        index = index.where(F.col(order_col) >= ttl_min_order)
+    cols = index.columns
+    # one row per doc_id (replay/append merge)
+    per_doc = (index
+               .groupBy("doc_id")
+               .agg(F.max(F.struct(
+                   order.alias("_o"),
+                   *[F.col(c) for c in cols if c != "doc_id"])).alias("m"))
+               .select("doc_id", "m.*").drop("_o"))
+    if not url_keyed:
+        return per_doc.select(*cols)
+    from .urls import canonical_url_cols
+    canon = per_doc.select(
+        "*", *canonical_url_cols("doc_id")[:2])  # canon_url, url_valid
+    key = F.when(F.col("url_valid"), F.col("canon_url")) \
+        .otherwise(F.col("doc_id"))
+    latest = (canon.select(key.alias("_k"), *cols)
+              .groupBy("_k")
+              .agg(F.max(F.struct(
+                  order.alias("_o"),
+                  *[F.col(c) for c in cols])).alias("m"))
+              .select("m.*").drop("_o"))
+    return latest.select(*cols)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-checkable demo of the incremental operator pair:
     index the even-doc_id half of the corpus, dedup the odd half
