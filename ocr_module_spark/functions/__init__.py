@@ -9,11 +9,19 @@ value-hash comparison is exact.
 
 from __future__ import annotations
 
-from . import decontam, dedup, multimodal, simsearch, textstats
+from . import decontam, dedup, multimodal, packing, simsearch, textstats, urls
 
 
 def registry():
     out = {}
     for mod in (textstats, dedup, simsearch, multimodal, decontam):
         out.update(mod.REGISTRY)
+    # round-4 window rotation: the packing plan and url canonicalization
+    # take the two slots freed in operators/relational.py (the registry
+    # is pinned at exactly 50 so the driver's check window covers 100%).
+    # Their sibling entries (salted packing, materialize, latest-
+    # revision, model score) stay on the out-of-window gates
+    # (tools/parity_check.py + tests/test_hostile_parity.py).
+    out["curate_pack_sequences"] = packing.REGISTRY["curate_pack_sequences"]
+    out["fn_url_canonicalize"] = urls.REGISTRY["fn_url_canonicalize"]
     return out

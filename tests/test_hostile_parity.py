@@ -48,6 +48,11 @@ DOC_QUERIES = [
     "fn_url_canonicalize",
     "fn_url_latest_revision",
     "text_model_score",
+    # rotated out of the driver window in round 4 (slots taken by
+    # curate_pack_sequences / fn_url_canonicalize) — identical value
+    # gate here; proj_bbox runs on the hostile dir's verbatim-copied
+    # part table
+    "proj_bbox_reduction_units",
     "dedup_exact",
     "dedup_incremental",
     "dedup_spans",
@@ -88,15 +93,19 @@ def _extra_queries():
     from ocr_module_spark.functions import (dedup, model_score, multimodal,
                                             packing, simsearch, textstats,
                                             urls)
+    from ocr_module_spark.operators import relational
     return {
-        "curate_pack_sequences": (packing.q_pack_sequences,
-                                  packing.SQL_PACK_SEQUENCES),
+        # curate_pack_sequences / fn_url_canonicalize rotated INTO the
+        # driver window in round 4; these two left it (value gate
+        # unchanged, just resolved here instead of via queries())
+        "proj_bbox_reduction_units": (relational.q_bbox_reduction_units,
+                                      relational.SQL_BBOX_REDUCTION_UNITS),
+        "fn_token_split_count": (relational.q_token_split_count,
+                                 relational.SQL_TOKEN_SPLIT_COUNT),
         "curate_pack_materialize": (packing.q_pack_materialize,
                                     packing.SQL_PACK_MATERIALIZE),
         "curate_pack_salted": (packing.q_pack_sequences_salted,
                                packing.SQL_PACK_SEQUENCES_SALTED),
-        "fn_url_canonicalize": (urls.q_url_canonicalize,
-                                urls.SQL_URL_CANONICALIZE),
         "fn_url_latest_revision": (urls.q_url_latest_revision,
                                    urls.SQL_URL_LATEST_REVISION),
         "text_model_score": (model_score.q_model_score,

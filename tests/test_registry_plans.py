@@ -24,13 +24,16 @@ def _extra_queries():
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
     from ocr_module_spark.functions import model_score, packing, urls
+    from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
     return {
-        "curate_pack_sequences": packing.q_pack_sequences,
+        # curate_pack_sequences / fn_url_canonicalize moved INTO the
+        # driver window in round 4; proj_bbox / token_split left it
+        "proj_bbox_reduction_units": relational.q_bbox_reduction_units,
+        "fn_token_split_count": relational.q_token_split_count,
         "curate_pack_salted": packing.q_pack_sequences_salted,
         "curate_pack_materialize": packing.q_pack_materialize,
-        "fn_url_canonicalize": urls.q_url_canonicalize,
         "fn_url_latest_revision": urls.q_url_latest_revision,
         "text_model_score": model_score.q_model_score,
         "region_pixel_features": q_region_pixel_features,

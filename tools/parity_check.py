@@ -72,6 +72,16 @@ def main() -> int:
     qs.setdefault("curate_pack_materialize", packing.q_pack_materialize)
     oracles.setdefault("curate_pack_materialize",
                        packing.SQL_PACK_MATERIALIZE)
+    # rotated out of the driver window in round 4 (slots taken by
+    # curate_pack_sequences / fn_url_canonicalize)
+    from ocr_module_spark.operators import relational
+    for name, fn, sql in (
+            ("proj_bbox_reduction_units", relational.q_bbox_reduction_units,
+             relational.SQL_BBOX_REDUCTION_UNITS),
+            ("fn_token_split_count", relational.q_token_split_count,
+             relational.SQL_TOKEN_SPLIT_COUNT)):
+        qs.setdefault(name, fn)
+        oracles.setdefault(name, sql)
     failures = []
     for name, fn in sorted(qs.items()):
         if name_filter and name_filter not in name:
