@@ -42,6 +42,22 @@ HEADLINE = [
     "enrich_roundtrip",        # full enrichment chain (chunk->zip->fallback)
 ]
 
+# second headline suite (frozen round 4): the curation-side operators
+# that shipped after the original 12 — a perf regression in packing /
+# budget mix / url canonicalization / model scoring / span+incremental
+# dedup / sampled recall was invisible round-over-round before this.
+# The original 12-query suite stays untouched for comparability.
+HEADLINE2 = [
+    "curate_pack_sequences",   # packing plan (1 window exchange)
+    "curate_pack_materialize", # plan join-back + sequence assembly
+    "curate_budget_mix",       # token-budget mixture (bucketed prefix sum)
+    "fn_url_canonicalize",     # zero-exchange url normalization
+    "text_model_score",        # trained-weights broadcast scoring gate
+    "dedup_spans",             # C4-style exact span dedup
+    "dedup_incremental",       # cross-snapshot signature-index dedup
+    "ann_recall_eval",         # sampled recall eval (kernel-swapped r4)
+]
+
 
 def _steal_sec() -> float:
     """Cumulative hypervisor steal time (shared with tools/scaling_bench)."""
@@ -98,10 +114,16 @@ def main() -> int:
     qs = dict(entry_mod.queries())
     # demo queries trimmed from the 50-entry driver registry but kept in
     # the headline suite for cross-round comparability
-    from ocr_module_spark.functions.dedup import q_dedup_minhash
+    from ocr_module_spark.functions.dedup import (q_dedup_incremental,
+                                                  q_dedup_minhash)
+    from ocr_module_spark.functions.model_score import q_model_score
+    from ocr_module_spark.functions.packing import q_pack_materialize
     from ocr_module_spark.functions.simsearch import q_knn_brute_cosine
     qs.setdefault("dedup_minhash_signatures", q_dedup_minhash)
     qs.setdefault("knn_brute_cosine", q_knn_brute_cosine)
+    qs.setdefault("curate_pack_materialize", q_pack_materialize)
+    qs.setdefault("dedup_incremental", q_dedup_incremental)
+    qs.setdefault("text_model_score", q_model_score)
 
     # warm up the JVM + Python worker pool so the first timed query doesn't
     # pay one-time startup (exactly what a long-running cluster job amortizes)
@@ -122,6 +144,15 @@ def main() -> int:
             _materialize(qs[name](spark, sf_dir))
             times[name] = min(times[name], time.time() - t0)
     times = {k: round(v, 3) for k, v in times.items()}
+
+    # second suite, same methodology (3 interleaved rounds, noop write)
+    times2: dict[str, float] = {name: float("inf") for name in HEADLINE2}
+    for _round in range(3):
+        for name in HEADLINE2:
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            times2[name] = min(times2[name], time.time() - t0)
+    times2 = {k: round(v, 3) for k, v in times2.items()}
 
     # sustained extraction (the north-star number): the sf-dir flagship
     # run above is startup-dominated (16k docs ≈ 1 s of work next to
@@ -159,6 +190,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "headline2_suite_total": round(sum(times2.values()), 3),
+        "queries2": times2,
         "sf": sf,
         "cpus": cpus,
         "extract_docs": n_docs,

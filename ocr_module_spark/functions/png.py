@@ -82,6 +82,11 @@ def decode_png(data: bytes):
             if (depth, ctype_c, comp, filt, inter) != (8, 2, 0, 0, 0):
                 raise ValueError("unsupported PNG flavor "
                                  f"{(depth, ctype_c, comp, filt, inter)}")
+            if width == 0 or height == 0:
+                # a crafted zero-dim IHDR passes signature/CRC checks but
+                # has no pixels — downstream mean-pixel math would divide
+                # by zero (ADVICE r3); reject like any unsupported flavor
+                raise ValueError("zero-dimension IHDR")
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"tEXt":

@@ -115,8 +115,13 @@ def main() -> int:
             salt_buckets=args.pack_salt) \
             .localCheckpoint(eager=True)
         plan.write.mode("overwrite").parquet(f"{out}/packs")
+        # sequence identity is (url_host[, pack_salt], seq_no): seq_no
+        # restarts per salt bucket, so the salt must ride the distinct
+        # key or salted runs undercount (ADVICE r3)
+        seq_key = "url_host || '#' || seq_no" if args.pack_salt <= 0 else \
+            "url_host || '#' || pack_salt || '#' || seq_no"
         agg = plan.selectExpr(
-            "count(DISTINCT url_host || '#' || seq_no) AS sequences_packed",
+            f"count(DISTINCT {seq_key}) AS sequences_packed",
             "coalesce(sum(tok_end - tok_start), 0) AS tokens_packed") \
             .first()
         counters["sequences_packed"] = int(agg["sequences_packed"])
