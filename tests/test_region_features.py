@@ -59,6 +59,29 @@ def test_non_png_falls_back_to_byte_features():
         assert decode_features(payload) == fake_features(payload)
 
 
+def test_zero_dimension_png_falls_back_not_crashes():
+    """ADVICE r3: a crafted width=0 PNG with VALID CRCs passes the
+    signature/flavor checks but has no pixels — decode must reject it
+    (ValueError) so features degrade to byte features instead of a
+    ZeroDivisionError killing the whole Arrow stage."""
+    import struct
+    import zlib
+    from zlib import crc32
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", crc32(ctype + body) & 0xFFFFFFFF))
+
+    for w, h in ((0, 3), (3, 0), (0, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b""))
+                   + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_png(payload)
+        assert decode_features(payload) == fake_features(payload)
+
+
 def test_foreign_png_flavor_falls_back_not_crashes():
     # valid signature + IHDR claiming 16-bit depth: decode refuses,
     # feature extraction must degrade to byte features, never raise
