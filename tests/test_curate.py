@@ -218,3 +218,38 @@ def test_model_gate_tightens_quality(spark):
     _cur2, audit2 = curate.curate(spark, pages, bench,
                                   model_weights=w_zero)
     assert audit2.where("kept").count() == 0
+
+
+def test_encode_bpe_stage_on_chain(spark, curated_audit):
+    """Mirrors tools/curate.py --train-bpe --encode-bpe --pack: merges
+    trained on the curated corpus, ids over every curated document,
+    BPE-id sequences packed per url-host — token counts must reconcile
+    exactly across the three artifacts (the CLI's counters do the same
+    sums)."""
+    from ocr_module_spark.functions import bpe
+    from ocr_module_spark.pipeline import with_host
+
+    cur, _audit, _ = curated_audit
+    cur_docs = cur.select(F.col("url").alias("doc_id"), "text")
+    merges = bpe.train_bpe_merges(cur_docs, n_merges=6)
+    vocab = bpe.bpe_vocab(bpe.corpus_alphabet(cur_docs), merges)
+    enc = bpe.encode_corpus(cur_docs, merges, vocab).collect()
+    assert enc and all(r["n_bpe"] == len(r["token_ids"]) for r in enc)
+    assert all(bpe.UNK_ID <= i < len(vocab)
+               for r in enc for i in r["token_ids"])
+    total = sum(r["n_bpe"] for r in enc)
+    assert total > 0
+
+    L = 64
+    seqs = bpe.packed_bpe_sequences(
+        with_host(cur_docs, "doc_id"), merges, vocab,
+        seq_len=L, key_col="url_host").collect()
+    # every encoded token lands in exactly one sequence slot
+    assert sum(r["n_fill"] for r in seqs) == total
+    assert all(len(r["tokens"]) == r["n_fill"] for r in seqs)
+    # every non-final sequence of a host is exactly full
+    last = {}
+    for r in seqs:
+        last[r["url_host"]] = max(last.get(r["url_host"], -1), r["seq_no"])
+    for r in seqs:
+        assert r["n_fill"] == L or r["seq_no"] == last[r["url_host"]]

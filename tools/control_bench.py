@@ -35,11 +35,24 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 def _gen(n_docs: int) -> list[tuple[str, bytes]]:
+    """Deterministic corpus (corpus.row_for), pickle-cached in tmpfs so
+    repeated matched-window invocations skip the ~single-core-minute of
+    generation (the cache load is a ~1s tmpfs read)."""
+    import pickle
+    cache = pathlib.Path(f"/dev/shm/ocr_control_docs_{n_docs}.pkl")
+    if cache.is_file():
+        with cache.open("rb") as fh:
+            return pickle.load(fh)
     from ocr_module_spark.corpus import row_for
     out = []
     for i in range(n_docs):
         r = row_for(i)
         out.append((r["url"], r["html"]))
+    try:
+        with cache.open("wb") as fh:
+            pickle.dump(out, fh, protocol=5)
+    except OSError:
+        pass
     return out
 
 

@@ -17,6 +17,10 @@ decontamination (ocr_module_spark.curate) and writes:
   splits hot hosts into independent streams)
 * ``<out>/bpe_merges`` — (merge_no, a, b) trained BPE merge table
   (``--train-bpe N``)
+* ``<out>/token_ids`` — (url, token_ids, n_bpe) the curated corpus
+  encoded with the trained merges (``--encode-bpe``)
+* ``<out>/packs_bpe`` — (url_host, seq_no, n_fill, tokens, doc_starts)
+  token-ID training sequences (``--encode-bpe`` + ``--pack``)
 * stdout             — ONE JSON line of per-stage counters
 """
 
@@ -62,6 +66,13 @@ def main() -> int:
                     help="train an N-merge BPE table on the curated "
                          "output (deterministic tie-breaks); writes "
                          "<out>/bpe_merges and a bpe_merges counter")
+    ap.add_argument("--encode-bpe", action="store_true",
+                    help="apply the --train-bpe merge table to the whole "
+                         "curated corpus (one Arrow stage): writes "
+                         "<out>/token_ids (url, token_ids, n_bpe); with "
+                         "--pack also writes <out>/packs_bpe — SEQ_LEN "
+                         "token-ID training sequences with doc_starts "
+                         "(the pretraining sink's real payload)")
     ap.add_argument("--budget-mix", action="store_true",
                     help="token-budget mixture selection as the final "
                          "stage: cap per-host contribution, fill each "
@@ -138,6 +149,32 @@ def main() -> int:
             .coalesce(1).write.mode("overwrite") \
             .parquet(f"{out}/bpe_merges")
         counters["bpe_merges"] = len(merges)
+        if args.encode_bpe:
+            # deployment half of the trainer: ids over the WHOLE curated
+            # corpus (alphabet from the same corpus, GPT-2-convention
+            # vocab — both deterministic, so ids are stable across runs)
+            from ocr_module_spark.functions.bpe import (bpe_vocab,
+                                                        corpus_alphabet,
+                                                        encode_corpus,
+                                                        packed_bpe_sequences)
+            from ocr_module_spark.pipeline import with_host
+            vocab = bpe_vocab(corpus_alphabet(cur_docs), merges)
+            enc = encode_corpus(cur_docs, merges, vocab) \
+                .withColumnRenamed("doc_id", "url")
+            enc.write.mode("overwrite").parquet(f"{out}/token_ids")
+            stats = spark.read.parquet(f"{out}/token_ids") \
+                .selectExpr("coalesce(sum(n_bpe), 0) AS n").first()
+            counters["bpe_tokens_total"] = int(stats["n"])
+            counters["bpe_vocab_size"] = len(vocab)
+            if args.pack > 0:
+                seqs = packed_bpe_sequences(
+                    with_host(cur_docs, "doc_id"), merges, vocab,
+                    seq_len=args.pack, key_col="url_host")
+                seqs.write.mode("overwrite").parquet(f"{out}/packs_bpe")
+                nseq = spark.read.parquet(f"{out}/packs_bpe").count()
+                counters["bpe_sequences_packed"] = int(nseq)
+    elif args.encode_bpe:
+        ap.error("--encode-bpe requires --train-bpe N")
     audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
 
     print(json.dumps(counters))
