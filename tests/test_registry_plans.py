@@ -17,17 +17,21 @@ import __spark_entry__ as entry_mod
 # - ann_recall_eval: brute-force truth side vs the broadcast hash-sampled
 #   probe frame (|sample| x corpus IS the eval budget), plus the trivial
 #   1-row x 1-row combine of the two count aggregates
-BNLJ_OK = {"ann_recall_eval"}
+# - text_langid_eval: the trained weight grid is vocab x language-list x
+#   1-row language-count — two cross products of model-sized frames,
+#   both build sides broadcast
+BNLJ_OK = {"ann_recall_eval", "text_langid_eval"}
 
 def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
-    from ocr_module_spark.functions import model_score, packing, urls
+    from ocr_module_spark.functions import langid, model_score, packing, urls
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
     return {
+        "text_langid_eval": langid.q_langid_eval,
         # curate_pack_sequences / fn_url_canonicalize moved INTO the
         # driver window in round 4; proj_bbox / token_split left it
         "proj_bbox_reduction_units": relational.q_bbox_reduction_units,
