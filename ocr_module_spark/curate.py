@@ -32,7 +32,8 @@ from .functions.textstats import (_words, budget_select, pii_scrub,
 
 def curate(spark: SparkSession, pages: DataFrame,
            bench_docs: DataFrame,
-           model_weights: DataFrame | None = None) \
+           model_weights: DataFrame | None = None,
+           langid: bool = False) \
         -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain. Returns ``(curated, audit)``:
 
@@ -51,6 +52,17 @@ def curate(spark: SparkSession, pages: DataFrame,
     the CCNet-recipe combination, landing in the audit's
     ``quality_keep`` column. The broadcast-join scoring adds no corpus
     shuffle (see model_score).
+
+    ``langid=True`` appends a label-verification stage (functions/
+    langid): the char-trigram posterior grid self-trains on the crawl's
+    own ``lang`` labels over the EXTRACTED text, every document is
+    re-classified, and the audit gains three columns — ``lang`` (crawl
+    label), ``pred_lang`` ('und' when no in-vocabulary trigram), and
+    ``lang_agree``. Verification, not a gate: mismatches are counted
+    (stage_counters), never dropped — label repair is a downstream
+    policy decision. Production trains once on a hash sample and
+    persists the grid (train_langid_weights); the self-train here is
+    the demo path, same convention as model_score's weights_frame.
     """
     extracted = pipeline.extract(pages).select("url", "text")
     # the unique url IS the doc key (the dedup/decon machinery only needs
@@ -84,18 +96,30 @@ def curate(spark: SparkSession, pages: DataFrame,
     flags = ngram_flags_frame(passing, bench_docs).select(
         "doc_id", "contaminated")
 
-    audit = (docs.join(quality, "doc_id")
-             .join(dup, "doc_id", "left")
-             .join(flags, "doc_id", "left")
-             .select(
-                 "url", "text", "quality_keep",
-                 F.coalesce("dup_keep", F.lit(False)).alias("dup_keep"),
-                 F.coalesce("contaminated", F.lit(False))
-                 .alias("contaminated"))
-             .withColumn(
-                 "kept",
-                 F.col("quality_keep") & F.col("dup_keep")
-                 & ~F.col("contaminated")))
+    base = (docs.join(quality, "doc_id")
+            .join(dup, "doc_id", "left")
+            .join(flags, "doc_id", "left"))
+    cols = ["url", "text", "quality_keep",
+            F.coalesce("dup_keep", F.lit(False)).alias("dup_keep"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated")]
+    if langid:
+        from .functions.langid import (langid_score_frame,
+                                       train_langid_weights)
+        labeled = (docs.join(pages.select("url", "lang"), "url", "left")
+                   .select("doc_id", "text", "lang"))
+        grid = train_langid_weights(labeled)
+        preds = langid_score_frame(docs, grid) \
+            .select("doc_id", "pred_lang")
+        base = (base.join(pages.select("url", "lang"), "url", "left")
+                .join(preds, "doc_id", "left"))
+        pred = F.coalesce("pred_lang", F.lit("und"))
+        cols += ["lang", pred.alias("pred_lang"),
+                 (F.coalesce("lang", F.lit("und")) == pred)
+                 .alias("lang_agree")]
+    audit = base.select(*cols).withColumn(
+        "kept",
+        F.col("quality_keep") & F.col("dup_keep")
+        & ~F.col("contaminated"))
     return curated_from_audit(audit), audit
 
 
@@ -194,7 +218,7 @@ def stage_counters(audit: DataFrame) -> dict:
         return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
                           F.lit(0)).alias(name)
 
-    row = audit.agg(
+    aggs = [
         F.count("*").alias("docs_extracted"),
         n(~F.col("quality_keep"), "dropped_quality"),
         n(F.col("quality_keep") & ~F.col("dup_keep"),
@@ -202,5 +226,11 @@ def stage_counters(audit: DataFrame) -> dict:
         n(F.col("quality_keep") & F.col("dup_keep")
           & F.col("contaminated"), "dropped_contaminated"),
         n(F.col("kept"), "docs_kept"),
-    ).first()
+    ]
+    if "lang_agree" in audit.columns:
+        # verification rollup (curate(langid=True)): mismatches counted,
+        # never dropped — so these do NOT enter the sum invariant above
+        aggs.append(n(~F.col("lang_agree"), "docs_lang_mismatch"))
+        aggs.append(n(F.col("pred_lang") == "und", "docs_lang_und"))
+    row = audit.agg(*aggs).first()
     return {k: int(row[k]) for k in row.asDict()}

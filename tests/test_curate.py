@@ -220,6 +220,37 @@ def test_model_gate_tightens_quality(spark):
     assert audit2.where("kept").count() == 0
 
 
+def test_langid_verification_stage(spark, curated_audit):
+    """curate(langid=True): audit gains lang/pred_lang/lang_agree,
+    counters gain the mismatch rollup, nothing is dropped, and the
+    default audit schema stays untouched."""
+    _cur, default_audit, _ = curated_audit
+    assert "pred_lang" not in default_audit.columns   # opt-in only
+
+    pages = corpus.pages_df(spark, 120)
+    from ocr_module_spark import pipeline
+    bench = (pipeline.extract(pages).select("url", "text")
+             .where(F.xxhash64("url") % 11 == 3)
+             .select(F.xxhash64("url").alias("doc_id"), "text")
+             .localCheckpoint(eager=True))
+    _base, audit0 = curate.curate(spark, pages, bench)
+    _cur1, audit = curate.curate(spark, pages, bench, langid=True)
+    audit = audit.localCheckpoint(eager=True)
+    assert {"lang", "pred_lang", "lang_agree"} <= set(audit.columns)
+    # verification only: keep decisions identical to the default chain
+    k0 = {r["url"]: r["kept"] for r in audit0.collect()}
+    assert {r["url"]: r["kept"] for r in audit.collect()} == k0
+    rows = audit.collect()
+    assert all(r["pred_lang"] is not None for r in rows)
+    assert all(r["lang_agree"] == (r["lang"] == r["pred_lang"])
+               for r in rows if r["lang"] is not None)
+    c = curate.stage_counters(audit)
+    assert c["docs_lang_mismatch"] == sum(not r["lang_agree"] for r in rows)
+    assert c["docs_lang_und"] == sum(r["pred_lang"] == "und" for r in rows)
+    # counters over the default audit must NOT grow the new keys
+    assert "docs_lang_mismatch" not in curate.stage_counters(audit0)
+
+
 def test_encode_bpe_stage_on_chain(spark, curated_audit):
     """Mirrors tools/curate.py --train-bpe --encode-bpe --pack: merges
     trained on the curated corpus, ids over every curated document,

@@ -79,6 +79,13 @@ def main() -> int:
                          "quality tier's token budget deterministically; "
                          "writes <out>/mix and restricts <out>/curated "
                          "to the selected documents")
+    ap.add_argument("--langid", action="store_true",
+                    help="verify the crawl's lang labels with the "
+                         "trained char-trigram classifier (self-trained "
+                         "on this corpus): audit gains lang / pred_lang "
+                         "/ lang_agree columns and the counters gain "
+                         "docs_lang_mismatch + docs_lang_und; "
+                         "verification only — nothing is dropped")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -93,7 +100,8 @@ def main() -> int:
     bench = spark.read.parquet(args.bench)
     weights = (spark.read.parquet(args.model_weights)
                if args.model_weights else None)
-    _, audit = curate(spark, pages, bench, model_weights=weights)
+    _, audit = curate(spark, pages, bench, model_weights=weights,
+                      langid=args.langid)
     # one materialization of the decision pipeline; counters AND both
     # sinks read the checkpoint (deriving curated from the original plan
     # would re-run extraction/dedup/decontamination a second time)
