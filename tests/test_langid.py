@@ -186,6 +186,36 @@ def test_eval_plan_has_no_scale_killers(spark, sf_dir):
     assert "BroadcastHashJoin" in plan           # counts + scoring joins
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# short texts over a tiny alphabet incl. whitespace variety and a char
+# above ASCII; lang labels incl. None (unlabeled rows)
+_corpus_strategy = st.lists(
+    st.tuples(st.text(alphabet="ab1 \tø", max_size=12),
+              st.sampled_from(["aa", "xx", None])),
+    min_size=1, max_size=14)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_corpus_strategy, st.integers(1, 6))
+def test_fuzz_matches_python_twin(spark, docs, k):
+    """Random tiny corpora with a tiny vocabulary cap (so top-k
+    truncation and its (count desc, gram asc) tie-break fire
+    constantly): trained grid AND per-doc predictions must equal the
+    pure-Python twin exactly."""
+    rows = [(i, t, lang) for i, (t, lang) in enumerate(docs)]
+    d = spark.createDataFrame(rows,
+                              "doc_id long, text string, lang string")
+    w = train_langid_weights(d, k=k)
+    got_w = {(r["gram"], r["lang"]): r["w_x1000"] for r in w.collect()}
+    want_w, langs = _ref_weights(rows, k=k)
+    assert got_w == want_w
+    got_p = {r["doc_id"]: (r["n_grams"], r["n_oov"], r["pred_lang"],
+                           r["score_x1000"])
+             for r in langid_score_frame(d, w).collect()}
+    assert got_p == _ref_preds(rows, want_w, langs)
+
+
 def test_duckdb_parity_on_testdata(spark, sf_dir):
     import duckdb
 
