@@ -170,14 +170,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_frame(_docs(spark, sf_dir))
 
 
-def quality_label_frame(d: DataFrame) -> DataFrame:
-    """(doc_id, label): 1 = passes the Gopher gate (drop_reasons == 0) —
-    the heuristic positive set the trained model-score classifier
-    bootstraps from (the CCNet recipe: heuristic/wiki-labeled positives
-    train the linear quality gate). Same reason expressions as
-    quality_frame; the reason-bitmask sum (not a boolean AND) so NULL
-    text labels 0/1 identically across engines."""
-    dd = d.select("doc_id", "text", _words().alias("w"))
+def quality_label_frame(d: DataFrame,
+                        extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, *extra_cols], label): 1 = passes the Gopher gate
+    (drop_reasons == 0) — the heuristic positive set the trained
+    model-score classifier bootstraps from (the CCNet recipe:
+    heuristic/wiki-labeled positives train the linear quality gate).
+    Same reason expressions as quality_frame; the reason-bitmask sum
+    (not a boolean AND) so NULL text labels 0/1 identically across
+    engines. ``extra_cols`` ride the same single-scan projection (e.g.
+    the host/source key a downstream rollup groups on)."""
+    passthru = [c for c in extra_cols if c != "text"]
+    dd = d.select("doc_id", *passthru, "text", _words().alias("w"))
     n_words = F.size("w")
     n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
     avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
@@ -189,7 +193,7 @@ def quality_label_frame(d: DataFrame) -> DataFrame:
                + F.when(r_wlen, 2).otherwise(0)
                + F.when(r_stop, 4).otherwise(0))
     return dd.select(
-        "doc_id",
+        "doc_id", *extra_cols,
         F.when(reasons == 0, 1).otherwise(0).cast("int").alias("label"))
 
 

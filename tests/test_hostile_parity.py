@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "fn_url_latest_revision",
     "text_model_score",
     "text_langid_eval",
+    "host_reputation",
     # rotated out of the driver window in round 4 (slots taken by
     # curate_pack_sequences / fn_url_canonicalize) — identical value
     # gate here; proj_bbox runs on the hostile dir's verbatim-copied
@@ -91,9 +92,10 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, langid, model_score,
-                                            multimodal, packing, simsearch,
-                                            textstats, urls)
+    from ocr_module_spark.functions import (dedup, hostrep, langid,
+                                            model_score, multimodal,
+                                            packing, simsearch, textstats,
+                                            urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -113,6 +115,8 @@ def _extra_queries():
                              model_score.SQL_MODEL_SCORE),
         "text_langid_eval": (langid.q_langid_eval,
                              langid.SQL_LANGID_EVAL),
+        "host_reputation": (hostrep.q_host_reputation,
+                            hostrep.SQL_HOST_REPUTATION),
         "mm_metadata": (multimodal.q_mm_metadata,
                         multimodal.SQL_MM_METADATA),
         "text_token_count": (textstats.q_token_count,

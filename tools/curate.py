@@ -17,6 +17,8 @@ decontamination (ocr_module_spark.curate) and writes:
   splits hot hosts into independent streams)
 * ``<out>/bpe_merges`` — (merge_no, a, b) trained BPE merge table
   (``--train-bpe N``)
+* ``<out>/hosts``     — host-grain verdict rollup + crawl blocklist
+  (``--host-stats``)
 * ``<out>/token_ids`` — (url, token_ids, n_bpe) the curated corpus
   encoded with the trained merges (``--encode-bpe``)
 * ``<out>/packs_bpe`` — (url_host, seq_no, n_fill, tokens, doc_starts)
@@ -79,6 +81,14 @@ def main() -> int:
                          "quality tier's token budget deterministically; "
                          "writes <out>/mix and restricts <out>/curated "
                          "to the selected documents")
+    ap.add_argument("--host-stats", action="store_true",
+                    help="host-grain rollup of the audit's per-stage "
+                         "verdicts with the crawl blocklist verdict "
+                         "(block a host with >= 5 docs under a 20% "
+                         "keep rate): writes <out>/hosts and a "
+                         "hosts_blocked counter — the feedback table "
+                         "the NEXT snapshot's scan anti-joins "
+                         "(hostrep.apply_host_blocklist)")
     ap.add_argument("--langid", action="store_true",
                     help="verify the crawl's lang labels with the "
                          "trained char-trigram classifier (self-trained "
@@ -111,6 +121,12 @@ def main() -> int:
 
     out = args.output.rstrip("/")
     counters = stage_counters(audit)
+    if args.host_stats:
+        from ocr_module_spark.functions.hostrep import host_stats_from_audit
+        hosts = host_stats_from_audit(audit)
+        hosts.write.mode("overwrite").parquet(f"{out}/hosts")
+        counters["hosts_blocked"] = int(
+            spark.read.parquet(f"{out}/hosts").where("blocked").count())
     if args.budget_mix:
         from ocr_module_spark.curate import mix_from_audit
         mix = mix_from_audit(audit).localCheckpoint(eager=True)

@@ -72,6 +72,10 @@ QUERIES = [
      "grid built from broadcast model-sized frames, grid BROADCAST "
      "joined to exploded trigrams (text never shuffles), argmax via "
      "one window over the narrow (doc, lang) frame"),
+    ("host_reputation", "host-level quality rollup + crawl blocklist — "
+     "the Gopher gate and the per-host aggregation share ONE scan (no "
+     "join), text md5-hashed before the distinct count so documents "
+     "never ride the aggregation shuffle"),
 ]
 
 
@@ -85,10 +89,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry_mod.queries())
     # oracled operators outside the 50-row driver window
-    from ocr_module_spark.functions import langid, model_score, packing, urls
+    from ocr_module_spark.functions import (hostrep, langid, model_score,
+                                            packing, urls)
     qs.update({name: fn for name, (fn, _sql) in
                {**packing.REGISTRY, **urls.REGISTRY,
-                **model_score.REGISTRY, **langid.REGISTRY}.items()})
+                **model_score.REGISTRY, **langid.REGISTRY,
+                **hostrep.REGISTRY}.items()})
     qs["curate_pack_materialize"] = packing.q_pack_materialize
 
     out = ["# PLANS — physical plans of the headline queries",
