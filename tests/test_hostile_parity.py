@@ -50,6 +50,7 @@ DOC_QUERIES = [
     "text_model_score",
     "text_langid_eval",
     "host_reputation",
+    "snapshot_diff",
     # rotated out of the driver window in round 4 (slots taken by
     # curate_pack_sequences / fn_url_canonicalize) — identical value
     # gate here; proj_bbox runs on the hostile dir's verbatim-copied
@@ -94,8 +95,8 @@ def _extra_queries():
     surface — resolved straight from the module REGISTRY constants."""
     from ocr_module_spark.functions import (dedup, hostrep, langid,
                                             model_score, multimodal,
-                                            packing, simsearch, textstats,
-                                            urls)
+                                            packing, simsearch, snapshots,
+                                            textstats, urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -117,6 +118,8 @@ def _extra_queries():
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,
                             hostrep.SQL_HOST_REPUTATION),
+        "snapshot_diff": (snapshots.q_snapshot_diff,
+                          snapshots.SQL_SNAPSHOT_DIFF),
         "mm_metadata": (multimodal.q_mm_metadata,
                         multimodal.SQL_MM_METADATA),
         "text_token_count": (textstats.q_token_count,

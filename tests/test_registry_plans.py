@@ -27,13 +27,14 @@ def _extra_queries():
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
     from ocr_module_spark.functions import (hostrep, langid, model_score,
-                                            packing, urls)
+                                            packing, snapshots, urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
     return {
         "text_langid_eval": langid.q_langid_eval,
         "host_reputation": hostrep.q_host_reputation,
+        "snapshot_diff": snapshots.q_snapshot_diff,
         # curate_pack_sequences / fn_url_canonicalize moved INTO the
         # driver window in round 4; proj_bbox / token_split left it
         "proj_bbox_reduction_units": relational.q_bbox_reduction_units,

@@ -64,8 +64,8 @@ def main() -> int:
     # registry is pinned at 50 so every driver row stays green; these
     # get the identical gate here and in tests/test_hostile_parity.py)
     from ocr_module_spark.functions import (hostrep, langid, model_score,
-                                            packing, urls)
-    for mod in (packing, urls, model_score, langid, hostrep):
+                                            packing, snapshots, urls)
+    for mod in (packing, urls, model_score, langid, hostrep, snapshots):
         for name, (fn, sql) in mod.REGISTRY.items():
             qs.setdefault(name, fn)
             if sql is not None:

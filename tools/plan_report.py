@@ -76,6 +76,10 @@ QUERIES = [
      "the Gopher gate and the per-host aggregation share ONE scan (no "
      "join), text md5-hashed before the distinct count so documents "
      "never ride the aggregation shuffle"),
+    ("snapshot_diff", "cross-snapshot corpus diff — each side reduced "
+     "to (key, md5 fingerprint) before ONE full-outer equi-join; "
+     "presence via marker columns so NULL-content docs diff unchanged "
+     "under null-safe equality"),
 ]
 
 
@@ -90,11 +94,11 @@ def main() -> int:
     qs = dict(entry_mod.queries())
     # oracled operators outside the 50-row driver window
     from ocr_module_spark.functions import (hostrep, langid, model_score,
-                                            packing, urls)
+                                            packing, snapshots, urls)
     qs.update({name: fn for name, (fn, _sql) in
                {**packing.REGISTRY, **urls.REGISTRY,
                 **model_score.REGISTRY, **langid.REGISTRY,
-                **hostrep.REGISTRY}.items()})
+                **hostrep.REGISTRY, **snapshots.REGISTRY}.items()})
     qs["curate_pack_materialize"] = packing.q_pack_materialize
 
     out = ["# PLANS — physical plans of the headline queries",
