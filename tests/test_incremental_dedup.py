@@ -75,6 +75,11 @@ def test_no_all_pairs_join_in_plan(spark, index):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # exact flag is a membership probe, never a materialized pair set
+    assert "LeftSemi" in plan
+    # near-dup agreement reads off the grouped (band, sig) join via
+    # partial aggregation — the interpreted per-pair HOF fold is gone
+    assert "zip_with" not in plan and "aggregate(" not in plan
 
 
 def test_exclude_self_replay_idempotence(spark):

@@ -80,6 +80,12 @@ QUERIES = [
      "to (key, md5 fingerprint) before ONE full-outer equi-join; "
      "presence via marker columns so NULL-content docs diff unchanged "
      "under null-safe equality"),
+    ("dedup_incremental", "incremental cross-snapshot dedup — exact "
+     "flag is a LEFT SEMI membership probe on the norm key (k indexed "
+     "copies cost one probe); near-dup candidates join DISTINCT "
+     "signature-array GROUPS on (band, sig), agreement counted by "
+     "map-side partial aggregation; no per-pair array-fetch joins, no "
+     "interpreted fold, no all-pairs"),
 ]
 
 
@@ -100,6 +106,8 @@ def main() -> int:
                 **model_score.REGISTRY, **langid.REGISTRY,
                 **hostrep.REGISTRY, **snapshots.REGISTRY}.items()})
     qs["curate_pack_materialize"] = packing.q_pack_materialize
+    from ocr_module_spark.functions.dedup import q_dedup_incremental
+    qs["dedup_incremental"] = q_dedup_incremental
 
     out = ["# PLANS — physical plans of the headline queries",
            "",
