@@ -378,8 +378,18 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     push down); a production run stores the sample key as a partition
     column to prune at the source. Recall = |truth ∩ approx| over all
     sampled queries. The |sample| × corpus dots run in the numpy fold
-    kernel (bit-identical to the HOF fold; rounding stays JVM-side)."""
-    from .veckernel import fold_dots
+    kernel (bit-identical to the HOF fold; rounding stays JVM-side).
+
+    Truth side: the sampled query vectors ride the mapInArrow closure
+    as a matrix (the ivf_assign pattern — the probe set IS the eval's
+    model), so the corpus makes ONE Arrow pass emitting |sample| raw
+    dots per row; only narrow (pos, dot) pairs explode afterwards,
+    JVM-side. The crossJoin form this replaced shipped BOTH embedding
+    arrays per (corpus × sample) pair through the Python runner —
+    ~dim× more Arrow traffic for identical doubles (fold_dot_matrix
+    keeps the fold's operand and accumulation order; IEEE multiply is
+    commutative, so vec·q == q·vec bit-for-bit)."""
+    from .veckernel import fold_dot_matrix, fold_dots
     e = _emb(spark, sf_dir)
     q = (e.where(sampled_query_ids())
          .select(F.col("vec_id").alias("query_id"),
@@ -398,8 +408,24 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fold_dots(paired, [("vec", "qvec", "_d")]).select(
             "query_id", "vec_id", F.round("_d", 4).alias("dot"))
 
-    truth = topk(scored(e.crossJoin(F.broadcast(q))
-                        .where(F.col("vec_id") != F.col("query_id"))))
+    id_type = dict(e.dtypes)["vec_id"]
+    qrows = sorted((r["query_id"], list(r["qvec"]))
+                   for r in q.select("query_id", "qvec").collect())
+    if qrows:
+        idmap = spark.createDataFrame(
+            [(i, qid) for i, (qid, _v) in enumerate(qrows)],
+            f"pos int, query_id {id_type}")
+        pairs = (fold_dot_matrix(e, "vec", [v for _qid, v in qrows],
+                                 "qdots", keep=("vec_id",))
+                 .select("vec_id", F.posexplode("qdots").alias("pos", "_d"))
+                 .join(F.broadcast(idmap), "pos"))
+        scored_t = (pairs.where(F.col("vec_id") != F.col("query_id"))
+                    .select("query_id", "vec_id",
+                            F.round("_d", 4).alias("dot")))
+    else:                       # empty probe sample (tiny/hostile corpus)
+        scored_t = spark.createDataFrame(
+            [], f"query_id {id_type}, vec_id {id_type}, dot double")
+    truth = topk(scored_t)
     approx = topk(scored(e.withColumn("bucket",
                                       _sign_bucket("vec", RECALL_EVAL_BITS))
                          .join(F.broadcast(q),

@@ -163,17 +163,16 @@ def test_decon_ngram_flags_broadcasts_benchmark_side(spark, sf):
 
 
 def test_recall_eval_brute_side_bounded_by_broadcast_sample(spark, sf):
-    """Sampled recall eval: exactly ONE nested-loop pairing — the brute
-    side against the BROADCAST hash-sampled probe frame (|sample| x
-    corpus, the bounded eval budget; its one-sided-ness is the point) —
-    while the ANN side joins on the bucket key (hash join). No
-    unbroadcast cartesian anywhere."""
+    """Sampled recall eval: the brute-truth pairing is NOT a join at
+    all — the sampled query matrix rides the mapInArrow closure (one
+    corpus Arrow pass, narrow (pos, dot) explode after), so the only
+    nested-loop node left is the trivial 1-row x 1-row combine of the
+    two count aggregates. The ANN side joins on the bucket key (hash
+    join). No unbroadcast cartesian anywhere."""
     from ocr_module_spark.functions.simsearch import q_ann_recall_eval
     plan = _plan(q_ann_recall_eval(spark, sf))
-    # nested-loop pairings: the brute side vs the broadcast sample, plus
-    # the trivial 1-row x 1-row combine of the two count aggregates —
-    # every BNLJ input is a broadcast side (sample or single-row agg)
-    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "MapInArrow" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
