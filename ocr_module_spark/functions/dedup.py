@@ -701,12 +701,13 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     equi-join with map-side partial aggregation — never all-pairs, and
     never a second pass over the pair set. Index-side stacking is a
     projection of the stored array (no text, no recompute). Skew note:
-    a boilerplate
-    signature shared by millions of indexed docs would fan a candidate
-    join out quadratically; per-(band, sig) the join is bounded by
-    dropping index buckets above a population cap upstream (standard
-    LSH hygiene) — the synthetic corpora never hit it, so no cap
-    constant is pinned here.
+    the group collapse IS the boilerplate bound — a million re-serves
+    of one page share one signature array and cost ONE group row per
+    side, so the classic LSH hot-bucket (identical signatures) never
+    fans out. Residual skew is DISTINCT arrays sharing one (band, sig)
+    value; that population is bounded by dropping over-popular group
+    buckets upstream (standard LSH hygiene) — the synthetic corpora
+    never hit it, so no cap constant is pinned here.
     """
     new_idx = build_dedup_index(new_docs)
     # exact flag is MEMBERSHIP only — LEFT SEMI on norm_md5, so a

@@ -406,8 +406,107 @@ FROM s
 """
 
 
+N_SHARDS = 8      # testdata-sized; a deployment dials shards so
+                  # corpus_bytes / n_shards hits the target file size
+
+
+def shard_assignments(plan: DataFrame, n_shards: int = N_SHARDS,
+                      key_col: str = "source",
+                      salt_col: str | None = None) -> DataFrame:
+    """Training-shard assignment over a packing plan — the last-mile
+    step between :func:`pack_assignments` and the data-loader files:
+    every packed sequence gets a ``shard_id`` (which output file) and a
+    ``pos_in_shard`` (its read order inside that file), both
+    deterministic functions of the data alone.
+
+    * ``shard_id = hex4(md5(key '#' seq_no)) % n_shards`` — the
+      engine-portable hash, so shard membership is identical across
+      runs, retries, parallelism levels, and engines, and uniform by
+      construction (no hot shard possible: the hash decorrelates the
+      sequence id from the host that produced it, which ALSO means one
+      host's sequences scatter across shards — a data loader reading
+      any one shard sees an unbiased corpus sample).
+    * ``pos_in_shard`` = dense 0-based rank by (hash, key, seq_no)
+      inside the shard — the within-shard read order is itself the
+      RNG-free shuffle (same discipline as the packing doc order).
+
+    Scale shape: sequence grain is ONE partial-aggregated groupBy of
+    the plan (rows ≈ corpus_tokens / seq_len; ids and counts only —
+    token payloads never enter); the shard hash is a projection; the
+    rank is ONE window exchange on ``shard_id`` whose per-shard
+    partition is exactly one output file's worth of rows — the same
+    rows a single writer task must serialize anyway, and ``n_shards``
+    is dialed by target file size, so the window partition fits a task
+    by construction.
+
+    Input is any frame with ``(key_col, seq_no, tok_start, tok_end)``
+    at (doc × sequence) grain; output is one row per sequence:
+    ``(key_col[, salt_col], seq_no, n_fill, n_docs, shard_id,
+    pos_in_shard)``. ``salt_col`` extends the sequence identity for
+    salted packing plans (seq_no restarts per salt bucket — the same
+    key discipline as the CLI's sequences_packed counter).
+    """
+    gkeys = [key_col] + ([salt_col] if salt_col else []) + ["seq_no"]
+    seqs = (plan.groupBy(*gkeys)
+            .agg(F.sum(F.col("tok_end") - F.col("tok_start"))
+                 .cast("long").alias("n_fill"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs")))
+    h = hex4_col(F.md5(F.concat_ws(
+        "#", *[F.col(k).cast("string") for k in gkeys])
+        .cast("binary")))
+    w = (Window.partitionBy("shard_id")
+         .orderBy("_h", *gkeys))
+    return (seqs
+            .withColumn("_h", h)
+            .withColumn("shard_id",
+                        F.pmod("_h", F.lit(n_shards)).cast("int"))
+            .withColumn("pos_in_shard",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .drop("_h"))
+
+
+def shard_manifest(sharded: DataFrame) -> DataFrame:
+    """Per-shard rollup of a :func:`shard_assignments` frame — the
+    manifest a data loader reads before opening any shard file:
+    ``(shard_id, n_sequences, n_tokens)``. One partial-aggregated
+    groupBy over the (already tiny) sequence-grain frame."""
+    return (sharded.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sequences"),
+                 F.sum("n_fill").cast("long").alias("n_tokens")))
+
+
+def q_curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle surface: shard the q_pack_sequences plan into N_SHARDS
+    training shards."""
+    return shard_assignments(q_pack_sequences(spark, sf_dir))
+
+
+_SH = hex4_sql_duck(
+    "md5(concat_ws('#', source, CAST(seq_no AS VARCHAR)))")
+
+SQL_CURATE_SHARDS = f"""
+WITH plan AS ({SQL_PACK_SEQUENCES}
+), seqs AS (
+  SELECT source, seq_no,
+         CAST(sum(tok_end - tok_start) AS BIGINT) AS n_fill,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM plan GROUP BY source, seq_no
+), sh AS (
+  SELECT *, {_SH} AS h FROM seqs
+)
+SELECT source, seq_no, n_fill, n_docs,
+       CAST(h % {N_SHARDS} AS INTEGER) AS shard_id,
+       CAST(row_number() OVER (
+              PARTITION BY h % {N_SHARDS}
+              ORDER BY h, source ASC NULLS FIRST, seq_no) - 1
+            AS BIGINT) AS pos_in_shard
+FROM sh
+"""
+
+
 REGISTRY = {
     "curate_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "curate_pack_salted": (q_pack_sequences_salted,
                            SQL_PACK_SEQUENCES_SALTED),
+    "curate_shards": (q_curate_shards, SQL_CURATE_SHARDS),
 }

@@ -45,6 +45,7 @@ DOC_QUERIES = [
     "curate_pack_sequences",
     "curate_pack_salted",
     "curate_pack_materialize",
+    "curate_shards",
     "fn_url_canonicalize",
     "fn_url_latest_revision",
     "text_model_score",
@@ -110,6 +111,8 @@ def _extra_queries():
                                     packing.SQL_PACK_MATERIALIZE),
         "curate_pack_salted": (packing.q_pack_sequences_salted,
                                packing.SQL_PACK_SEQUENCES_SALTED),
+        "curate_shards": (packing.q_curate_shards,
+                          packing.SQL_CURATE_SHARDS),
         "fn_url_latest_revision": (urls.q_url_latest_revision,
                                    urls.SQL_URL_LATEST_REVISION),
         "text_model_score": (model_score.q_model_score,

@@ -41,6 +41,7 @@ def _extra_queries():
         "fn_token_split_count": relational.q_token_split_count,
         "curate_pack_salted": packing.q_pack_sequences_salted,
         "curate_pack_materialize": packing.q_pack_materialize,
+        "curate_shards": packing.q_curate_shards,
         "fn_url_latest_revision": urls.q_url_latest_revision,
         "text_model_score": model_score.q_model_score,
         "region_pixel_features": q_region_pixel_features,

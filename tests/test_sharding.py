@@ -1,0 +1,129 @@
+"""curate_shards — deterministic training-shard assignment.
+
+Pure-Python reference twin over a constructed plan, hypothesis fuzz,
+dense read-order/manifest invariants, cross-parallelism determinism,
+and plan shape (no join, bounded exchanges, no Python). DuckDB value
+parity runs in tools/parity_check.py and — for the NULL/empty corpus —
+tests/test_hostile_parity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_module_spark.functions.packing import (N_SHARDS, q_curate_shards,
+                                                shard_assignments,
+                                                shard_manifest)
+
+
+def _hex4(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def ref_shards(seqs, n_shards):
+    """Pure-Python twin: seqs = [(source, seq_no, n_fill, n_docs)] at
+    sequence grain; returns {(source, seq_no): (shard, pos)}.
+    concat_ws skips NULL, so a NULL source hashes as str(seq_no)."""
+    keyed = []
+    for source, seq_no, _f, _d in seqs:
+        parts = [p for p in (source, str(seq_no)) if p is not None]
+        h = _hex4("#".join(parts))
+        keyed.append((h % n_shards, h, source, seq_no))
+    out = {}
+    per_shard = defaultdict(list)
+    for shard, h, source, seq_no in keyed:
+        per_shard[shard].append((h, source is None, source or "", seq_no))
+    for shard, rows in per_shard.items():
+        # (h, source NULLS FIRST, seq_no) total order
+        rows.sort(key=lambda r: (r[0], not r[1], r[2], r[3]))
+        for pos, (_h, is_null, source, seq_no) in enumerate(rows):
+            out[(None if is_null else source, seq_no)] = (shard, pos)
+    return out
+
+
+def _plan_df(spark, rows):
+    """(source, seq_no, tok_start, tok_end) doc×sequence-grain rows."""
+    return spark.createDataFrame(
+        rows, "source string, seq_no long, tok_start long, tok_end long")
+
+
+PLAN_ROWS = [
+    ("a.com", 0, 0, 64), ("a.com", 1, 64, 100), ("a.com", 1, 0, 28),
+    ("b.org", 0, 0, 40), ("b.org", 0, 0, 24), (None, 0, 0, 10),
+    ("b.org", 1, 24, 88),
+]
+
+
+def test_reference_twin(spark):
+    got = {(r["source"], r["seq_no"]): r
+           for r in shard_assignments(_plan_df(spark, PLAN_ROWS),
+                                      n_shards=4).collect()}
+    seqs = defaultdict(lambda: [0, 0])
+    for source, seq_no, a, b in PLAN_ROWS:
+        seqs[(source, seq_no)][0] += b - a
+        seqs[(source, seq_no)][1] += 1
+    want = ref_shards([(k[0], k[1], v[0], v[1]) for k, v in seqs.items()],
+                      4)
+    assert set(got) == set(want)
+    for key, r in got.items():
+        assert (r["shard_id"], r["pos_in_shard"]) == want[key], key
+        assert (r["n_fill"], r["n_docs"]) == tuple(seqs[key]), key
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["h0", "h1", "h2", "h#3"]),
+                          st.integers(0, 9)),
+                min_size=1, max_size=30, unique=True),
+       st.integers(2, 5))
+def test_fuzz_vs_reference(spark, keys, n_shards):
+    rows = [(s, n, 0, 1 + (n % 7)) for s, n in keys]
+    got = {(r["source"], r["seq_no"]): (r["shard_id"], r["pos_in_shard"])
+           for r in shard_assignments(_plan_df(spark, rows),
+                                      n_shards=n_shards).collect()}
+    want = ref_shards([(s, n, None, None) for s, n in keys], n_shards)
+    assert got == want
+
+
+def test_read_order_dense_and_manifest_sums(spark, sf_dir):
+    sharded = q_curate_shards(spark, sf_dir).cache()
+    try:
+        rows = sharded.collect()
+        per_shard = defaultdict(list)
+        for r in rows:
+            assert 0 <= r["shard_id"] < N_SHARDS
+            per_shard[r["shard_id"]].append(r["pos_in_shard"])
+        for shard, ps in per_shard.items():
+            assert sorted(ps) == list(range(len(ps))), shard
+        man = {r["shard_id"]: r for r in
+               shard_manifest(sharded).collect()}
+        assert set(man) == set(per_shard)
+        assert sum(r["n_sequences"] for r in man.values()) == len(rows)
+        assert (sum(r["n_tokens"] for r in man.values())
+                == sum(r["n_fill"] for r in rows))
+    finally:
+        sharded.unpersist()
+
+
+def test_cross_parallelism_determinism(spark):
+    base = _plan_df(spark, PLAN_ROWS)
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()),
+                      key=lambda t: (t[0] is not None, t[0] or "", t[1]))
+    one = rows(shard_assignments(base.coalesce(1), n_shards=4))
+    many = rows(shard_assignments(base.repartition(7), n_shards=4))
+    assert one == many
+
+
+def test_plan_shape(spark, sf_dir):
+    plan = (q_curate_shards(spark, sf_dir)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    # pack window + sequence-grain groupBy + shard-rank window
+    assert plan.count("Exchange") <= 3 * 2, plan  # node + reuse refs

@@ -80,6 +80,11 @@ QUERIES = [
      "to (key, md5 fingerprint) before ONE full-outer equi-join; "
      "presence via marker columns so NULL-content docs diff unchanged "
      "under null-safe equality"),
+    ("curate_shards", "training-shard assignment — sequence grain is "
+     "one partial-agg groupBy of the packing plan (ids and counts "
+     "only), shard id a portable-hash projection, read order ONE "
+     "window exchange on shard_id whose per-shard partition is one "
+     "output file's rows"),
     ("dedup_incremental", "incremental cross-snapshot dedup — exact "
      "flag is a LEFT SEMI membership probe on the norm key (k indexed "
      "copies cost one probe); near-dup candidates join DISTINCT "
