@@ -1,0 +1,105 @@
+"""Leakage-safe train/validation/test splits, grouped by host.
+
+Splitting a web corpus by document id leaks: near-duplicate pages from
+one host (templates, re-serves, revisions) straddle the split boundary,
+so the eval set scores documents the model effectively trained on. The
+standard fix is to split on the GROUP key — every document of a host
+lands in the same split, so within-host near-dups can never straddle.
+
+The split is a pure hash projection, never an RNG draw:
+
+    bucket = hex4(md5(coalesce(host, ''))) % 1000
+    split  = test  if bucket < SPLIT_TEST_PERMILLE
+             val   if bucket < SPLIT_TEST_PERMILLE + SPLIT_VAL_PERMILLE
+             train otherwise
+
+* stateless and engine-portable (the shared md5-hex4 arithmetic of
+  ``hashing.py``) — the same corpus yields the same split across runs,
+  retries, parallelism levels, and engines, and a NEW crawl snapshot
+  keeps every known host in its old split (no eval contamination as the
+  corpus grows — the property id-hashed or RNG splits both lose);
+* leakage-safe by construction: the split label is a function of the
+  group key alone, so a group cannot straddle (asserted as an invariant
+  test, and visible in the rollup — per-split distinct-group counts sum
+  to the corpus's total distinct groups);
+* scale shape: the assignment is a zero-shuffle scan-speed projection;
+  the rollup is ONE partial-aggregated groupBy to 3 rows. No windows,
+  no joins, no Python.
+
+NULL host coalesces to ``''`` (one deterministic group) on both
+engines. Reference tie: generalizes the run-level usage counters split
+of ``sinks.py`` (SURVEY A6/A7) to the corpus-curation axis; the hash
+discipline is ``textstats.q_sample_stratified_hash``'s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .hashing import hex4_col, hex4_sql_duck
+from .textstats import _docs, _words
+
+SPLIT_TEST_PERMILLE = 10      # 1% of groups
+SPLIT_VAL_PERMILLE = 20       # next 2% of groups
+
+
+def split_expr(group_col: str = "source"):
+    """Split-label Column (train / val / test) from the group key."""
+    h = F.pmod(
+        hex4_col(F.md5(F.coalesce(F.col(group_col), F.lit(""))
+                       .cast("binary"))),
+        F.lit(1000))
+    return (F.when(h < SPLIT_TEST_PERMILLE, "test")
+            .when(h < SPLIT_TEST_PERMILLE + SPLIT_VAL_PERMILLE, "val")
+            .otherwise("train"))
+
+
+def split_assignments(docs: DataFrame,
+                      group_col: str = "source") -> DataFrame:
+    """All input columns plus ``split`` — the doc-grain frame the
+    curation chain filters on (train-only packing, held-out eval).
+    Zero shuffles: a scan-speed projection."""
+    return docs.withColumn("split", split_expr(group_col))
+
+
+def q_split_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: per-split corpus accounting over ``documents`` —
+    (split, n_docs, n_groups, n_tokens). ``n_groups`` summing to the
+    corpus's distinct-host total IS the no-straddle proof (each group
+    counted under exactly one split)."""
+    d = _docs(spark, sf_dir).withColumn("w", _words())
+    return (d.select(split_expr().alias("split"),
+                     F.coalesce(F.col("source"), F.lit("")).alias("g"),
+                     F.coalesce(F.size("w"), F.lit(0)).cast("long")
+                     .alias("nt"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("g").cast("long").alias("n_groups"),
+                 F.sum("nt").cast("long").alias("n_tokens")))
+
+
+_H = hex4_sql_duck("md5(coalesce(source, ''))")
+
+SQL_SPLIT_ROLLUP = f"""
+WITH d AS (
+  SELECT coalesce(source, '') AS g,
+         CASE WHEN {_H} % 1000 < {SPLIT_TEST_PERMILLE} THEN 'test'
+              WHEN {_H} % 1000 < {SPLIT_TEST_PERMILLE + SPLIT_VAL_PERMILLE}
+                THEN 'val'
+              ELSE 'train' END AS split,
+         coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END, 0) AS nt
+  FROM documents
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT g)::BIGINT AS n_groups,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM d GROUP BY split
+"""
+
+
+REGISTRY = {
+    "curate_split": (q_split_rollup, SQL_SPLIT_ROLLUP),
+}

@@ -46,6 +46,8 @@ DOC_QUERIES = [
     "curate_pack_salted",
     "curate_pack_materialize",
     "curate_shards",
+    "curate_split",
+    "curate_mixture_epochs",
     "fn_url_canonicalize",
     "fn_url_latest_revision",
     "text_model_score",
@@ -94,10 +96,10 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, hostrep, langid,
+    from ocr_module_spark.functions import (dedup, hostrep, langid, mixture,
                                             model_score, multimodal,
                                             packing, simsearch, snapshots,
-                                            textstats, urls)
+                                            splits, textstats, urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -113,6 +115,10 @@ def _extra_queries():
                                packing.SQL_PACK_SEQUENCES_SALTED),
         "curate_shards": (packing.q_curate_shards,
                           packing.SQL_CURATE_SHARDS),
+        "curate_split": (splits.q_split_rollup,
+                         splits.SQL_SPLIT_ROLLUP),
+        "curate_mixture_epochs": (mixture.q_mixture_epochs,
+                                  mixture.SQL_MIXTURE_EPOCHS),
         "fn_url_latest_revision": (urls.q_url_latest_revision,
                                    urls.SQL_URL_LATEST_REVISION),
         "text_model_score": (model_score.q_model_score,

@@ -26,8 +26,9 @@ def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
-    from ocr_module_spark.functions import (hostrep, langid, model_score,
-                                            packing, snapshots, urls)
+    from ocr_module_spark.functions import (hostrep, langid, mixture,
+                                            model_score, packing, snapshots,
+                                            splits, urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
@@ -45,6 +46,8 @@ def _extra_queries():
         "fn_url_latest_revision": urls.q_url_latest_revision,
         "text_model_score": model_score.q_model_score,
         "region_pixel_features": q_region_pixel_features,
+        "curate_split": splits.q_split_rollup,
+        "curate_mixture_epochs": mixture.q_mixture_epochs,
     }
 
 

@@ -80,6 +80,15 @@ QUERIES = [
      "to (key, md5 fingerprint) before ONE full-outer equi-join; "
      "presence via marker columns so NULL-content docs diff unchanged "
      "under null-safe equality"),
+    ("curate_split", "leakage-safe train/val/test split — the label is "
+     "a hash projection of the GROUP key alone (no group straddles by "
+     "construction), rollup ONE partial-agg groupBy to 3 rows; zero "
+     "windows, zero joins"),
+    ("curate_mixture_epochs", "temperature-sampled mixture epochs — doc "
+     "grain never shuffles (two partial-agg passes to group grain); the "
+     "sqrt-weight plan is group-grain with a single-partition window "
+     "over ~dozens of rows, rejoined as a null-safe BROADCAST hash "
+     "join; per-doc repeats are a hash-lottery projection"),
     ("curate_shards", "training-shard assignment — sequence grain is "
      "one partial-agg groupBy of the packing plan (ids and counts "
      "only), shard id a portable-hash projection, read order ONE "
@@ -104,12 +113,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry_mod.queries())
     # oracled operators outside the 50-row driver window
-    from ocr_module_spark.functions import (hostrep, langid, model_score,
-                                            packing, snapshots, urls)
+    from ocr_module_spark.functions import (hostrep, langid, mixture,
+                                            model_score, packing, snapshots,
+                                            splits, urls)
     qs.update({name: fn for name, (fn, _sql) in
                {**packing.REGISTRY, **urls.REGISTRY,
                 **model_score.REGISTRY, **langid.REGISTRY,
-                **hostrep.REGISTRY, **snapshots.REGISTRY}.items()})
+                **hostrep.REGISTRY, **snapshots.REGISTRY,
+                **splits.REGISTRY, **mixture.REGISTRY}.items()})
     qs["curate_pack_materialize"] = packing.q_pack_materialize
     from ocr_module_spark.functions.dedup import q_dedup_incremental
     qs["dedup_incremental"] = q_dedup_incremental
