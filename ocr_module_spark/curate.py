@@ -9,6 +9,12 @@ for, as one library call —
       → token-budget mixture selection (mix_from_audit, optional final stage)
       → curated corpus + per-stage counters
 
+plus the optional training-sink stages the CLI chains after it:
+leakage-safe host splits (split_from_curated), temperature-sampled
+mixture epochs (mixture_from_curated), sequence packing
+(pack_plan_from_curated) and training-shard assignment
+(shards_from_pack_plan).
+
 Every stage is the same DataFrame builder the driver registry checks in
 isolation (50/50 DuckDB-parity green); this module only CHAINS them, so
 the composition inherits each stage's scale shape: extraction never
@@ -205,6 +211,53 @@ def pack_plan_from_curated(curated: DataFrame,
     return plan.select(F.col("source").alias("url_host"), *salt,
                        "seq_no", F.col("doc_id").alias("url"),
                        "tok_start", "tok_end", "seq_off")
+
+
+def split_from_curated(curated: DataFrame) -> DataFrame:
+    """Leakage-safe train/val/test labels over the curated output,
+    keyed on the url HOST (functions/splits): within-host near-dups can
+    never straddle the eval boundary, and the next snapshot keeps every
+    known host in its old split. Returns the input columns plus
+    ``split`` — a zero-shuffle projection; the CLI restricts every
+    downstream TRAINING artifact (mixture, packs, BPE) to the train
+    split so eval rows never leak into the sink."""
+    from .functions.splits import split_expr
+    return (pipeline.with_host(curated)
+            .withColumn("split", split_expr("url_host"))
+            .drop("url_host"))
+
+
+def mixture_from_curated(curated: DataFrame, budget: int) -> DataFrame:
+    """Temperature-sampled mixture over the curated output
+    (functions/mixture): groups are the quality tiers (low excluded —
+    quality gate first, mixture second), alpha = 0.5, per-doc repeats by
+    deterministic hash lottery. Returns ``(url, tier, n_tokens,
+    target_tokens, epochs_x1000, n_repeats)`` — n_repeats > 1 upsamples
+    a doc for the packer (mixture.epoch_assignments), 0 subsamples it
+    out. ``n_tokens`` is the curated frame's own count (post span-dedup
+    when that dial is on). Complementary to :func:`mix_from_audit`:
+    budget-mix TRUNCATES to a budget, mixture REWEIGHTS toward one."""
+    from .functions.mixture import doc_repeats
+    d = curated.withColumn("w", _words())
+    base = (d.select(F.col("url").alias("doc_id"),
+                     tier_expr().alias("tier"),
+                     F.col("n_tokens").cast("long").alias("n_tokens"))
+            .where(F.col("tier") != "low"))
+    return doc_repeats(base, ("tier",), budget=budget,
+                       checkpoint=True) \
+        .select(F.col("doc_id").alias("url"), "tier", "n_tokens",
+                "target_tokens", "epochs_x1000", "n_repeats")
+
+
+def shards_from_pack_plan(plan: DataFrame, n_shards: int,
+                          salted: bool = False) -> DataFrame:
+    """Training-shard assignment over the CLI's pack-plan artifact
+    (functions/packing.shard_assignments on the ``url_host`` key;
+    ``salted=True`` when the plan was built with --pack-salt, so the
+    sequence identity includes the salt bucket)."""
+    from .functions.packing import shard_assignments
+    return shard_assignments(plan, n_shards=n_shards, key_col="url_host",
+                             salt_col="pack_salt" if salted else None)
 
 
 def stage_counters(audit: DataFrame) -> dict:

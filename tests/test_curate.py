@@ -251,6 +251,79 @@ def test_langid_verification_stage(spark, curated_audit):
     assert "docs_lang_mismatch" not in curate.stage_counters(audit0)
 
 
+def test_split_stage_on_chain(spark, curated_audit):
+    """split_from_curated: every curated row gets a label, no host
+    straddles, and the projection adds no shuffle."""
+    from ocr_module_spark.pipeline import with_host
+
+    cur, _audit, _ = curated_audit
+    labeled = curate.split_from_curated(cur)
+    rows = labeled.collect()
+    assert len(rows) == cur.count()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    per_host = {}
+    for r in with_host(labeled).select("url_host", "split").collect():
+        per_host.setdefault(r["url_host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_host.values())
+    plan = labeled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_stage_constructed(spark):
+    """mixture_from_curated on a constructed curated frame with
+    hand-computable integer math: group masses 10000 (high) and 2500
+    (mid) under budget 7500 give sqrt weights 100000/50000 → targets
+    5000/2500 → epochs 500/1000 exactly — the mid tier repeats exactly
+    once per doc, the high tier halves by lottery."""
+    def hi_doc():                       # 50% stopwords → high tier
+        return ("the data " * 50).strip()      # 100 words
+
+    def mid_doc():                      # 20 words → mid tier (< 40)
+        return ("the data " * 10).strip()
+
+    rows = ([(f"https://h{i}.example/a", hi_doc()) for i in range(100)]
+            + [(f"https://m{i}.example/b", mid_doc()) for i in range(125)])
+    cur = spark.createDataFrame(rows, "url string, text string") \
+        .selectExpr("url", "text",
+                    "size(split(trim(text), '\\\\s+')) AS n_tokens")
+    got = curate.mixture_from_curated(cur, budget=7_500).collect()
+    by_tier = {}
+    for r in got:
+        by_tier.setdefault(r["tier"], []).append(r)
+    assert set(by_tier) == {"high", "mid"}
+    assert all(r["target_tokens"] == 5000 and r["epochs_x1000"] == 500
+               for r in by_tier["high"])
+    assert all(r["target_tokens"] == 2500 and r["epochs_x1000"] == 1000
+               for r in by_tier["mid"])
+    assert all(r["n_repeats"] == 1 for r in by_tier["mid"])
+    assert {r["n_repeats"] for r in by_tier["high"]} == {0, 1}
+    realized = sum(r["n_tokens"] * r["n_repeats"] for r in by_tier["high"])
+    assert abs(realized - 5000) <= 2000     # lottery concentration
+
+
+def test_shards_stage_on_chain(spark, curated_audit):
+    """shards_from_pack_plan over the real pack plan: every packed
+    sequence lands in exactly one shard, read order dense, token mass
+    conserved vs the plan."""
+    from ocr_module_spark.functions.packing import shard_manifest
+
+    cur, _audit, _ = curated_audit
+    plan = curate.pack_plan_from_curated(cur, seq_len=32) \
+        .localCheckpoint(eager=True)
+    sharded = curate.shards_from_pack_plan(plan, 4) \
+        .localCheckpoint(eager=True)
+    seqs = {(r["url_host"], r["seq_no"])
+            for r in plan.select("url_host", "seq_no").collect()}
+    rows = sharded.collect()
+    assert {(r["url_host"], r["seq_no"]) for r in rows} == seqs
+    assert len(rows) == len(seqs)
+    man = shard_manifest(sharded).collect()
+    plan_tokens = plan.selectExpr(
+        "sum(tok_end - tok_start) AS t").first()["t"]
+    assert sum(r["n_tokens"] for r in man) == plan_tokens
+    assert sum(r["n_sequences"] for r in man) == len(seqs)
+
+
 def test_encode_bpe_stage_on_chain(spark, curated_audit):
     """Mirrors tools/curate.py --train-bpe --encode-bpe --pack: merges
     trained on the curated corpus, ids over every curated document,

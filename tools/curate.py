@@ -23,7 +23,17 @@ decontamination (ocr_module_spark.curate) and writes:
   encoded with the trained merges (``--encode-bpe``)
 * ``<out>/packs_bpe`` — (url_host, seq_no, n_fill, tokens, doc_starts)
   token-ID training sequences (``--encode-bpe`` + ``--pack``)
+* ``<out>/mixture``  — (url, tier, n_tokens, target_tokens,
+  epochs_x1000, n_repeats) temperature-sampled mixture plan + per-doc
+  repeats (``--mixture BUDGET``)
+* ``<out>/shards``   — (url_host[, pack_salt], seq_no, n_fill, n_docs,
+  shard_id, pos_in_shard) training-shard assignment over the pack plan
+  (``--shards N``, requires ``--pack``)
 * stdout             — ONE JSON line of per-stage counters
+
+``--split`` adds a leakage-safe host-hashed train/val/test column to
+``<out>/curated`` and restricts every training artifact (mixture,
+packs, BPE, shards) to the train split.
 """
 
 from __future__ import annotations
@@ -89,6 +99,26 @@ def main() -> int:
                          "hosts_blocked counter — the feedback table "
                          "the NEXT snapshot's scan anti-joins "
                          "(hostrep.apply_host_blocklist)")
+    ap.add_argument("--split", action="store_true",
+                    help="leakage-safe train/val/test labels hashed on "
+                         "the url HOST (no host straddles): adds a "
+                         "split column to <out>/curated, per-split "
+                         "counters, and restricts every downstream "
+                         "TRAINING artifact (--mixture/--pack/"
+                         "--train-bpe) to the train split")
+    ap.add_argument("--mixture", type=int, default=0, metavar="BUDGET",
+                    help="temperature-sampled mixture (alpha=0.5) over "
+                         "the curated output toward a BUDGET-token mix: "
+                         "writes <out>/mixture (url, tier, n_tokens, "
+                         "target_tokens, epochs_x1000, n_repeats) — "
+                         "repeats realize fractional epochs by "
+                         "deterministic hash lottery (upsample >1, "
+                         "subsample 0)")
+    ap.add_argument("--shards", type=int, default=0, metavar="N",
+                    help="assign every packed sequence to one of N "
+                         "training-shard files with a deterministic "
+                         "in-shard read order (requires --pack): writes "
+                         "<out>/shards and shard-balance counters")
     ap.add_argument("--langid", action="store_true",
                     help="verify the crawl's lang labels with the "
                          "trained char-trigram classifier (self-trained "
@@ -139,14 +169,43 @@ def main() -> int:
             .first()
         counters["docs_mixed"] = int(agg["docs_mixed"])
         counters["tokens_mixed"] = int(agg["tokens_mixed"])
+    if args.shards > 0 and args.pack <= 0:
+        ap.error("--shards requires --pack SEQ_LEN")
+    if args.split:
+        from ocr_module_spark.curate import split_from_curated
+        curated = split_from_curated(curated)
     cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
     cur.write.mode("overwrite").parquet(f"{out}/curated")
+    # every artifact a trainer consumes comes from this frame: the full
+    # curated corpus, or its train split when --split is on (val/test
+    # rows must never reach the mixture/packing/BPE sink)
+    train = spark.read.parquet(f"{out}/curated")
+    if args.split:
+        for r in train.groupBy("split").count().collect():
+            counters[f"docs_{r['split']}"] = int(r["count"])
+        train = train.where("split = 'train'")
+    if args.mixture > 0:
+        from ocr_module_spark.curate import mixture_from_curated
+        mixt = mixture_from_curated(train, args.mixture) \
+            .localCheckpoint(eager=True)
+        mixt.write.mode("overwrite").parquet(f"{out}/mixture")
+        agg = mixt.selectExpr(
+            "count(*) AS docs_mixture",
+            "coalesce(sum(CASE WHEN n_repeats >= 2 THEN 1 END), 0)"
+            " AS docs_upsampled",
+            "coalesce(sum(CASE WHEN n_repeats = 0 THEN 1 END), 0)"
+            " AS docs_subsampled_out",
+            "coalesce(sum(n_tokens * n_repeats), 0) AS tokens_realized") \
+            .first()
+        for k in ("docs_mixture", "docs_upsampled",
+                  "docs_subsampled_out", "tokens_realized"):
+            counters[k] = int(agg[k])
     if args.pack > 0:
         # packing reads only (url, n_tokens) of the final curated frame
-        # (post mix restriction / span dedup), never the text column
+        # (post mix restriction / span dedup / split), never the text
         from ocr_module_spark.curate import pack_plan_from_curated
         plan = pack_plan_from_curated(
-            spark.read.parquet(f"{out}/curated"), args.pack,
+            train, args.pack,
             salt_buckets=args.pack_salt) \
             .localCheckpoint(eager=True)
         plan.write.mode("overwrite").parquet(f"{out}/packs")
@@ -161,10 +220,22 @@ def main() -> int:
             .first()
         counters["sequences_packed"] = int(agg["sequences_packed"])
         counters["tokens_packed"] = int(agg["tokens_packed"])
+        if args.shards > 0:
+            from ocr_module_spark.curate import shards_from_pack_plan
+            from ocr_module_spark.functions.packing import shard_manifest
+            sharded = shards_from_pack_plan(
+                plan, args.shards, salted=args.pack_salt > 0) \
+                .localCheckpoint(eager=True)
+            sharded.write.mode("overwrite").parquet(f"{out}/shards")
+            man = shard_manifest(sharded).collect()
+            counters["shards"] = len(man)
+            counters["shard_sequences_min"] = \
+                min((int(r["n_sequences"]) for r in man), default=0)
+            counters["shard_sequences_max"] = \
+                max((int(r["n_sequences"]) for r in man), default=0)
     if args.train_bpe > 0:
         from ocr_module_spark.functions.bpe import train_bpe_merges
-        cur_docs = (spark.read.parquet(f"{out}/curated")
-                    .select("url", "text")
+        cur_docs = (train.select("url", "text")
                     .withColumnRenamed("url", "doc_id"))
         merges = train_bpe_merges(cur_docs, n_merges=args.train_bpe)
         spark.createDataFrame(
