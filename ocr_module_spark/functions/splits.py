@@ -100,6 +100,79 @@ FROM d GROUP BY split
 """
 
 
+def split_leakage_frame(docs: DataFrame,
+                        group_col: str = "source") -> DataFrame:
+    """Cluster-grain leakage measurement: the host-keyed split makes
+    WITHIN-host near-dups unable to straddle by construction, but
+    cross-host near-dups (mirrors, syndicated articles, scraped
+    re-posts) still can — this joins the near-dup clusters (the same
+    LSH → connected-components labels the dedup keep-list uses) against
+    the split labels and reports, per cluster, how many splits its
+    members span. 'Measure, don't guess' for the split boundary.
+
+    Scale shape: the label frame is |clustered docs| rows (tiny vs the
+    corpus); the split join is one equi-join on doc_id; the rollup is a
+    partial-aggregated groupBy on the cluster label. Nothing beyond
+    what the keep-list chain already shuffles."""
+    from .dedup import CC_ROUNDS, cc_labels, lsh_edges_frame
+    edges = lsh_edges_frame(docs)
+    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
+    labels = cc_labels(sym, CC_ROUNDS)
+    lab = labels.join(
+        split_assignments(docs, group_col)
+        .select(F.col("doc_id").alias("node"), "split"), "node")
+    return (lab.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("split").cast("long").alias("n_splits")))
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: one-row rollup — (n_clusters,
+    n_straddling_clusters, n_docs_straddling). A non-zero straddle
+    count is the actionable signal: route those clusters' docs to one
+    split (or drop them from eval) before training."""
+    per = split_leakage_frame(_docs(spark, sf_dir))
+    z = F.lit(0).cast("long")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.coalesce(F.sum(F.when(F.col("n_splits") > 1, 1)), z)
+        .cast("long").alias("n_straddling_clusters"),
+        F.coalesce(F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs"))),
+                   z).cast("long").alias("n_docs_straddling"))
+
+
+def _sql_leakage() -> str:
+    from .dedup import CC_ROUNDS, SQL_DEDUP_CC_CLUSTERS
+    base = SQL_DEDUP_CC_CLUSTERS.rsplit("\nSELECT", 1)[0]
+    return base + f""",
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_H} % 1000 < {SPLIT_TEST_PERMILLE} THEN 'test'
+              WHEN {_H} % 1000 < {SPLIT_TEST_PERMILLE + SPLIT_VAL_PERMILLE}
+                THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+), per AS (
+  SELECT l.label, count(*) AS n_docs,
+         count(DISTINCT s.split) AS n_splits
+  FROM l{CC_ROUNDS} l JOIN sp s ON l.node = s.doc_id
+  GROUP BY l.label
+)
+SELECT count(*)::BIGINT AS n_clusters,
+       coalesce(sum(CASE WHEN n_splits > 1 THEN 1 END), 0)::BIGINT
+         AS n_straddling_clusters,
+       coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs END), 0)::BIGINT
+         AS n_docs_straddling
+FROM per
+"""
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = _sql_leakage()
+
+
 REGISTRY = {
     "curate_split": (q_split_rollup, SQL_SPLIT_ROLLUP),
+    "curate_split_leakage": (q_split_leakage_audit,
+                             SQL_SPLIT_LEAKAGE_AUDIT),
 }

@@ -47,6 +47,7 @@ DOC_QUERIES = [
     "curate_pack_materialize",
     "curate_shards",
     "curate_split",
+    "curate_split_leakage",
     "curate_mixture_epochs",
     "fn_url_canonicalize",
     "fn_url_latest_revision",
@@ -117,6 +118,8 @@ def _extra_queries():
                           packing.SQL_CURATE_SHARDS),
         "curate_split": (splits.q_split_rollup,
                          splits.SQL_SPLIT_ROLLUP),
+        "curate_split_leakage": (splits.q_split_leakage_audit,
+                                 splits.SQL_SPLIT_LEAKAGE_AUDIT),
         "curate_mixture_epochs": (mixture.q_mixture_epochs,
                                   mixture.SQL_MIXTURE_EPOCHS),
         "fn_url_latest_revision": (urls.q_url_latest_revision,

@@ -47,6 +47,7 @@ def _extra_queries():
         "text_model_score": model_score.q_model_score,
         "region_pixel_features": q_region_pixel_features,
         "curate_split": splits.q_split_rollup,
+        "curate_split_leakage": splits.q_split_leakage_audit,
         "curate_mixture_epochs": mixture.q_mixture_epochs,
     }
 

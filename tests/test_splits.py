@@ -76,6 +76,33 @@ def test_plan_shape(spark, sf_dir):
     assert plan.count("Exchange") <= 2 * 2, plan
 
 
+def test_leakage_audit_constructed(spark):
+    """Two cross-host exact-dup pairs: the pair whose hosts land in
+    different splits is reported straddling; the same-split pair is
+    not. Hosts are picked via the reference hash so the fixture can't
+    rot if the permille bounds move."""
+    hosts = [f"h{k}.example" for k in range(400)]
+    by_split = {}
+    for h in hosts:
+        by_split.setdefault(ref_split(h), []).append(h)
+    train_a, train_b = by_split["train"][:2]
+    test_a = by_split["test"][0]
+    dup1 = "alpha beta gamma delta epsilon zeta eta theta"     # straddles
+    dup2 = "one two three four five six seven eight nine ten"  # same split
+    docs = spark.createDataFrame(
+        [(1, dup1, train_a), (2, dup1, test_a),
+         (3, dup2, train_a), (4, dup2, train_b),
+         (5, "totally unrelated singleton text here", train_a)],
+        "doc_id long, text string, source string")
+    from ocr_module_spark.functions.splits import split_leakage_frame
+    per = {r["label"]: r for r in split_leakage_frame(docs).collect()}
+    assert len(per) == 2                      # singleton joins no cluster
+    straddle = sorted(r["n_splits"] for r in per.values())
+    assert straddle == [1, 2]
+    for r in per.values():
+        assert r["n_docs"] == 2
+
+
 def test_assignment_is_projection(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = (split_assignments(d)._jdf.queryExecution()

@@ -84,6 +84,10 @@ QUERIES = [
      "a hash projection of the GROUP key alone (no group straddles by "
      "construction), rollup ONE partial-agg groupBy to 3 rows; zero "
      "windows, zero joins"),
+    ("curate_split_leakage", "split-leakage audit — near-dup cluster "
+     "labels (the keep-list's own LSH→CC chain) equi-joined to the "
+     "split projection, two partial-agg rollups; measures cross-host "
+     "straddle the host-keyed split cannot prevent"),
     ("curate_mixture_epochs", "temperature-sampled mixture epochs — doc "
      "grain never shuffles (two partial-agg passes to group grain); the "
      "sqrt-weight plan is group-grain with a single-partition window "
