@@ -137,6 +137,24 @@ def epoch_assignments(repeats: DataFrame) -> DataFrame:
                            F.col("n_repeats") - 1))))
 
 
+def pack_base_from_epochs(repeats: DataFrame,
+                          source_col: str = "source") -> DataFrame:
+    """Mixture → packing bridge: explode a doc_repeats frame (which must
+    carry ``source_col`` as a passthrough column) to training-pass grain
+    and re-key each pass as its own packing item — ``doc_id#epoch_no``,
+    the same composite-id discipline multimodal packing uses — so
+    :func:`packing.pack_assignments` consumes the REWEIGHTED corpus
+    directly: an upsampled document enters the token stream once per
+    epoch (at a hash-distinct position each time, since the packing
+    order hashes the item id), a subsampled-out one never enters. Pure
+    projections on both sides of the explode; the plan's only shuffle
+    stays packing's one window exchange."""
+    return (epoch_assignments(repeats)
+            .select(F.concat_ws("#", F.col("doc_id").cast("string"),
+                                F.col("epoch_no")).alias("doc_id"),
+                    F.col(source_col).alias("source"), "n_tokens"))
+
+
 def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry over ``documents``: mixture groups are (tier, lang)
     with the low tier excluded (quality gate first, mixture second);

@@ -117,6 +117,46 @@ def test_cross_parallelism_determinism(spark):
     assert rows(base.coalesce(1)) == rows(base.repartition(11))
 
 
+def test_pack_base_from_epochs(spark):
+    """Mixture→packing bridge: the packed stream carries each doc once
+    per repeat (distinct item ids), token coverage matches the
+    reweighted corpus exactly, and the composed plan still has only
+    packing's single window exchange."""
+    from collections import defaultdict
+
+    from ocr_module_spark.functions.mixture import pack_base_from_epochs
+    from ocr_module_spark.functions.packing import pack_assignments
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", f"s{i % 3}", 5 + (i * 7) % 90)
+         for i in range(120)],
+        "doc_id long, grp string, source string, n_tokens long")
+    rep = doc_repeats(docs, ("grp",), budget=9_000,
+                      checkpoint=True)
+    base = pack_base_from_epochs(rep)
+    want_tokens = sum(r["n_tokens"] * r["n_repeats"] for r in rep.collect())
+    plan = pack_assignments(base, 64)
+    rows = plan.collect()
+    assert sum(r["tok_end"] - r["tok_start"] for r in rows) == want_tokens
+    per_item = defaultdict(int)
+    for r in rows:
+        per_item[r["doc_id"]] += r["tok_end"] - r["tok_start"]
+    by_doc = defaultdict(set)
+    for item in per_item:
+        d, e = item.rsplit("#", 1)
+        by_doc[d].add(int(e))
+    want = {str(r["doc_id"]): r["n_repeats"] for r in rep.collect()
+            if r["n_repeats"] > 0}
+    assert {d: len(es) for d, es in by_doc.items()} == want
+    # composed plan: joins stay broadcast (the mixture rejoin), and the
+    # only doc-grain window partitions on the packing source key — the
+    # mixture's own window is the group-grain single-partition one
+    pplan = plan._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in pplan, pplan
+    assert "BatchEvalPython" not in pplan, pplan
+    assert "hashpartitioning(source" in pplan, pplan
+
+
 def test_plan_shape(spark, sf_dir):
     plan = (q_mixture_epochs(spark, sf_dir)._jdf.queryExecution()
             .executedPlan().toString())
