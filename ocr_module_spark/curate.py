@@ -249,6 +249,33 @@ def mixture_from_curated(curated: DataFrame, budget: int) -> DataFrame:
                 "target_tokens", "epochs_x1000", "n_repeats")
 
 
+def pack_plan_from_mixture(curated: DataFrame, mixt: DataFrame,
+                           seq_len: int | None = None,
+                           salt_buckets: int = 0) -> DataFrame:
+    """Sequence-packing plan over the REWEIGHTED corpus: join the
+    mixture's per-doc repeat counts back onto the curated frame (an
+    equi-join on url — the mixture frame is doc-grain ids and counts,
+    text never enters), explode to training-pass grain and pack each
+    pass as its own item (mixture.pack_base_from_epochs — item id
+    ``url#epoch_no``). The returned plan has the same schema as
+    :func:`pack_plan_from_curated` with the item id in ``url``; an
+    upsampled document appears once per epoch at hash-distinct
+    positions, a subsampled-out one never enters the stream."""
+    from .functions.mixture import pack_base_from_epochs
+    from .functions.packing import SEQ_LEN, pack_assignments
+    base = (pipeline.with_host(curated)
+            .select(F.col("url").alias("doc_id"),
+                    F.col("url_host").alias("source"))
+            .join(mixt.select(F.col("url").alias("doc_id"), "n_tokens",
+                              "n_repeats"), "doc_id"))
+    plan = pack_assignments(pack_base_from_epochs(base),
+                            seq_len or SEQ_LEN, salt_buckets=salt_buckets)
+    salt = ["pack_salt"] if salt_buckets > 0 else []
+    return plan.select(F.col("source").alias("url_host"), *salt,
+                       "seq_no", F.col("doc_id").alias("url"),
+                       "tok_start", "tok_end", "seq_off")
+
+
 def shards_from_pack_plan(plan: DataFrame, n_shards: int,
                           salted: bool = False) -> DataFrame:
     """Training-shard assignment over the CLI's pack-plan artifact

@@ -301,6 +301,29 @@ def test_mixture_stage_constructed(spark):
     assert abs(realized - 5000) <= 2000     # lottery concentration
 
 
+def test_mixture_pack_plan_on_chain(spark, curated_audit):
+    """pack_plan_from_mixture: the pack plan covers exactly
+    n_tokens * n_repeats per doc (url#epoch items), so upsampled docs
+    occupy proportionally more of the training stream."""
+    from collections import defaultdict
+
+    cur, _audit, _ = curated_audit
+    mixt = curate.mixture_from_curated(cur, budget=100_000) \
+        .localCheckpoint(eager=True)
+    plan = curate.pack_plan_from_mixture(cur, mixt, seq_len=32).collect()
+    per_doc = defaultdict(int)
+    epochs = defaultdict(set)
+    for r in plan:
+        d, e = r["url"].rsplit("#", 1)
+        per_doc[d] += r["tok_end"] - r["tok_start"]
+        epochs[d].add(int(e))
+    want = {r["url"]: (r["n_tokens"] * r["n_repeats"], r["n_repeats"])
+            for r in mixt.collect() if r["n_repeats"] > 0}
+    assert per_doc == {d: t for d, (t, _r) in want.items()}
+    assert {d: len(es) for d, es in epochs.items()} == \
+        {d: r for d, (_t, r) in want.items()}
+
+
 def test_shards_stage_on_chain(spark, curated_audit):
     """shards_from_pack_plan over the real pack plan: every packed
     sequence lands in exactly one shard, read order dense, token mass

@@ -113,7 +113,9 @@ def main() -> int:
                          "target_tokens, epochs_x1000, n_repeats) — "
                          "repeats realize fractional epochs by "
                          "deterministic hash lottery (upsample >1, "
-                         "subsample 0)")
+                         "subsample 0); with --pack the packing plan "
+                         "consumes the reweighted corpus (one item per "
+                         "training pass, url#epoch ids)")
     ap.add_argument("--shards", type=int, default=0, metavar="N",
                     help="assign every packed sequence to one of N "
                          "training-shard files with a deterministic "
@@ -202,12 +204,18 @@ def main() -> int:
             counters[k] = int(agg[k])
     if args.pack > 0:
         # packing reads only (url, n_tokens) of the final curated frame
-        # (post mix restriction / span dedup / split), never the text
-        from ocr_module_spark.curate import pack_plan_from_curated
-        plan = pack_plan_from_curated(
-            train, args.pack,
-            salt_buckets=args.pack_salt) \
-            .localCheckpoint(eager=True)
+        # (post mix restriction / span dedup / split), never the text;
+        # with --mixture the pack plan consumes the REWEIGHTED corpus
+        # (one item per training pass, url#epoch ids)
+        from ocr_module_spark.curate import (pack_plan_from_curated,
+                                             pack_plan_from_mixture)
+        if args.mixture > 0:
+            plan = pack_plan_from_mixture(
+                train, mixt, args.pack, salt_buckets=args.pack_salt)
+        else:
+            plan = pack_plan_from_curated(
+                train, args.pack, salt_buckets=args.pack_salt)
+        plan = plan.localCheckpoint(eager=True)
         plan.write.mode("overwrite").parquet(f"{out}/packs")
         # sequence identity is (url_host[, pack_salt], seq_no): seq_no
         # restarts per salt bucket, so the salt must ride the distinct
