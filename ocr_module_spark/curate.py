@@ -236,7 +236,14 @@ def mixture_from_curated(curated: DataFrame, budget: int) -> DataFrame:
     a doc for the packer (mixture.epoch_assignments), 0 subsamples it
     out. ``n_tokens`` is the curated frame's own count (post span-dedup
     when that dial is on). Complementary to :func:`mix_from_audit`:
-    budget-mix TRUNCATES to a budget, mixture REWEIGHTS toward one."""
+    budget-mix TRUNCATES to a budget, mixture REWEIGHTS toward one.
+
+    The tier is computed from the curated frame's EMITTED text —
+    deliberately: the mixture weighs what the trainer will actually
+    see, so with the scrub/span-dedup dials on a doc's tier here can
+    differ from the raw-text tier the quality gate (and mix_from_audit)
+    used; docs tiering 'low' on the emitted text drop out of the
+    mixture, and the CLI surfaces that as ``docs_mixture_excluded``."""
     from .functions.mixture import doc_repeats
     d = curated.withColumn("w", _words())
     base = (d.select(F.col("url").alias("doc_id"),

@@ -245,15 +245,31 @@ def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
 
 def packed_bpe_sequences(docs: DataFrame, merges: list[tuple[str, str]],
                          vocab: dict[str, int], seq_len: int | None = None,
-                         key_col: str = "source") -> DataFrame:
+                         key_col: str = "source",
+                         repeats: DataFrame | None = None) -> DataFrame:
     """Token-ID training sequences: encode the corpus with the trained
     merges (one Arrow stage), then run the standard packing plan over
     the id arrays — ``(key, seq_no, n_fill, tokens array<int>,
     doc_starts array<long>)``, the frame a pretraining data sink
     writes. Same scale shape as packed_sequences: one window exchange
-    on (key) for the plan, one doc_id equi-join, one bounded groupBy."""
+    on (key) for the plan, one doc_id equi-join, one bounded groupBy.
+
+    ``repeats``: optional ``(doc_id, n_repeats)`` mixture frame
+    (functions/mixture.doc_repeats) — each document is encoded ONCE and
+    its id array exploded to one packing item per training pass
+    (``doc_id#epoch_no``, the pack_base_from_epochs discipline), so the
+    token-id sink realizes the same temperature reweighting as the pack
+    plan; n_repeats = 0 drops the doc from the stream."""
     from .packing import SEQ_LEN, packed_sequences_from_tokens
     enc = encode_corpus(docs, merges, vocab, keep=("doc_id", key_col))
     base = enc.select("doc_id", key_col, F.col("token_ids").alias("w"))
+    if repeats is not None:
+        base = (base.join(repeats.select("doc_id", "n_repeats"), "doc_id")
+                .where(F.col("n_repeats") > 0)
+                .withColumn("epoch_no", F.explode(F.sequence(
+                    F.lit(0).cast("long"), F.col("n_repeats") - 1)))
+                .select(F.concat_ws("#", F.col("doc_id").cast("string"),
+                                    F.col("epoch_no")).alias("doc_id"),
+                        key_col, "w"))
     return packed_sequences_from_tokens(
         base, seq_len if seq_len is not None else SEQ_LEN, key_col)

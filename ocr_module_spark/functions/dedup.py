@@ -481,6 +481,16 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_edges_frame(_docs(spark, sf_dir))
 
 
+def sym_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrize star edges ``(a, b)`` for label propagation.
+    localCheckpoint (not cache): the frame is re-read every propagation
+    round, and the eager checkpoint is GC-released once the labels
+    materialize — a cache() would accumulate executor storage for the
+    session lifetime across the driver's 50-query run."""
+    return edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
+
+
 def cc_labels(sym: DataFrame, rounds: int, converge: bool = False) -> DataFrame:
     """Min-label propagation over symmetric edge list ``sym(src, dst)``.
 
@@ -533,11 +543,7 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint loop cannot be mirrored in a single oracle SQL statement.
     tests assert the bounded and converged variants agree on the corpus."""
     edges = _lsh_edges(spark, sf_dir)
-    # localCheckpoint (not cache): sym is re-read every propagation round;
-    # the eager checkpoint is GC-released after the labels materialize
-    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
-        edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
-    labels = cc_labels(sym, CC_ROUNDS)
+    labels = cc_labels(sym_edges(edges), CC_ROUNDS)
     return (labels.groupBy("label")
             .agg(F.count("*").alias("cluster_size"),
                  F.min("node").alias("min_doc"))
@@ -602,9 +608,7 @@ def dedup_decision_frame(docs: DataFrame,
     broadcast-shaped extra join on the clustered-docs side only; the
     default stays the stable quality-free min-doc canonical."""
     edges = lsh_edges_frame(docs)
-    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
-        edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
-    labels = cc_labels(sym, CC_ROUNDS)
+    labels = cc_labels(sym_edges(edges), CC_ROUNDS)
     if quality is None:
         keepers = labels.groupBy("label").agg(F.min("node").alias("keeper"))
     else:

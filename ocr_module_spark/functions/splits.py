@@ -114,11 +114,8 @@ def split_leakage_frame(docs: DataFrame,
     corpus); the split join is one equi-join on doc_id; the rollup is a
     partial-aggregated groupBy on the cluster label. Nothing beyond
     what the keep-list chain already shuffles."""
-    from .dedup import CC_ROUNDS, cc_labels, lsh_edges_frame
-    edges = lsh_edges_frame(docs)
-    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
-        edges.selectExpr("b AS src", "a AS dst")).localCheckpoint(eager=True)
-    labels = cc_labels(sym, CC_ROUNDS)
+    from .dedup import CC_ROUNDS, cc_labels, lsh_edges_frame, sym_edges
+    labels = cc_labels(sym_edges(lsh_edges_frame(docs)), CC_ROUNDS)
     lab = labels.join(
         split_assignments(docs, group_col)
         .select(F.col("doc_id").alias("node"), "split"), "node")

@@ -220,7 +220,30 @@ def test_model_gate_tightens_quality(spark):
     assert audit2.where("kept").count() == 0
 
 
-def test_langid_verification_stage(spark, curated_audit):
+def test_packed_bpe_realizes_mixture_repeats(spark, curated_audit):
+    """packed_bpe_sequences(repeats=...): the token-id sink carries the
+    same reweighting as the pack plan — total packed ids equal
+    Σ n_bpe · n_repeats, and a zero-repeat doc vanishes."""
+    from ocr_module_spark.functions import bpe
+    from ocr_module_spark.pipeline import with_host
+    from pyspark.sql import functions as F
+
+    cur, _audit, _ = curated_audit
+    cur_docs = cur.select(F.col("url").alias("doc_id"), "text")
+    merges = bpe.train_bpe_merges(cur_docs, n_merges=4)
+    vocab = bpe.bpe_vocab(bpe.corpus_alphabet(cur_docs), merges)
+    enc = {r["doc_id"]: r["n_bpe"] for r in
+           bpe.encode_corpus(cur_docs, merges, vocab).collect()}
+    ids = sorted(enc)
+    reps = {d: (0 if i == 0 else (3 if i == 1 else 1))
+            for i, d in enumerate(ids)}
+    rep_df = spark.createDataFrame(
+        [(d, n) for d, n in reps.items()], "doc_id string, n_repeats long")
+    seqs = bpe.packed_bpe_sequences(
+        with_host(cur_docs, "doc_id"), merges, vocab,
+        seq_len=64, key_col="url_host", repeats=rep_df).collect()
+    assert sum(r["n_fill"] for r in seqs) == \
+        sum(enc[d] * n for d, n in reps.items())
     """curate(langid=True): audit gains lang/pred_lang/lang_agree,
     counters gain the mismatch rollup, nothing is dropped, and the
     default audit schema stays untouched."""

@@ -89,6 +89,45 @@ def test_fuzz_vs_reference(spark, keys, n_shards):
     assert got == want
 
 
+def test_salted_identity_twin(spark):
+    """3-key sequence identity (source, pack_salt, seq_no): the salt
+    must ride the shard hash AND the in-shard order, or sequences from
+    different salt buckets of one host would collide into one
+    (shard, pos) stream. Twin computed directly with hashlib over a
+    real salted pack plan."""
+    from ocr_module_spark.functions.packing import (pack_assignments,
+                                                    shard_assignments)
+
+    base = spark.createDataFrame(
+        [(f"d{i:03d}", "hot.example" if i < 40 else f"h{i}.example",
+          5 + (i * 7) % 50) for i in range(60)],
+        "doc_id string, source string, n_tokens long")
+    plan = pack_assignments(base, 64, salt_buckets=3)
+    got = {(r["source"], r["pack_salt"], r["seq_no"]):
+           (r["shard_id"], r["pos_in_shard"], r["n_fill"])
+           for r in shard_assignments(plan, n_shards=4,
+                                      salt_col="pack_salt").collect()}
+    # twin: aggregate the plan rows, hash the 3-part key, rank in shard
+    seqs = defaultdict(int)
+    for r in plan.collect():
+        seqs[(r["source"], r["pack_salt"], r["seq_no"])] += \
+            r["tok_end"] - r["tok_start"]
+    assert len({k[:2] for k in seqs}) > 3      # several salt buckets hit
+    keyed = []
+    for (src, salt, seq), fill in seqs.items():
+        h = _hex4(f"{src}#{salt}#{seq}")
+        keyed.append((h % 4, h, src, salt, seq, fill))
+    want = {}
+    per_shard = defaultdict(list)
+    for row in keyed:
+        per_shard[row[0]].append(row)
+    for shard, rows in per_shard.items():
+        rows.sort(key=lambda r: (r[1], r[2], r[3], r[4]))
+        for pos, (_s, _h, src, salt, seq, fill) in enumerate(rows):
+            want[(src, salt, seq)] = (shard, pos, fill)
+    assert got == want
+
+
 def test_read_order_dense_and_manifest_sums(spark, sf_dir):
     sharded = q_curate_shards(spark, sf_dir).cache()
     try:

@@ -129,6 +129,12 @@ def main() -> int:
                          "docs_lang_mismatch + docs_lang_und; "
                          "verification only — nothing is dropped")
     args = ap.parse_args()
+    # flag validation BEFORE any Spark work: a bad combination must die
+    # at parse time, not after the curation pipeline has executed
+    if args.shards > 0 and args.pack <= 0:
+        ap.error("--shards requires --pack SEQ_LEN")
+    if args.encode_bpe and args.train_bpe <= 0:
+        ap.error("--encode-bpe requires --train-bpe N")
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("curate").getOrCreate()
@@ -171,8 +177,6 @@ def main() -> int:
             .first()
         counters["docs_mixed"] = int(agg["docs_mixed"])
         counters["tokens_mixed"] = int(agg["tokens_mixed"])
-    if args.shards > 0 and args.pack <= 0:
-        ap.error("--shards requires --pack SEQ_LEN")
     if args.split:
         from ocr_module_spark.curate import split_from_curated
         curated = split_from_curated(curated)
@@ -183,6 +187,10 @@ def main() -> int:
     # rows must never reach the mixture/packing/BPE sink)
     train = spark.read.parquet(f"{out}/curated")
     if args.split:
+        # seed all three keys: an empty split must report 0, not a
+        # missing key (the counters line is diffed across runs)
+        for s in ("train", "val", "test"):
+            counters[f"docs_{s}"] = 0
         for r in train.groupBy("split").count().collect():
             counters[f"docs_{r['split']}"] = int(r["count"])
         train = train.where("split = 'train'")
@@ -191,6 +199,13 @@ def main() -> int:
         mixt = mixture_from_curated(train, args.mixture) \
             .localCheckpoint(eager=True)
         mixt.write.mode("overwrite").parquet(f"{out}/mixture")
+        # docs the mixture never weighs (tier 'low' on the EMITTED text,
+        # or zero tokens) — visible, not silent: with --scrub-pii or
+        # --span-dedup the emitted text can tier differently than the
+        # raw text the quality gate saw (deliberate: the mixture weighs
+        # what the trainer will actually see)
+        counters["docs_mixture_excluded"] = \
+            int(train.count()) - int(mixt.count())
         agg = mixt.selectExpr(
             "count(*) AS docs_mixture",
             "coalesce(sum(CASE WHEN n_repeats >= 2 THEN 1 END), 0)"
@@ -270,14 +285,20 @@ def main() -> int:
             counters["bpe_tokens_total"] = int(stats["n"])
             counters["bpe_vocab_size"] = len(vocab)
             if args.pack > 0:
+                # with --mixture the id sink realizes the SAME
+                # reweighting as <out>/packs (encode once, explode the
+                # id arrays per training pass)
+                rep = None
+                if args.mixture > 0:
+                    from pyspark.sql import functions as F
+                    rep = mixt.select(F.col("url").alias("doc_id"),
+                                      "n_repeats")
                 seqs = packed_bpe_sequences(
                     with_host(cur_docs, "doc_id"), merges, vocab,
-                    seq_len=args.pack, key_col="url_host")
+                    seq_len=args.pack, key_col="url_host", repeats=rep)
                 seqs.write.mode("overwrite").parquet(f"{out}/packs_bpe")
                 nseq = spark.read.parquet(f"{out}/packs_bpe").count()
                 counters["bpe_sequences_packed"] = int(nseq)
-    elif args.encode_bpe:
-        ap.error("--encode-bpe requires --train-bpe N")
     audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
 
     print(json.dumps(counters))
