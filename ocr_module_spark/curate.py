@@ -119,9 +119,14 @@ def curate(spark: SparkSession, pages: DataFrame,
         base = (base.join(pages.select("url", "lang"), "url", "left")
                 .join(preds, "doc_id", "left"))
         pred = F.coalesce("pred_lang", F.lit("und"))
+        # a doc with NO crawl label can neither agree nor mismatch:
+        # lang_agree stays NULL (stage_counters counts neither way) —
+        # coalescing the label to 'und' would report every unlabeled doc
+        # as a mismatch whenever the classifier finds a language
         cols += ["lang", pred.alias("pred_lang"),
-                 (F.coalesce("lang", F.lit("und")) == pred)
-                 .alias("lang_agree")]
+                 F.when(F.col("lang").isNull(),
+                        F.lit(None).cast("boolean"))
+                 .otherwise(F.col("lang") == pred).alias("lang_agree")]
     audit = base.select(*cols).withColumn(
         "kept",
         F.col("quality_keep") & F.col("dup_keep")

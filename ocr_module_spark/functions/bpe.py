@@ -50,9 +50,14 @@ def initial_symbols(docs: DataFrame) -> DataFrame:
     SentencePiece move (it likewise reserves the character). Mirrored
     in encode_corpus."""
     clean = F.trim(F.regexp_replace(F.lower(F.trim("text")), END, ""))
-    w = F.when(F.length(clean) == 0,
-               F.array().cast("array<string>")) \
-        .otherwise(F.split(clean, r"\s+"))
+    # drop the empties Spark's split KEEPS for leading/trailing
+    # separators (\n, \t — trim strips only spaces): a phantom '' word
+    # would emit '' and bare END symbols (sequence(1, 0) runs DESCENDING)
+    # that pollute the alphabet and can burn a merge slot, and the
+    # deployment encoder would never see them — the contract on BOTH
+    # sides is Java-\s split with empties dropped (mirrored in
+    # encode_corpus)
+    w = F.filter(F.split(clean, r"\s+"), lambda x: x != "")
     syms = F.expr(
         "flatten(transform(w, word -> transform("
         "  sequence(1, length(word)),"
@@ -160,6 +165,7 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 # ---------------------------------------------------------------------------
 
 UNK_ID = -1        # symbol whose character never appeared at train time
+CACHE_MAX_WORDS = 1 << 20   # encode_corpus word-cache bound per worker
 
 
 def corpus_alphabet(docs: DataFrame) -> list[str]:
@@ -189,20 +195,24 @@ def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
     """(keep..., token_ids array<int>, n_bpe long): apply the trained
     merge table to every document — ONE Arrow stage, zero shuffles.
 
-    The per-batch WORD CACHE is what makes this corpus-scale: natural
-    text repeats words heavily (Zipf), so each unique word is encoded
-    once per batch and the merge loop cost is ~|vocab of the batch|,
-    not |tokens|. Characters unseen at train time map to UNK_ID.
-    Normalization mirrors initial_symbols exactly (lowercase, reserved
-    ``END`` marker stripped pre-tokenization, Java-\\s whitespace split)
-    so deployment encoding and training see the same words."""
+    The WORD CACHE is what makes this corpus-scale: natural text
+    repeats words heavily (Zipf), so each unique word is encoded once
+    and the merge loop cost is ~|vocabulary seen|, not |tokens|; the
+    cache is capped (cleared at CACHE_MAX_WORDS entries) so a
+    high-diversity partition cannot grow executor Python memory without
+    bound. Characters unseen at train time map to UNK_ID. Normalization
+    mirrors initial_symbols exactly (lowercase, reserved ``END`` marker
+    stripped pre-tokenization, Java-\\s charset split with empties
+    dropped — NOT Python str.strip()/split(), whose Unicode-whitespace
+    handling would diverge from the JVM on e.g. NBSP) so deployment
+    encoding and training see the same words."""
     import re
 
     from ..deploy import ensure_pyfiles
     ensure_pyfiles(docs.sparkSession)
     merges_t = [tuple(m) for m in merges]
     vocab_d = dict(vocab)
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")       # Java regex \s
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")       # Java regex \s charset
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in docs.select(*keep).schema.fields
@@ -215,6 +225,8 @@ def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
         def enc(word: str) -> list[int]:
             ids = cache.get(word)
             if ids is None:
+                if len(cache) >= CACHE_MAX_WORDS:
+                    cache.clear()      # keep the Zipf win, bound memory
                 ids = [vocab_d.get(s, UNK_ID)
                        for s in encode_word(word, merges_t)]
                 cache[word] = ids
@@ -226,13 +238,10 @@ def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
                 if text is None:
                     out_ids.append(np.array([], dtype="int32"))
                     continue
-                clean = ws.sub(" ", text.strip().lower()
-                               .replace(END, "")).strip()
-                if not clean:
-                    out_ids.append(np.array([], dtype="int32"))
-                    continue
+                words = [wd for wd in
+                         ws.split(text.lower().replace(END, "")) if wd]
                 ids: list[int] = []
-                for wd in clean.split(" "):
+                for wd in words:
                     ids.extend(enc(wd))
                 out_ids.append(np.array(ids, dtype="int32"))
             res = pdf[list(keep)].copy()

@@ -98,11 +98,15 @@ def apply_host_blocklist(pages: DataFrame, host_stats: DataFrame,
     """Drop every page whose host is blocked: one broadcast LEFT ANTI
     join — the pages side never shuffles, the blocklist is host-grain
     (broadcast-sized by construction). Run ahead of extraction on the
-    next crawl snapshot."""
+    next crawl snapshot. A pages frame that already carries ``url_host``
+    keeps its own column (joined on as-is, schema untouched); only a
+    url-only frame gets the derived key, which is dropped again."""
     from ..pipeline import with_host
     blocked = host_stats.where("blocked") \
         .select(F.col("host" if "host" in host_stats.columns
                       else host_col).alias("url_host"))
+    if "url_host" in pages.columns:
+        return pages.join(F.broadcast(blocked), "url_host", "left_anti")
     return (with_host(pages)
             .join(F.broadcast(blocked), "url_host", "left_anti")
             .drop("url_host"))

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .hashing import hex4_col, hex4_sql_duck
+from .textstats import _words
 
 SEQ_LEN = 64      # tokens per packed sequence — testdata-sized; a real
                   # deployment dials 2048/4096/8192 (context window)
@@ -239,10 +240,7 @@ def packed_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
     input ``docs`` is ``(doc_id, <key_col>, text)`` — the oracle-able
     demo tokenization (a production sink feeds BPE ids instead, see
     ``bpe.packed_bpe_sequences``)."""
-    w = F.when(F.length(F.trim("text")) == 0,
-               F.array().cast("array<string>")) \
-        .otherwise(F.split(F.trim("text"), r"\s+"))
-    base = docs.select("doc_id", key_col, w.alias("w"))
+    base = docs.select("doc_id", key_col, _words().alias("w"))
     return packed_sequences_from_tokens(base, seq_len, key_col, checkpoint)
 
 
@@ -271,9 +269,7 @@ def multimodal_pack_base(docs: DataFrame, media: DataFrame,
     (training batches should not be all-text then all-image runs).
     Token COSTS, not payloads, drive the plan — image bytes never ride
     any shuffle (same decision-frame discipline as the text plan)."""
-    wt = F.when(F.length(F.trim("text")) == 0,
-                F.array().cast("array<string>")) \
-        .otherwise(F.split(F.trim("text"), r"\s+"))
+    wt = _words()
     text_base = docs.select(
         F.concat(F.lit("txt:"), F.col("doc_id").cast("string"))
         .alias("doc_id"),

@@ -48,6 +48,28 @@ def _words(col: str = "text"):
             .otherwise(F.split(F.trim(F.col(col)), r"\s+"))
 
 
+def qf_reasons(w_col: str = "w", text_col: str = "text"):
+    """Gopher-gate drop-reason bitmask (1=word count, 2=degenerate avg
+    word length, 4=stopword ratio) over a frame exposing the words
+    array — ONE definition shared by quality_frame, q_quality_filter,
+    and quality_label_frame, so the audit gate, the filter row, and the
+    model-training labels cannot drift apart. NULL text: every
+    condition is NULL, so the bitmask sums to 0 on both engines (the
+    documented label semantics); tier_expr keeps its own boolean-OR
+    form because its NULL text must coalesce to 'low', not pass."""
+    n_words = F.size(w_col)
+    n_stop = F.size(F.expr(
+        f"filter({w_col}, x -> lower(x) IN ({_SW_LIST}))"))
+    avg_wlen_x10 = (F.length(text_col) * 10) / F.greatest(n_words, F.lit(1))
+    r_words = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+    r_wlen = (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10) | \
+             (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
+    r_stop = n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)
+    return (F.when(r_words, 1).otherwise(0)
+            + F.when(r_wlen, 2).otherwise(0)
+            + F.when(r_stop, 4).otherwise(0))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting (A4 analogue at corpus scale)."""
     return (_docs(spark, sf_dir)
@@ -109,17 +131,8 @@ def quality_frame(docs: DataFrame) -> DataFrame:
         f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
     n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0))
     # Gopher-style hard keep/drop verdict folded into the same scan (the
-    # former text_quality_filter driver row): reason bitmask 1=word
-    # count, 2=degenerate avg word length, 4=stopword ratio; integer-
-    # scaled ratios so both engines agree exactly
-    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
-    r_words = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
-    r_wlen = (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10) | \
-             (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
-    r_stop = n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)
-    reasons = (F.when(r_words, 1).otherwise(0)
-               + F.when(r_wlen, 2).otherwise(0)
-               + F.when(r_stop, 4).otherwise(0))
+    # former text_quality_filter driver row) — the shared bitmask
+    reasons = qf_reasons()
     # language-ID heuristic folded into the same scan (absorbs the former
     # text_lang_guess driver row; q_lang_guess keeps the lang-vs-guess
     # accuracy rollup for tests/bench): stopword-hit-rate threshold, NULL
@@ -182,19 +195,10 @@ def quality_label_frame(d: DataFrame,
     the host/source key a downstream rollup groups on)."""
     passthru = [c for c in extra_cols if c != "text"]
     dd = d.select("doc_id", *passthru, "text", _words().alias("w"))
-    n_words = F.size("w")
-    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
-    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
-    r_words = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
-    r_wlen = (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10) | \
-             (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
-    r_stop = n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)
-    reasons = (F.when(r_words, 1).otherwise(0)
-               + F.when(r_wlen, 2).otherwise(0)
-               + F.when(r_stop, 4).otherwise(0))
     return dd.select(
         "doc_id", *extra_cols,
-        F.when(reasons == 0, 1).otherwise(0).cast("int").alias("label"))
+        F.when(qf_reasons() == 0, 1).otherwise(0).cast("int")
+        .alias("label"))
 
 
 def sql_quality_label_expr() -> str:
@@ -414,19 +418,10 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies after extraction; all JVM-side integer/ratio checks at scan
     speed."""
     d = _docs(spark, sf_dir).withColumn("w", _words())
-    n_words = F.size("w")
-    # integer-scaled ratios: exact cross-engine, no FP rounding ties
-    avg_wlen_x10 = (F.length("text") * 10) / F.greatest(n_words, F.lit(1))
-    n_stop = F.size(F.expr(f"filter(w, x -> lower(x) IN ({_SW_LIST}))"))
-    r_words = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
-    r_wlen = (avg_wlen_x10 < QF_MIN_AVG_WLEN * 10) | \
-             (avg_wlen_x10 > QF_MAX_AVG_WLEN * 10)
-    r_stop = n_stop * 100 < n_words * int(QF_MIN_STOPWORD_RATIO * 100)
-    reasons = (F.when(r_words, 1).otherwise(0)
-               + F.when(r_wlen, 2).otherwise(0)
-               + F.when(r_stop, 4).otherwise(0))
+    # integer-scaled ratios (inside qf_reasons): exact cross-engine
+    reasons = qf_reasons()
     return d.select(
-        "doc_id", n_words.alias("n_words"),
+        "doc_id", F.size("w").alias("n_words"),
         reasons.cast("int").alias("drop_reasons"),
         (reasons == 0).alias("keep"))
 

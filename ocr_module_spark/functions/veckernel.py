@@ -175,10 +175,13 @@ def fold_dot_matrix(df: DataFrame, vec_col: str,
             if m is not None and (n == 0 or m.shape[1] == d):
                 # dots[:, i] = fold(vec * mat[i]) in index order: the
                 # per-centroid elementwise product then the same
-                # sequential accumulate as the JVM fold
+                # sequential accumulate as the JVM fold. n == 0 must
+                # skip the product loop — _to_matrix returns a (0, 0)
+                # matrix whose broadcast against a (d,) centroid raises
                 dots = np.empty((n, k), dtype=np.float64)
-                for i in range(k):
-                    dots[:, i] = _fold_mat(m * mat[i])
+                if n:
+                    for i in range(k):
+                        dots[:, i] = _fold_mat(m * mat[i])
                 arr = pa.ListArray.from_arrays(
                     pa.array(np.arange(0, (n + 1) * k, k, dtype="int32")),
                     pa.array(dots.ravel(), type=pa.float64()))

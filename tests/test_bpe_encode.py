@@ -103,6 +103,29 @@ def test_reserved_marker_stripped_before_tokenizing(spark):
                for s in syms_b)
 
 
+def test_edge_whitespace_train_deploy_agreement(spark):
+    """Leading/trailing \\n or \\t (trim strips only spaces): training
+    must emit no phantom ''/bare-marker symbols, and the deployment
+    encoder must see the identical word list — the train/deploy
+    invariant the docstrings promise."""
+    dirty = spark.createDataFrame(
+        [(1, "s1", "\nhello\tworld "), (2, "s1", "hello world"),
+         (3, "s1", "\t\n ")],
+        "doc_id long, source string, text string")
+    syms = {r["doc_id"]: list(r["syms"])
+            for r in initial_symbols(dirty).collect()}
+    assert 3 not in syms                       # whitespace-only: no words
+    assert syms[1] == syms[2]                  # edge whitespace is inert
+    assert all(s and s != END for s in syms[1])
+    merges = train_bpe_merges(dirty, n_merges=2)
+    vocab = bpe_vocab(corpus_alphabet(dirty), merges)
+    assert "" not in vocab and END not in vocab
+    got = {r["doc_id"]: list(r["token_ids"])
+           for r in encode_corpus(dirty, merges, vocab).collect()}
+    assert got[1] == got[2] and got[3] == []
+    assert UNK_ID not in got[1]                # trained on its own words
+
+
 def _h(doc_id) -> int:
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
 

@@ -267,6 +267,9 @@ def test_packed_bpe_realizes_mixture_repeats(spark, curated_audit):
     assert all(r["pred_lang"] is not None for r in rows)
     assert all(r["lang_agree"] == (r["lang"] == r["pred_lang"])
                for r in rows if r["lang"] is not None)
+    # an unlabeled doc can neither agree nor mismatch
+    assert all(r["lang_agree"] is None
+               for r in rows if r["lang"] is None)
     c = curate.stage_counters(audit)
     assert c["docs_lang_mismatch"] == sum(not r["lang_agree"] for r in rows)
     assert c["docs_lang_und"] == sum(r["pred_lang"] == "und" for r in rows)

@@ -98,6 +98,23 @@ def test_fold_dot_matrix_bit_identical_to_hof(spark):
                 assert g.hex() == w.hex(), (i, g, w)
 
 
+def test_fold_dot_matrix_empty_batches(spark):
+    """Zero-row input must yield zero rows, not a numpy broadcast error:
+    _to_matrix returns a (0, 0) matrix for an empty batch, which the
+    kernel must not multiply against a (d,) centroid. Exercised with an
+    empty frame AND a many-partition frame (empty partitions)."""
+    mat = [[0.5, -0.25, 0.125, 2.0], [1.0, 1.0, 1.0, 1.0]]
+    empty = spark.createDataFrame([], "id int, a array<double>")
+    assert fold_dot_matrix(empty, "a", mat, "cdots").collect() == []
+    sparse = _hostile_vec_frame(spark).where("id = 0") \
+        .repartition(16).select("id", "a")
+    got = fold_dot_matrix(sparse, "a", mat, "cdots",
+                          keep=("id",)).collect()
+    assert len(got) == 1 and len(got[0]["cdots"]) == 2
+    assert fold_dots(empty.withColumnRenamed("a", "a").selectExpr(
+        "id", "a AS a", "a AS b"), [("a", "b", "d")]).collect() == []
+
+
 def test_fold_dot_matrix_float_input_matches_double_cast(spark, sf_dir):
     """Feeding the raw float embedding column must equal casting to
     double first — float32→float64 widening is exact on both paths."""

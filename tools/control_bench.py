@@ -37,9 +37,16 @@ sys.path.insert(0, str(REPO))
 def _gen(n_docs: int) -> list[tuple[str, bytes]]:
     """Deterministic corpus (corpus.row_for), pickle-cached in tmpfs so
     repeated matched-window invocations skip the ~single-core-minute of
-    generation (the cache load is a ~1s tmpfs read)."""
+    generation (the cache load is a ~1s tmpfs read). The cache key
+    includes a fingerprint of corpus.py — a generator change must
+    invalidate the cache, or the control would silently parse
+    yesterday's corpus while Spark parses today's (breaking the
+    'IDENTICAL corpus' premise the ratio rests on)."""
+    import hashlib
     import pickle
-    cache = pathlib.Path(f"/dev/shm/ocr_control_docs_{n_docs}.pkl")
+    src = (REPO / "ocr_module_spark" / "corpus.py").read_bytes()
+    tag = hashlib.md5(src).hexdigest()[:8]
+    cache = pathlib.Path(f"/dev/shm/ocr_control_docs_{n_docs}_{tag}.pkl")
     if cache.is_file():
         with cache.open("rb") as fh:
             return pickle.load(fh)
