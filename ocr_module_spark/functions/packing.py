@@ -477,6 +477,15 @@ def q_curate_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignments(q_pack_sequences(spark, sf_dir))
 
 
+def q_curate_shards_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle surface for the SALTED shard identity: the sequence key is
+    (source, pack_salt, seq_no) — the salt must ride the shard hash AND
+    the in-shard order, or sequences from different salt buckets of one
+    host would collide into one (shard, pos) stream."""
+    return shard_assignments(q_pack_sequences_salted(spark, sf_dir),
+                             salt_col="pack_salt")
+
+
 _SH = hex4_sql_duck(
     "md5(concat_ws('#', source, CAST(seq_no AS VARCHAR)))")
 
@@ -500,9 +509,35 @@ FROM sh
 """
 
 
+_SH3 = hex4_sql_duck(
+    "md5(concat_ws('#', source, CAST(pack_salt AS VARCHAR),"
+    " CAST(seq_no AS VARCHAR)))")
+
+SQL_CURATE_SHARDS_SALTED = f"""
+WITH plan AS ({SQL_PACK_SEQUENCES_SALTED}
+), seqs AS (
+  SELECT source, pack_salt, seq_no,
+         CAST(sum(tok_end - tok_start) AS BIGINT) AS n_fill,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM plan GROUP BY source, pack_salt, seq_no
+), sh AS (
+  SELECT *, {_SH3} AS h FROM seqs
+)
+SELECT source, pack_salt, seq_no, n_fill, n_docs,
+       CAST(h % {N_SHARDS} AS INTEGER) AS shard_id,
+       CAST(row_number() OVER (
+              PARTITION BY h % {N_SHARDS}
+              ORDER BY h, source ASC NULLS FIRST, pack_salt, seq_no) - 1
+            AS BIGINT) AS pos_in_shard
+FROM sh
+"""
+
+
 REGISTRY = {
     "curate_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "curate_pack_salted": (q_pack_sequences_salted,
                            SQL_PACK_SEQUENCES_SALTED),
     "curate_shards": (q_curate_shards, SQL_CURATE_SHARDS),
+    "curate_shards_salted": (q_curate_shards_salted,
+                             SQL_CURATE_SHARDS_SALTED),
 }

@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "curate_pack_salted",
     "curate_pack_materialize",
     "curate_shards",
+    "curate_shards_salted",
     "curate_split",
     "curate_split_leakage",
     "curate_mixture_epochs",
@@ -116,6 +117,8 @@ def _extra_queries():
                                packing.SQL_PACK_SEQUENCES_SALTED),
         "curate_shards": (packing.q_curate_shards,
                           packing.SQL_CURATE_SHARDS),
+        "curate_shards_salted": (packing.q_curate_shards_salted,
+                                 packing.SQL_CURATE_SHARDS_SALTED),
         "curate_split": (splits.q_split_rollup,
                          splits.SQL_SPLIT_ROLLUP),
         "curate_split_leakage": (splits.q_split_leakage_audit,

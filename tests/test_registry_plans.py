@@ -43,6 +43,7 @@ def _extra_queries():
         "curate_pack_salted": packing.q_pack_sequences_salted,
         "curate_pack_materialize": packing.q_pack_materialize,
         "curate_shards": packing.q_curate_shards,
+        "curate_shards_salted": packing.q_curate_shards_salted,
         "fn_url_latest_revision": urls.q_url_latest_revision,
         "text_model_score": model_score.q_model_score,
         "region_pixel_features": q_region_pixel_features,
