@@ -139,6 +139,50 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    z).cast("long").alias("n_docs_straddling"))
 
 
+def split_repair_assignments(docs: DataFrame,
+                             group_col: str = "source") -> DataFrame:
+    """The ACTION half of the leakage audit: every document's final
+    split, with near-dup clusters that straddle splits re-routed to ONE
+    split — the split of the cluster's canonical (min doc_id) member,
+    the same deterministic canonical the dedup keep-list elects. Docs in
+    no cluster keep their host-hash split. Output: ``(doc_id, split,
+    split_repaired)`` — the flag marks docs whose split changed, so an
+    eval pipeline can also choose to DROP repaired docs instead of
+    trusting them (routing into train is safe; routing into eval is a
+    policy call).
+
+    Scale shape: cluster labels are the keep-list chain's own
+    LSH → CC frame (|clustered docs| rows); the canonical-split map is
+    one min_by aggregation at cluster grain; docs get their verdict via
+    one LEFT equi-join on doc_id. Nothing beyond the keep-list's
+    shuffles."""
+    from .dedup import CC_ROUNDS, cc_labels, lsh_edges_frame, sym_edges
+    labels = cc_labels(sym_edges(lsh_edges_frame(docs)), CC_ROUNDS)
+    base = split_assignments(docs, group_col).select("doc_id", "split")
+    lab = labels.join(base.withColumnRenamed("doc_id", "node"), "node")
+    canon = (lab.groupBy("label")
+             .agg(F.min_by("split", F.col("node")).alias("canon_split")))
+    routed = (lab.join(canon, "label")
+              .select(F.col("node").alias("doc_id"),
+                      F.col("canon_split").alias("forced")))
+    return (base.join(routed, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("forced", F.col("split")).alias("split"),
+                    F.coalesce(F.col("forced") != F.col("split"),
+                               F.lit(False)).alias("split_repaired")))
+
+
+def q_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: repaired split rollup — (split, n_docs,
+    n_repaired). After repair, re-running the leakage audit on these
+    labels returns zero straddling clusters (test-pinned)."""
+    rep = split_repair_assignments(_docs(spark, sf_dir))
+    return (rep.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("split_repaired"), 1).otherwise(0))
+                 .cast("long").alias("n_repaired")))
+
+
 def _sql_leakage() -> str:
     from .dedup import CC_ROUNDS, SQL_DEDUP_CC_CLUSTERS
     base = SQL_DEDUP_CC_CLUSTERS.rsplit("\nSELECT", 1)[0]
@@ -168,8 +212,45 @@ FROM per
 SQL_SPLIT_LEAKAGE_AUDIT = _sql_leakage()
 
 
+def _sql_repair() -> str:
+    from .dedup import CC_ROUNDS, SQL_DEDUP_CC_CLUSTERS
+    base = SQL_DEDUP_CC_CLUSTERS.rsplit("\nSELECT", 1)[0]
+    return base + f""",
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_H} % 1000 < {SPLIT_TEST_PERMILLE} THEN 'test'
+              WHEN {_H} % 1000 < {SPLIT_TEST_PERMILLE + SPLIT_VAL_PERMILLE}
+                THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+), lab AS (
+  SELECT l.label, l.node, s.split
+  FROM l{CC_ROUNDS} l JOIN sp s ON l.node = s.doc_id
+), canon AS (
+  SELECT label, arg_min(split, node) AS canon_split
+  FROM lab GROUP BY label
+), routed AS (
+  SELECT lab.node AS doc_id, canon.canon_split
+  FROM lab JOIN canon USING (label)
+), final AS (
+  SELECT s.doc_id,
+         coalesce(r.canon_split, s.split) AS split,
+         coalesce(r.canon_split <> s.split, false) AS repaired
+  FROM sp s LEFT JOIN routed r ON s.doc_id = r.doc_id
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       CAST(sum(CASE WHEN repaired THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repaired
+FROM final GROUP BY split
+"""
+
+
+SQL_SPLIT_REPAIR = _sql_repair()
+
+
 REGISTRY = {
     "curate_split": (q_split_rollup, SQL_SPLIT_ROLLUP),
     "curate_split_leakage": (q_split_leakage_audit,
                              SQL_SPLIT_LEAKAGE_AUDIT),
+    "curate_split_repair": (q_split_repair, SQL_SPLIT_REPAIR),
 }

@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "curate_shards_salted",
     "curate_split",
     "curate_split_leakage",
+    "curate_split_repair",
     "curate_mixture_epochs",
     "fn_url_canonicalize",
     "fn_url_latest_revision",
@@ -123,6 +124,8 @@ def _extra_queries():
                          splits.SQL_SPLIT_ROLLUP),
         "curate_split_leakage": (splits.q_split_leakage_audit,
                                  splits.SQL_SPLIT_LEAKAGE_AUDIT),
+        "curate_split_repair": (splits.q_split_repair,
+                                splits.SQL_SPLIT_REPAIR),
         "curate_mixture_epochs": (mixture.q_mixture_epochs,
                                   mixture.SQL_MIXTURE_EPOCHS),
         "fn_url_latest_revision": (urls.q_url_latest_revision,

@@ -49,6 +49,7 @@ def _extra_queries():
         "region_pixel_features": q_region_pixel_features,
         "curate_split": splits.q_split_rollup,
         "curate_split_leakage": splits.q_split_leakage_audit,
+        "curate_split_repair": splits.q_split_repair,
         "curate_mixture_epochs": mixture.q_mixture_epochs,
     }
 

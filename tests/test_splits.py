@@ -103,6 +103,40 @@ def test_leakage_audit_constructed(spark):
         assert r["n_docs"] == 2
 
 
+def test_split_repair_routes_straddlers(spark):
+    """Repair = audit's action: the straddling pair converges on the
+    canonical (min doc_id) member's split, the same-split pair and the
+    singleton stay untouched, and the repaired labels re-audit clean."""
+    hosts = [f"h{k}.example" for k in range(400)]
+    by_split = {}
+    for h in hosts:
+        by_split.setdefault(ref_split(h), []).append(h)
+    train_a, train_b = by_split["train"][:2]
+    test_a = by_split["test"][0]
+    dup1 = "alpha beta gamma delta epsilon zeta eta theta"
+    dup2 = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, dup1, train_a), (2, dup1, test_a),
+         (3, dup2, train_a), (4, dup2, train_b),
+         (5, "totally unrelated singleton text here", test_a)],
+        "doc_id long, text string, source string")
+    from ocr_module_spark.functions.splits import split_repair_assignments
+    rep = {r["doc_id"]: r for r in
+           split_repair_assignments(docs).collect()}
+    assert len(rep) == 5
+    # straddler: doc 2 (test host) routed to doc 1's (canonical) train
+    assert (rep[1]["split"], rep[1]["split_repaired"]) == ("train", False)
+    assert (rep[2]["split"], rep[2]["split_repaired"]) == ("train", True)
+    # same-split cluster and the singleton: untouched
+    for d in (3, 4):
+        assert (rep[d]["split"], rep[d]["split_repaired"]) == \
+            ("train", False)
+    assert (rep[5]["split"], rep[5]["split_repaired"]) == ("test", False)
+    # post-repair invariant: both clusters span exactly one split
+    assert len({rep[1]["split"], rep[2]["split"]}) == 1
+    assert len({rep[3]["split"], rep[4]["split"]}) == 1
+
+
 def test_assignment_is_projection(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = (split_assignments(d)._jdf.queryExecution()

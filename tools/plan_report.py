@@ -88,6 +88,10 @@ QUERIES = [
      "labels (the keep-list's own LSH→CC chain) equi-joined to the "
      "split projection, two partial-agg rollups; measures cross-host "
      "straddle the host-keyed split cannot prevent"),
+    ("curate_split_repair", "split repair — straddling clusters routed "
+     "to the canonical member's split: one cluster-grain min_by "
+     "aggregation + one LEFT equi-join on doc_id over the same LSH→CC "
+     "labels the audit reads"),
     ("curate_mixture_epochs", "temperature-sampled mixture epochs — doc "
      "grain never shuffles (two partial-agg passes to group grain); the "
      "sqrt-weight plan is group-grain with a single-partition window "
