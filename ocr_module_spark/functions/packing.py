@@ -447,6 +447,19 @@ def shard_assignments(plan: DataFrame, n_shards: int = N_SHARDS,
             .agg(F.sum(F.col("tok_end") - F.col("tok_start"))
                  .cast("long").alias("n_fill"),
                  F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return shard_sequences(seqs, n_shards, key_col, salt_col)
+
+
+def shard_sequences(seqs: DataFrame, n_shards: int = N_SHARDS,
+                    key_col: str = "source",
+                    salt_col: str | None = None) -> DataFrame:
+    """The shard identity over an ALREADY sequence-grain frame (e.g.
+    the materialized output of packed_sequences_from_tokens /
+    packed_bpe_sequences): same hash and in-shard order as
+    :func:`shard_assignments`, which aggregates a PLAN to sequence
+    grain first — the two agree row-for-row on the same corpus
+    (test-pinned), so a loader can shard either artifact."""
+    gkeys = [key_col] + ([salt_col] if salt_col else []) + ["seq_no"]
     h = hex4_col(F.md5(F.concat_ws(
         "#", *[F.col(k).cast("string") for k in gkeys])
         .cast("binary")))
@@ -459,6 +472,40 @@ def shard_assignments(plan: DataFrame, n_shards: int = N_SHARDS,
             .withColumn("pos_in_shard",
                         (F.row_number().over(w) - 1).cast("long"))
             .drop("_h"))
+
+
+def write_training_shards(seqs: DataFrame, out_dir: str,
+                          n_shards: int = N_SHARDS,
+                          key_col: str = "source",
+                          salt_col: str | None = None) -> dict:
+    """The data-loader files themselves: shard the materialized
+    sequences (:func:`shard_sequences`) and write ``<out>/data``
+    partitioned by ``shard_id`` with rows sorted by ``pos_in_shard``
+    inside every file, plus the ``<out>/manifest`` rollup (the frame a
+    loader reads before opening any shard). Returns the accounting
+    dict ``{shards, sequences, tokens}``.
+
+    Write shape: one repartition on ``shard_id`` + an in-task sort —
+    each shard is one writer task's rows by construction (``n_shards``
+    is dialed by target file size), so every shard directory holds
+    ordered files; a loader that concatenates a shard's files in
+    filename order and trusts ``pos_in_shard`` (also stored per row)
+    gets the deterministic global read order with zero shuffling on
+    its side."""
+    out = out_dir.rstrip("/")
+    sharded = shard_sequences(seqs, n_shards, key_col, salt_col)
+    (sharded.repartition("shard_id")
+     .sortWithinPartitions("shard_id", "pos_in_shard")
+     .write.mode("overwrite").partitionBy("shard_id")
+     .parquet(f"{out}/data"))
+    manifest = shard_manifest(
+        seqs.sparkSession.read.parquet(f"{out}/data"))
+    manifest.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out}/manifest")
+    rows = manifest.collect()
+    return {"shards": len(rows),
+            "sequences": int(sum(r["n_sequences"] for r in rows)),
+            "tokens": int(sum(r["n_tokens"] for r in rows))}
 
 
 def shard_manifest(sharded: DataFrame) -> DataFrame:

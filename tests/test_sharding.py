@@ -173,6 +173,74 @@ def test_cross_parallelism_determinism(spark):
     assert one == many
 
 
+def test_shard_sequences_agrees_with_plan_assignments(spark):
+    """The two shard surfaces — the PLAN aggregate and the materialized
+    sequence frame — must assign identical (shard_id, pos_in_shard) to
+    every sequence (a loader can shard either artifact)."""
+    from ocr_module_spark.functions.packing import (pack_assignments,
+                                                    packed_sequences,
+                                                    shard_sequences)
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 5}",
+          " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 40)))
+         for i in range(40)],
+        "doc_id string, source string, text string")
+    n_tokens = (docs.selectExpr(
+        "doc_id", "source",
+        "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS n_tokens"))
+    from_plan = {(r["source"], r["seq_no"]): (r["shard_id"],
+                                              r["pos_in_shard"], r["n_fill"])
+                 for r in shard_assignments(
+                     pack_assignments(n_tokens, 32), n_shards=4).collect()}
+    seqs = packed_sequences(docs, seq_len=32)
+    from_seqs = {(r["source"], r["seq_no"]): (r["shard_id"],
+                                              r["pos_in_shard"], r["n_fill"])
+                 for r in shard_sequences(seqs, n_shards=4).collect()}
+    assert from_plan == from_seqs
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """The loader contract: <out>/data holds one directory per shard
+    whose files are internally pos-ordered, pos_in_shard is dense per
+    shard, tokens are conserved, and the manifest matches the returned
+    accounting."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from ocr_module_spark.functions.packing import (packed_sequences,
+                                                    write_training_shards)
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 7}",
+          " ".join(f"w{i}_{j}" for j in range(5 + (i * 11) % 60)))
+         for i in range(60)],
+        "doc_id string, source string, text string")
+    seqs = packed_sequences(docs, seq_len=16).localCheckpoint(eager=True)
+    out = str(tmp_path / "shards")
+    acc = write_training_shards(seqs, out, n_shards=4)
+    back = spark.read.parquet(f"{out}/data")
+    rows = back.collect()
+    assert acc["sequences"] == seqs.count() == len(rows)
+    assert acc["tokens"] == sum(r["n_fill"] for r in seqs.collect())
+    per_shard = defaultdict(list)
+    for r in rows:
+        per_shard[r["shard_id"]].append(r["pos_in_shard"])
+    assert len(per_shard) == acc["shards"]
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+    # every physical file is internally ordered by pos_in_shard
+    for f in pathlib.Path(f"{out}/data").rglob("*.parquet"):
+        pos = pq.read_table(f, columns=["pos_in_shard"]) \
+            .column("pos_in_shard").to_pylist()
+        assert pos == sorted(pos), f
+    man = {r["shard_id"]: r for r in
+           spark.read.parquet(f"{out}/manifest").collect()}
+    assert set(man) == set(per_shard)
+    assert sum(r["n_tokens"] for r in man.values()) == acc["tokens"]
+
+
 def test_plan_shape(spark, sf_dir):
     plan = (q_curate_shards(spark, sf_dir)._jdf.queryExecution()
             .executedPlan().toString())

@@ -29,6 +29,9 @@ decontamination (ocr_module_spark.curate) and writes:
 * ``<out>/shards``   — (url_host[, pack_salt], seq_no, n_fill, n_docs,
   shard_id, pos_in_shard) training-shard assignment over the pack plan
   (``--shards N``, requires ``--pack``)
+* ``<out>/shards_bpe`` — the data-loader files: token-ID sequences
+  partitioned by shard_id, pos-ordered inside every file, with a
+  manifest (``--shards`` + ``--encode-bpe``)
 * stdout             — ONE JSON line of per-stage counters
 
 ``--split`` adds a leakage-safe host-hashed train/val/test column to
@@ -299,6 +302,17 @@ def main() -> int:
                 seqs.write.mode("overwrite").parquet(f"{out}/packs_bpe")
                 nseq = spark.read.parquet(f"{out}/packs_bpe").count()
                 counters["bpe_sequences_packed"] = int(nseq)
+                if args.shards > 0:
+                    # the data-loader files themselves: token-ID
+                    # sequences partitioned by shard, pos-ordered
+                    from ocr_module_spark.functions.packing import (
+                        write_training_shards)
+                    acc = write_training_shards(
+                        spark.read.parquet(f"{out}/packs_bpe"),
+                        f"{out}/shards_bpe", n_shards=args.shards,
+                        key_col="url_host")
+                    counters["bpe_shards"] = acc["shards"]
+                    counters["bpe_shard_tokens"] = acc["tokens"]
     audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
 
     print(json.dumps(counters))
