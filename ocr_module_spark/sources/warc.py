@@ -1,0 +1,495 @@
+"""WARC ingestion: Common-Crawl-style containers -> the ``pages`` table.
+
+The engine's input contract (BASELINE.json ``input_hint``) is an Iceberg
+table ``(url, warc_ts, html, text, lang)`` of Common-Crawl-style pages.
+Raw Common Crawl is not a table — it is WARC/1.0 containers (ISO 28500):
+~1 GB ``.warc.gz`` files where EVERY record is its own gzip member, plus a
+CDX index of ``(warc_file, offset, length)`` per capture enabling random
+access. This module is the ingest seam that builds the table:
+
+* ``read_warc(spark, path)``   — whole-container scan: ``binaryFile``
+  datasource -> ONE ``mapInPandas`` stage that splits gzip members,
+  parses WARC record headers, keeps ``WARC-Type: response``, and decodes
+  the captured HTTP response (status line, headers, chunked
+  transfer-encoding, gzip/deflate content-encoding). Zero shuffles: the
+  plan is scan -> Arrow stage -> (whatever the caller does next). Per
+  RECORD failure isolation — a malformed record yields an ``error`` row,
+  never a failed task (the reference's per-page fallback discipline,
+  usecase/translate_pdf.py:114-125).
+* ``read_warc_offsets(spark, cdx)`` — the CDX random-access path: given
+  the index table, each task seeks to ``offset`` and inflates exactly one
+  member. This is how production backfills re-read a url subset without
+  rescanning petabytes of container bytes.
+* ``warc_pages(df)``            — project either reader's output to the
+  canonical ``PAGES_SCHEMA`` (``text``/``lang`` NULL — extraction and
+  langid fill them downstream).
+
+Reference tie: the reference's ingest is path -> bytes -> analyze
+(adapters/infra/azure/azure_client.py:52-62 reads ``open(path,'rb')`` and
+posts the bytes); here the same path->bytes step is grafted onto the
+container format the 10^12-document corpus actually ships in.
+
+Scale notes (100 TB):
+* ``binaryFile`` materializes one whole container per input row — sized
+  for the CC convention (~1 GB gz) this is fine on 4-8 GB executors, and
+  the gzip-member framing means NO splittable-codec problem inside the
+  stage (members inflate independently). Parallelism = number of
+  container files (a 100 TB crawl is ~10^5 files), far above any
+  realistic executor count.
+* The CDX path repartitions by ``warc_file`` so one task opens one
+  container once, reads its members in offset order (sequential-ish IO),
+  and never inflates bytes outside the requested ranges.
+* All decode work is stdlib ``zlib`` inside the Arrow stage — no
+  row-at-a-time Python UDF, no JVM<->Python chatter beyond the batches.
+
+Test gate (no SQL form — DuckDB cannot gunzip): byte-identity against the
+pure-Python twin (``parse_warc_stream`` is BOTH the Spark kernel and the
+test oracle), hostile-container fuzz, and the round-trip
+``pages -> build_warc_gz -> read_warc -> extract`` equals
+``pages -> extract`` per url (tests/test_warc.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import hashlib
+import io
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import PAGES_SCHEMA
+
+CRLF = b"\r\n"
+
+# output of both readers — one row per WARC *response* record
+WARC_RECORDS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("http_status", T.IntegerType(), True),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("warc_file", T.StringType(), False),
+    T.StructField("warc_offset", T.LongType(), False),
+    T.StructField("warc_length", T.LongType(), False),
+    T.StructField("payload_sha256", T.StringType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+# CDX index rows produced by build_cdx / consumed by read_warc_offsets
+CDX_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_file", T.StringType(), False),
+    T.StructField("warc_offset", T.LongType(), False),
+    T.StructField("warc_length", T.LongType(), False),
+])
+
+
+# -- pure-Python core (Spark kernel AND test oracle) -------------------------
+
+def split_gzip_members(data: bytes) -> Iterator[Tuple[bytes, int, int]]:
+    """Yield ``(inflated, offset, compressed_length)`` per gzip member.
+
+    Common Crawl writes one record per member precisely so readers can
+    re-frame without a splittable codec; ``zlib.decompressobj(wbits=31)``
+    stops at each member boundary and hands back the remainder in
+    ``unused_data``. A truncated trailing member raises ``ValueError``
+    (the caller records it as one error row, not a task failure).
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member at offset {pos}: {e}")
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        end = n - len(d.unused_data)
+        if end <= pos:  # zero-progress guard (cannot happen on valid gzip)
+            raise ValueError(f"empty gzip member at offset {pos}")
+        yield out, pos, end - pos
+        pos = end
+
+
+def _parse_headers(blob: bytes) -> Tuple[Dict[str, str], bytes]:
+    """Parse a CRLF (LF tolerated) header block; return (headers, rest).
+
+    Keys lower-cased; duplicate keys keep the FIRST value (WARC named
+    fields are single-valued; for HTTP the first Content-Type wins, which
+    matches what crawlers recorded).
+    """
+    sep = blob.find(b"\r\n\r\n")
+    seplen = 4
+    lf = blob.find(b"\n\n")
+    if sep == -1 or (lf != -1 and lf < sep):
+        sep, seplen = lf, 2
+    if sep == -1:
+        raise ValueError("no header terminator")
+    headers: Dict[str, str] = {}
+    for line in blob[:sep].splitlines():
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            key = k.strip().decode("latin-1").lower()
+            headers.setdefault(key, v.strip().decode("latin-1"))
+    return headers, blob[sep + seplen:]
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer-encoding; strict, raises on rot."""
+    out = io.BytesIO()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl == -1:
+            raise ValueError("chunked: missing size line")
+        size_tok = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except Exception:
+            raise ValueError(f"chunked: bad size {size_tok[:16]!r}")
+        pos = nl + 2
+        if size == 0:
+            return out.getvalue()  # trailers (if any) discarded
+        if pos + size > len(body):
+            raise ValueError("chunked: chunk overruns body")
+        out.write(body[pos:pos + size])
+        pos += size
+        if body[pos:pos + 2] != CRLF:
+            raise ValueError("chunked: missing chunk terminator")
+        pos += 2
+
+
+def _decode_http_response(block: bytes) -> Tuple[int, str, bytes]:
+    """Captured HTTP response bytes -> (status, mime, payload bytes).
+
+    De-chunks ``Transfer-Encoding: chunked`` and inflates
+    ``Content-Encoding: gzip|deflate`` — crawlers store the wire bytes,
+    so both appear constantly in real WARCs.
+    """
+    status_end = block.find(b"\n")
+    if status_end == -1 or not block[:5].upper().startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response block")
+    status_line = block[:status_end].strip().decode("latin-1", "replace")
+    parts = status_line.split()
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        raise ValueError(f"bad status line {status_line[:40]!r}")
+    headers, body = _parse_headers(block)
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        body = zlib.decompress(body, wbits=31)
+    elif enc == "deflate":
+        try:
+            body = zlib.decompress(body)          # RFC-correct zlib wrapper
+        except zlib.error:
+            body = zlib.decompress(body, wbits=-15)  # bare-deflate servers
+    mime = headers.get("content-type", "").split(";")[0].strip().lower()
+    return status, mime, body
+
+
+def _warc_date(v: Optional[str]) -> Optional[_dt.datetime]:
+    if not v:
+        return None
+    try:
+        return _dt.datetime.strptime(
+            v.strip(), "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=_dt.timezone.utc)
+    except ValueError:
+        return None
+
+
+def _parse_member(member: bytes, warc_file: str, offset: int,
+                  length: int) -> Optional[dict]:
+    """One inflated WARC record -> one output dict, or None to skip.
+
+    Skips (returns None): non-response records (warcinfo / request /
+    metadata / revisit) — the normal majority of a container. Errors
+    (malformed record that CLAIMED to be a response) come back as a row
+    with ``error`` set and the raw block preserved in ``html`` so no
+    capture is silently lost.
+    """
+    row = {
+        "url": None, "warc_ts": None, "html": None, "http_status": None,
+        "mime": None, "warc_file": warc_file, "warc_offset": offset,
+        "warc_length": length, "payload_sha256": None, "error": None,
+    }
+    try:
+        if not member.startswith(b"WARC/"):
+            raise ValueError("missing WARC/ version line")
+        headers, rest = _parse_headers(member)
+        rectype = headers.get("warc-type", "").lower()
+        if rectype != "response":
+            return None
+        row["url"] = headers.get("warc-target-uri")
+        row["warc_ts"] = _warc_date(headers.get("warc-date"))
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/bad Content-Length")
+        if clen < 0:
+            raise ValueError("negative Content-Length")
+        if clen > len(rest):
+            raise ValueError("record block overruns member")
+        block = rest[:clen]
+        status, mime, payload = _decode_http_response(block)
+        row.update(
+            html=payload, http_status=status, mime=mime or None,
+            payload_sha256=hashlib.sha256(payload).hexdigest())
+        return row
+    except (ValueError, zlib.error, EOFError, OSError) as e:
+        row["error"] = str(e)
+        if row["html"] is None:
+            row["html"] = member  # preserve the capture for forensics
+        return row
+
+
+def parse_warc_stream(data: bytes, warc_file: str) -> List[dict]:
+    """Whole container (gz OR plain ``.warc``) -> list of record dicts.
+
+    This is the shared kernel: the Spark stage calls it per file, the
+    tests call it single-threaded as the oracle twin. A container whose
+    gzip framing itself is broken yields ONE error row for the tail (all
+    members before the corruption still parse).
+    """
+    rows: List[dict] = []
+    if data[:2] == b"\x1f\x8b":
+        try:
+            for member, off, ln in split_gzip_members(data):
+                r = _parse_member(member, warc_file, off, ln)
+                if r is not None:
+                    rows.append(r)
+        except ValueError as e:
+            rows.append({
+                "url": None, "warc_ts": None, "html": None,
+                "http_status": None, "mime": None, "warc_file": warc_file,
+                "warc_offset": -1, "warc_length": -1,
+                "payload_sha256": None, "error": f"container: {e}"})
+        return rows
+    # uncompressed .warc: records are delimited by Content-Length + CRLFx2
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos:pos + 1] in (b"\r", b"\n"):  # stray blank inter-record
+            pos += 1
+            continue
+        try:
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            seplen = 4
+            lf = data.find(b"\n\n", pos)
+            if hdr_end == -1 or (lf != -1 and lf < hdr_end):
+                hdr_end, seplen = lf, 2
+            if hdr_end == -1:
+                raise ValueError("no header terminator")
+            headers, _ = _parse_headers(data[pos:hdr_end + seplen])
+            clen = int(headers["content-length"])
+            end = hdr_end + seplen + clen
+            if clen < 0 or end <= pos:  # forward-progress guard
+                raise ValueError("negative Content-Length")
+        except (ValueError, KeyError) as e:
+            rows.append({
+                "url": None, "warc_ts": None, "html": None,
+                "http_status": None, "mime": None, "warc_file": warc_file,
+                "warc_offset": pos, "warc_length": -1,
+                "payload_sha256": None, "error": f"container: {e}"})
+            return rows
+        r = _parse_member(data[pos:end], warc_file, pos, end - pos)
+        if r is not None:
+            rows.append(r)
+        pos = end
+        while data[pos:pos + 2] == CRLF or data[pos:pos + 1] == b"\n":
+            pos += 2 if data[pos:pos + 2] == CRLF else 1
+    return rows
+
+
+# -- deterministic writer (tests, round-trips, synthetic fixtures) -----------
+
+def build_warc_gz(records: List[dict], warcinfo: str = "ocr_module_spark",
+                  compress: bool = True) -> Tuple[bytes, List[dict]]:
+    """Records ``{url, warc_ts, html, [status], [mime], [chunked],
+    [content_encoding]}`` -> (container bytes, cdx rows).
+
+    One gzip member per record (the CC convention; ``mtime=0`` so output
+    is byte-deterministic), warcinfo first. Returns the CDX index built
+    WHILE writing — offset/length per member — exactly what
+    ``read_warc_offsets`` consumes.
+    """
+    out = io.BytesIO()
+    cdx: List[dict] = []
+
+    def emit(rec: bytes) -> Tuple[int, int]:
+        blob = gzip.compress(rec, mtime=0) if compress else rec
+        off = out.tell()
+        out.write(blob)
+        return off, len(blob)
+
+    info_body = f"software: {warcinfo}\r\n".encode()
+    emit(_warc_record("warcinfo", None, None, info_body,
+                      ctype="application/warc-fields"))
+    for r in records:
+        payload = r["html"] if isinstance(r["html"], bytes) \
+            else str(r["html"]).encode()
+        status = int(r.get("status", 200))
+        mime = r.get("mime", "text/html")
+        body = payload
+        hdrs = [f"Content-Type: {mime}"]
+        if r.get("content_encoding") == "gzip":
+            body = gzip.compress(body, mtime=0)
+            hdrs.append("Content-Encoding: gzip")
+        if r.get("chunked"):
+            body = _enchunk(body)
+            hdrs.append("Transfer-Encoding: chunked")
+        else:
+            hdrs.append(f"Content-Length: {len(body)}")
+        http = (f"HTTP/1.1 {status} OK\r\n" + "\r\n".join(hdrs)
+                + "\r\n\r\n").encode() + body
+        ts = r.get("warc_ts")
+        tss = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else None
+        off, ln = emit(_warc_record("response", r["url"], tss, http))
+        cdx.append({"url": r["url"], "warc_offset": off, "warc_length": ln})
+    return out.getvalue(), cdx
+
+
+def _warc_record(rectype: str, uri: Optional[str], date: Optional[str],
+                 block: bytes,
+                 ctype: str = "application/http; msgtype=response") -> bytes:
+    lines = [b"WARC/1.0",
+             f"WARC-Type: {rectype}".encode(),
+             f"WARC-Date: {date or '2024-01-01T00:00:00Z'}".encode(),
+             f"Content-Type: {ctype}".encode(),
+             f"Content-Length: {len(block)}".encode()]
+    if uri:
+        lines.insert(2, f"WARC-Target-URI: {uri}".encode())
+    return CRLF.join(lines) + CRLF + CRLF + block + CRLF + CRLF
+
+
+def _enchunk(body: bytes, size: int = 100) -> bytes:
+    out = io.BytesIO()
+    for i in range(0, len(body), size):
+        chunk = body[i:i + size]
+        out.write(f"{len(chunk):x}".encode() + CRLF + chunk + CRLF)
+    out.write(b"0" + CRLF + CRLF)
+    return out.getvalue()
+
+
+# -- Spark operators ----------------------------------------------------------
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Container scan: ``binaryFile`` -> one Arrow stage -> record rows.
+
+    Zero exchanges (plan-asserted, tests/test_warc.py): parallelism is
+    per-container-file, and a 100 TB crawl has ~10^5 containers. Column
+    pruning still applies downstream — but note the stage necessarily
+    inflates every member, so url-subset backfills should use
+    ``read_warc_offsets`` instead.
+    """
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows = parse_warc_stream(bytes(content), fpath)
+                if rows:
+                    yield _records_pdf(rows)
+
+    return files.mapInPandas(gen, WARC_RECORDS_SCHEMA)
+
+
+def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """CDX random access: seek each ``(warc_file, offset)``, inflate ONE
+    member, parse ONE record.
+
+    Repartitioned by ``warc_file`` so a task opens each container once
+    and walks its requested members in offset order (sequential-ish IO on
+    object stores that serve range reads). The whole-container bytes are
+    never read — this is the petabyte-scale backfill path.
+    """
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: List[dict] = []
+            for grp in pdf.groupby("warc_file", sort=False):
+                fname, g = grp
+                g = g.sort_values("warc_offset")
+                try:
+                    fh = open(fname, "rb")
+                except OSError as e:
+                    rows.extend({
+                        "url": u, "warc_ts": None, "html": None,
+                        "http_status": None, "mime": None,
+                        "warc_file": fname, "warc_offset": int(o),
+                        "warc_length": int(ln), "payload_sha256": None,
+                        "error": f"open: {e}"}
+                        for u, o, ln in zip(g["url"], g["warc_offset"],
+                                            g["warc_length"]))
+                    continue
+                with fh:
+                    for off, ln in zip(g["warc_offset"], g["warc_length"]):
+                        fh.seek(int(off))
+                        blob = fh.read(int(ln))
+                        try:
+                            member = gzip.decompress(blob) \
+                                if blob[:2] == b"\x1f\x8b" else blob
+                            r = _parse_member(member, fname, int(off),
+                                              int(ln))
+                        except (ValueError, OSError, zlib.error) as e:
+                            r = {"url": None, "warc_ts": None, "html": blob,
+                                 "http_status": None, "mime": None,
+                                 "warc_file": fname, "warc_offset": int(off),
+                                 "warc_length": int(ln),
+                                 "payload_sha256": None,
+                                 "error": f"member: {e}"}
+                        if r is not None:
+                            rows.append(r)
+            if rows:
+                yield _records_pdf(rows)
+
+    return cdx.repartition("warc_file").mapInPandas(gen, WARC_RECORDS_SCHEMA)
+
+
+def _records_pdf(rows: List[dict]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=[f.name for f in
+                                      WARC_RECORDS_SCHEMA.fields])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
+    for c in ("http_status",):
+        pdf[c] = pdf[c].astype("Int32")
+    for c in ("warc_offset", "warc_length"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+def warc_pages(records: DataFrame, ok_only: bool = True) -> DataFrame:
+    """Record rows -> the canonical ``PAGES_SCHEMA`` table.
+
+    ``ok_only`` keeps HTTP 200 text/html captures that parsed cleanly —
+    the rows extraction can act on; pass ``False`` to keep everything
+    (errors carry NULL url and are the ingest-audit residue). ``text``
+    and ``lang`` are NULL by contract: extraction (pipeline.extract) and
+    langid (functions/langid) fill them downstream.
+    """
+    df = records
+    if ok_only:
+        df = df.where(
+            F.col("error").isNull() & (F.col("http_status") == 200)
+            & (F.col("mime") == "text/html") & F.col("url").isNotNull())
+    return df.select(
+        "url", "warc_ts", "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"))
+
+
+def build_cdx(spark: SparkSession, warc_file: str,
+              cdx_rows: List[dict]) -> DataFrame:
+    """CDX rows from ``build_warc_gz`` -> a DataFrame for the offsets
+    reader (production reads the crawl-provided cdx.gz instead)."""
+    return spark.createDataFrame(
+        [(r["url"], warc_file, r["warc_offset"], r["warc_length"])
+         for r in cdx_rows], CDX_SCHEMA)

@@ -1,0 +1,175 @@
+"""WARC ingestion gate (sources/warc.py).
+
+No SQL form — DuckDB cannot gunzip WARC containers — so the gate is the
+reference-twin pattern: ``parse_warc_stream`` is both the Spark kernel and
+the single-threaded oracle, and the round-trip
+``pages -> build_warc_gz -> read_warc -> warc_pages -> extract`` must be
+byte-identical to ``pages -> extract`` per url.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_module_spark import corpus, pipeline
+from ocr_module_spark.sources import warc as W
+
+N = 24
+
+
+def _records(n=N, **extra):
+    recs = []
+    for r in corpus.rows(n):
+        recs.append({"url": r["url"], "warc_ts": r["warc_ts"],
+                     "html": r["html"], **extra})
+    return recs
+
+
+def test_roundtrip_pure_python():
+    recs = _records()
+    blob, cdx = W.build_warc_gz(recs)
+    rows = W.parse_warc_stream(blob, "mem.warc.gz")
+    assert len(rows) == N and len(cdx) == N
+    by_url = {r["url"]: r for r in rows}
+    for rec in recs:
+        got = by_url[rec["url"]]
+        assert got["error"] is None
+        assert got["html"] == rec["html"]          # byte identity
+        assert got["warc_ts"] == rec["warc_ts"]
+        assert got["http_status"] == 200 and got["mime"] == "text/html"
+
+
+def test_chunked_and_gzip_payload_decode():
+    for extra in ({"chunked": True}, {"content_encoding": "gzip"},
+                  {"chunked": True, "content_encoding": "gzip"}):
+        recs = _records(8, **extra)
+        blob, _ = W.build_warc_gz(recs)
+        rows = W.parse_warc_stream(blob, "m")
+        assert [r["error"] for r in rows] == [None] * 8
+        assert [r["html"] for r in rows] == [r2["html"] for r2 in recs]
+
+
+def test_uncompressed_container():
+    recs = _records(8)
+    gz, _ = W.build_warc_gz(recs)
+    plain, _ = W.build_warc_gz(recs, compress=False)
+    a = W.parse_warc_stream(gz, "m")
+    b = W.parse_warc_stream(plain, "m")
+    assert [r["html"] for r in a] == [r["html"] for r in b]
+    assert [r["url"] for r in a] == [r["url"] for r in b]
+
+
+def test_non_response_records_skipped():
+    recs = _records(4)
+    blob, _ = W.build_warc_gz(recs)
+    req = W._warc_record("request", "https://x.example/a", None,
+                         b"GET / HTTP/1.1\r\n\r\n",
+                         ctype="application/http; msgtype=request")
+    meta = W._warc_record("metadata", "https://x.example/a", None,
+                          b"via: crawler\r\n",
+                          ctype="application/warc-fields")
+    blob += gzip.compress(req, mtime=0) + gzip.compress(meta, mtime=0)
+    rows = W.parse_warc_stream(blob, "m")
+    assert len(rows) == 4  # warcinfo + request + metadata all skipped
+
+
+def test_truncated_tail_isolated():
+    recs = _records(6)
+    blob, cdx = W.build_warc_gz(recs)
+    cut = cdx[-1]["warc_offset"] + 10  # mid-final-member
+    rows = W.parse_warc_stream(blob[:cut], "m")
+    ok = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(ok) == 5 and len(bad) == 1
+    assert "container" in bad[0]["error"]
+
+
+def test_malformed_response_is_error_row_not_crash():
+    good = _records(2)
+    blob, _ = W.build_warc_gz(good)
+    junk = W._warc_record("response", "https://x.example/bad", None,
+                          b"NOT-HTTP garbage here")
+    blob += gzip.compress(junk, mtime=0)
+    rows = W.parse_warc_stream(blob, "m")
+    assert len(rows) == 3
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["html"] is not None  # capture preserved
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_fuzz_never_raises(data):
+    rows = W.parse_warc_stream(data, "fuzz")
+    for r in rows:  # every emitted row is either parsed or flagged
+        assert r["error"] is None or isinstance(r["error"], str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1024))
+def test_fuzz_gz_prefix_never_raises(data):
+    W.parse_warc_stream(b"\x1f\x8b" + data, "fuzz")
+    # valid container + random tail: prior members still parse
+    blob, _ = W.build_warc_gz(_records(2))
+    rows = W.parse_warc_stream(blob + b"\x1f\x8b" + data, "fuzz")
+    assert sum(1 for r in rows if r["error"] is None) == 2
+
+
+# -- Spark side ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def container(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    recs = _records()
+    blob, cdx = W.build_warc_gz(recs)
+    p = d / "part-00000.warc.gz"
+    p.write_bytes(blob)
+    return str(p), cdx, recs
+
+
+def test_spark_reader_matches_twin(spark, container):
+    path, _, _ = container
+    got = {r["url"]: r for r in W.read_warc(spark, path).collect()}
+    twin = W.parse_warc_stream(open(path, "rb").read(), path)
+    assert len(got) == len(twin) == N
+    for t in twin:
+        g = got[t["url"]]
+        assert bytes(g["html"]) == t["html"]
+        assert g["payload_sha256"] == t["payload_sha256"]
+        assert g["warc_ts"].replace(tzinfo=dt.timezone.utc) == t["warc_ts"]
+        assert g["error"] is None
+
+
+def test_offsets_reader_subset(spark, container):
+    path, cdx, recs = container
+    subset = cdx[::3]
+    df = W.read_warc_offsets(
+        spark, W.build_cdx(spark, path, subset))
+    got = {r["url"]: bytes(r["html"]) for r in df.collect()}
+    want = {r["url"]: r["html"] for r in recs[::3]}
+    assert got == want
+
+
+def test_warc_pages_extraction_identity(spark, container):
+    """The ingest seam end-to-end: extraction over WARC-ingested pages is
+    byte-identical to extraction over the native pages table."""
+    path, _, _ = container
+    via_warc = pipeline.extract(
+        W.warc_pages(W.read_warc(spark, path))).select("url", "text")
+    native = pipeline.extract(
+        corpus.pages_df(spark, N)).select("url", "text")
+    a = {r["url"]: r["text"] for r in via_warc.collect()}
+    b = {r["url"]: r["text"] for r in native.collect()}
+    assert a == b and len(a) == N
+
+
+def test_read_warc_plan_zero_exchanges(spark, container):
+    path, _, _ = container
+    plan = W.read_warc(
+        spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow stage, not row-UDF
