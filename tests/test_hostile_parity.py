@@ -54,6 +54,7 @@ DOC_QUERIES = [
     "fn_url_canonicalize",
     "fn_url_latest_revision",
     "text_model_score",
+    "text_boilerplate_lines",
     "text_langid_eval",
     "host_reputation",
     "snapshot_diff",
@@ -99,10 +100,11 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, hostrep, langid, mixture,
-                                            model_score, multimodal,
-                                            packing, simsearch, snapshots,
-                                            splits, textstats, urls)
+    from ocr_module_spark.functions import (dedup, hostrep, langid,
+                                            linededup, mixture, model_score,
+                                            multimodal, packing, simsearch,
+                                            snapshots, splits, textstats,
+                                            urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -132,6 +134,8 @@ def _extra_queries():
                                    urls.SQL_URL_LATEST_REVISION),
         "text_model_score": (model_score.q_model_score,
                              model_score.SQL_MODEL_SCORE),
+        "text_boilerplate_lines": (linededup.q_boilerplate_lines,
+                                   linededup.SQL_BOILERPLATE_LINES),
         "text_langid_eval": (langid.q_langid_eval,
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,

@@ -26,9 +26,9 @@ def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
-    from ocr_module_spark.functions import (hostrep, langid, mixture,
-                                            model_score, packing, snapshots,
-                                            splits, urls)
+    from ocr_module_spark.functions import (hostrep, langid, linededup,
+                                            mixture, model_score, packing,
+                                            snapshots, splits, urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
@@ -51,6 +51,7 @@ def _extra_queries():
         "curate_split_leakage": splits.q_split_leakage_audit,
         "curate_split_repair": splits.q_split_repair,
         "curate_mixture_epochs": mixture.q_mixture_epochs,
+        "text_boilerplate_lines": linededup.q_boilerplate_lines,
     }
 
 

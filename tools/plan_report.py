@@ -121,14 +121,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry_mod.queries())
     # oracled operators outside the 50-row driver window
-    from ocr_module_spark.functions import (hostrep, langid, mixture,
-                                            model_score, packing, snapshots,
-                                            splits, urls)
+    from ocr_module_spark.functions import (hostrep, langid, linededup,
+                                            mixture, model_score, packing,
+                                            snapshots, splits, urls)
     qs.update({name: fn for name, (fn, _sql) in
                {**packing.REGISTRY, **urls.REGISTRY,
                 **model_score.REGISTRY, **langid.REGISTRY,
                 **hostrep.REGISTRY, **snapshots.REGISTRY,
-                **splits.REGISTRY, **mixture.REGISTRY}.items()})
+                **splits.REGISTRY, **mixture.REGISTRY,
+                **linededup.REGISTRY}.items()})
     qs["curate_pack_materialize"] = packing.q_pack_materialize
     from ocr_module_spark.functions.dedup import q_dedup_incremental
     qs["dedup_incremental"] = q_dedup_incremental
