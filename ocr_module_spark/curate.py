@@ -135,7 +135,8 @@ def curate(spark: SparkSession, pages: DataFrame,
 
 
 def curated_from_audit(audit: DataFrame, scrub: bool = False,
-                       span_dedup: bool = False) -> DataFrame:
+                       span_dedup: bool = False,
+                       strip_boiler: bool = False) -> DataFrame:
     """(url, text, n_tokens) of the surviving documents. Callers that
     materialize the audit (localCheckpoint / write) should derive the
     curated output from THAT frame — deriving it from the pre-checkpoint
@@ -153,8 +154,23 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
     off here because the repo's headline invariant is byte-identical
     extracted text per url vs the reference. n_tokens is counted BEFORE
     redaction (the token-budget number must not change with the
-    redaction dial)."""
+    redaction dial).
+
+    ``strip_boiler=True`` first rewrites the kept text through
+    host-level boilerplate line stripping (functions/linededup,
+    grouped on url_host) — the CCNet-style pass that removes lines
+    repeated across most pages of a host. It runs BEFORE span dedup:
+    line-grain host-local boilerplate first, then the span-grain
+    cross-corpus pass over what remains. n_tokens counts the emitted
+    text for the same reason as span dedup — removed lines leave the
+    token budget."""
     kept = audit.where("kept").select("url", "text")
+    if strip_boiler:
+        from .functions.linededup import strip_boilerplate_lines
+        from .pipeline import with_host
+        kept = (strip_boilerplate_lines(
+                    with_host(kept), group_col="url_host", key_col="url")
+                .select("url", F.col("text_clean").alias("text")))
     if span_dedup:
         # url is the totally-ordered doc key, same as curate()'s chain
         kept = (span_dedup_text(

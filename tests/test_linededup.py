@@ -146,6 +146,32 @@ def test_fuzz_twin_equals_duckdb(corpus):
     con.close()
 
 
+def test_chain_strip_boiler_stage(spark):
+    """curated_from_audit(strip_boiler=True): host-grouped boilerplate
+    lines leave the kept text and the token budget; per-doc unique
+    lines and other hosts stay byte-identical."""
+    from ocr_module_spark import curate
+    banner = "subscribe banner"
+    rows = [(f"https://h1.example/p{d}",
+             f"{banner}\nunique h1 {d}", True) for d in range(4)]
+    rows += [(f"https://h2.example/p{d}",
+              f"{banner}\nunique h2 {d}", True) for d in range(2)]
+    rows += [("https://h1.example/dropped", banner, False)]
+    audit = spark.createDataFrame(
+        [(u, t, k, k, False, k) for u, t, k in rows],
+        "url string, text string, quality_keep boolean, dup_keep boolean,"
+        " contaminated boolean, kept boolean")
+    out = {r["url"]: r for r in curate.curated_from_audit(
+        audit, strip_boiler=True).collect()}
+    assert len(out) == 6                      # dropped doc stays dropped
+    for d in range(4):                        # h1: 4/4 docs -> stripped
+        r = out[f"https://h1.example/p{d}"]
+        assert r["text"] == f"unique h1 {d}" and r["n_tokens"] == 3
+    for d in range(2):                        # h2: 2 docs < min_docs=3
+        r = out[f"https://h2.example/p{d}"]
+        assert r["text"] == f"{banner}\nunique h2 {d}"
+
+
 def test_plan_broadcast_flags_no_text_shuffle_join(spark, sf_dir):
     plan = q_boilerplate_lines(
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

@@ -60,6 +60,11 @@ def main() -> int:
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact email/IPv4/phone in the curated text "
                          "(audit keeps the raw text; counters unchanged)")
+    ap.add_argument("--strip-boilerplate", action="store_true",
+                    help="strip host-level boilerplate lines (CCNet-style "
+                         "local dedup, functions/linededup) from the kept "
+                         "text before span dedup; counters gain "
+                         "boiler_hosts + boiler_lines_flagged")
     ap.add_argument("--span-dedup", action="store_true",
                     help="C4-style exact span dedup across the surviving "
                          "corpus: strip cross-document boilerplate spans "
@@ -158,10 +163,27 @@ def main() -> int:
     # would re-run extraction/dedup/decontamination a second time)
     audit = audit.localCheckpoint(eager=True)
     curated = curated_from_audit(audit, scrub=args.scrub_pii,
-                                 span_dedup=args.span_dedup)
+                                 span_dedup=args.span_dedup,
+                                 strip_boiler=args.strip_boilerplate)
 
     out = args.output.rstrip("/")
     counters = stage_counters(audit)
+    if args.strip_boilerplate:
+        # audit is checkpointed, so the flag census is one small
+        # aggregation job over the kept docs (stats pass only — the
+        # reassembly itself rides the curated write below)
+        from pyspark.sql import functions as F
+        from ocr_module_spark.functions.linededup import flagged_lines
+        from ocr_module_spark.pipeline import with_host
+        fl = flagged_lines(
+            with_host(audit.where("kept").select("url", "text")),
+            group_col="url_host", key_col="url")
+        agg = fl.agg(
+            F.count("*").alias("hosts"),
+            F.coalesce(F.sum(F.size("boiler_lines")), F.lit(0))
+            .alias("lines")).first()
+        counters["boiler_hosts"] = int(agg["hosts"])
+        counters["boiler_lines_flagged"] = int(agg["lines"])
     if args.host_stats:
         from ocr_module_spark.functions.hostrep import host_stats_from_audit
         hosts = host_stats_from_audit(audit)
