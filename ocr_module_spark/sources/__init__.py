@@ -12,6 +12,8 @@ from .warc import (  # noqa: F401
     parse_warc_stream,
     read_warc,
     read_warc_offsets,
+    read_wet,
     split_gzip_members,
     warc_pages,
+    write_wet,
 )

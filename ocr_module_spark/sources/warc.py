@@ -209,14 +209,17 @@ def _warc_date(v: Optional[str]) -> Optional[_dt.datetime]:
 
 
 def _parse_member(member: bytes, warc_file: str, offset: int,
-                  length: int) -> Optional[dict]:
+                  length: int,
+                  want: Tuple[str, ...] = ("response",)) -> Optional[dict]:
     """One inflated WARC record -> one output dict, or None to skip.
 
-    Skips (returns None): non-response records (warcinfo / request /
-    metadata / revisit) — the normal majority of a container. Errors
-    (malformed record that CLAIMED to be a response) come back as a row
-    with ``error`` set and the raw block preserved in ``html`` so no
-    capture is silently lost.
+    Skips (returns None): record types not in ``want`` (warcinfo /
+    request / metadata / revisit ... — the normal majority of a
+    container). ``response`` records decode their captured HTTP
+    envelope; ``conversion`` records (the WET convention) carry the
+    payload directly in the record block. Errors (malformed record that
+    CLAIMED a wanted type) come back as a row with ``error`` set and
+    the raw block preserved in ``html`` so no capture is silently lost.
     """
     row = {
         "url": None, "warc_ts": None, "html": None, "http_status": None,
@@ -228,7 +231,7 @@ def _parse_member(member: bytes, warc_file: str, offset: int,
             raise ValueError("missing WARC/ version line")
         headers, rest = _parse_headers(member)
         rectype = headers.get("warc-type", "").lower()
-        if rectype != "response":
+        if rectype not in want:
             return None
         row["url"] = headers.get("warc-target-uri")
         row["warc_ts"] = _warc_date(headers.get("warc-date"))
@@ -241,6 +244,13 @@ def _parse_member(member: bytes, warc_file: str, offset: int,
         if clen > len(rest):
             raise ValueError("record block overruns member")
         block = rest[:clen]
+        if rectype == "conversion":  # WET: the block IS the payload
+            row.update(
+                html=block,
+                mime=headers.get("content-type", "").split(";")[0].strip()
+                .lower() or None,
+                payload_sha256=hashlib.sha256(block).hexdigest())
+            return row
         status, mime, payload = _decode_http_response(block)
         row.update(
             html=payload, http_status=status, mime=mime or None,
@@ -253,7 +263,8 @@ def _parse_member(member: bytes, warc_file: str, offset: int,
         return row
 
 
-def parse_warc_stream(data: bytes, warc_file: str) -> List[dict]:
+def parse_warc_stream(data: bytes, warc_file: str,
+                      want: Tuple[str, ...] = ("response",)) -> List[dict]:
     """Whole container (gz OR plain ``.warc``) -> list of record dicts.
 
     This is the shared kernel: the Spark stage calls it per file, the
@@ -265,7 +276,7 @@ def parse_warc_stream(data: bytes, warc_file: str) -> List[dict]:
     if data[:2] == b"\x1f\x8b":
         try:
             for member, off, ln in split_gzip_members(data):
-                r = _parse_member(member, warc_file, off, ln)
+                r = _parse_member(member, warc_file, off, ln, want)
                 if r is not None:
                     rows.append(r)
         except ValueError as e:
@@ -301,7 +312,7 @@ def parse_warc_stream(data: bytes, warc_file: str) -> List[dict]:
                 "warc_offset": pos, "warc_length": -1,
                 "payload_sha256": None, "error": f"container: {e}"})
             return rows
-        r = _parse_member(data[pos:end], warc_file, pos, end - pos)
+        r = _parse_member(data[pos:end], warc_file, pos, end - pos, want)
         if r is not None:
             rows.append(r)
         pos = end
@@ -484,6 +495,102 @@ def warc_pages(records: DataFrame, ok_only: bool = True) -> DataFrame:
         "url", "warc_ts", "html",
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"))
+
+
+def write_wet(df: DataFrame, out_dir: str, n_files: int = 0) -> dict:
+    """Extracted text -> WET-style containers (WARC ``conversion``
+    records, one gzip member each — the Common Crawl WET convention).
+
+    ``df`` needs (url, text) and optionally warc_ts. Each task writes
+    ONE ``part-<pid>.warc.wet.gz`` under ``out_dir`` plus the driver
+    writes a ``manifest`` parquet (wet_file, n_records, n_bytes).
+    Output is byte-deterministic: hash-repartition on url, in-task url
+    sort, ``mtime=0`` gzip members — two runs over the same frame emit
+    identical files (test-pinned), so a WET export is resumable by
+    simply re-running it.
+
+    Filesystem seam: members stream to ``open(path)`` — local/NFS in
+    the sandbox; an object-store deployment swaps in its fs client at
+    this one call site (same seam as the shard writer's loader files).
+    ``n_files`` dials the container count (0 = keep the frame's
+    partitioning); size it so containers land near the CC-conventional
+    ~1 GB.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = df.select(
+        "url",
+        (df["warc_ts"] if "warc_ts" in df.columns
+         else F.lit(None).cast("timestamp")).alias("warc_ts"),
+        "text")
+    if n_files > 0:
+        src = src.repartition(n_files, "url")
+    src = src.sortWithinPartitions("url")
+
+    acc_schema = T.StructType([
+        T.StructField("wet_file", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        n, fh = 0, None
+        for pdf in it:
+            if fh is None:
+                fh = open(path, "wb")
+                fh.write(gzip.compress(_warc_record(
+                    "warcinfo", None, None,
+                    b"software: ocr_module_spark wet sink\r\n",
+                    ctype="application/warc-fields"), mtime=0))
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["text"]):
+                body = ("" if text is None else str(text)).encode("utf-8")
+                tss = None if pd.isnull(ts) else \
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                fh.write(gzip.compress(_warc_record(
+                    "conversion", url, tss, body, ctype="text/plain"),
+                    mtime=0))
+                n += 1
+        if fh is None:
+            return
+        fh.close()
+        yield pd.DataFrame(
+            [{"wet_file": path, "n_records": n,
+              "n_bytes": os.path.getsize(path)}])
+
+    manifest = src.mapInPandas(gen, acc_schema).collect()
+    spark = df.sparkSession
+    spark.createDataFrame(manifest or [], acc_schema) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "manifest"))
+    return {"wet_files": len(manifest),
+            "records": int(sum(r["n_records"] for r in manifest)),
+            "bytes": int(sum(r["n_bytes"] for r in manifest))}
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET containers -> (url, warc_ts, text). The read twin of
+    :func:`write_wet`; same zero-exchange scan shape as
+    :func:`read_warc`."""
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows = parse_warc_stream(bytes(content), fpath,
+                                         want=("conversion",))
+                if rows:
+                    yield _records_pdf(rows)
+
+    recs = files.mapInPandas(gen, WARC_RECORDS_SCHEMA)
+    return recs.where(F.col("error").isNull()).select(
+        "url", "warc_ts",
+        F.col("html").cast("string").alias("text"))
 
 
 def build_cdx(spark: SparkSession, warc_file: str,

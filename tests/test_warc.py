@@ -167,6 +167,35 @@ def test_warc_pages_extraction_identity(spark, container):
     assert a == b and len(a) == N
 
 
+def test_wet_roundtrip_and_determinism(spark, tmp_path):
+    """extract -> write_wet -> read_wet returns the text byte-identical;
+    a second write over the same frame emits identical container bytes
+    (the resume-by-rerun property)."""
+    ex = pipeline.extract(corpus.pages_df(spark, 16)) \
+        .select("url", "text").localCheckpoint(eager=True)
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    acc1 = W.write_wet(ex, d1, n_files=2)
+    acc2 = W.write_wet(ex, d2, n_files=2)
+    assert acc1["records"] == 16 and acc1["wet_files"] == 2
+    assert acc1["bytes"] == acc2["bytes"]
+    import pathlib
+    for p1 in sorted(pathlib.Path(d1).glob("*.warc.wet.gz")):
+        p2 = pathlib.Path(d2) / p1.name
+        assert p1.read_bytes() == p2.read_bytes()
+    back = {r["url"]: r["text"]
+            for r in W.read_wet(spark, d1 + "/*.warc.wet.gz").collect()}
+    want = {r["url"]: r["text"] for r in ex.collect()}
+    assert back == want
+    man = spark.read.parquet(d1 + "/manifest")
+    assert sum(r["n_records"] for r in man.collect()) == 16
+
+
+def test_wet_reader_ignores_response_records(spark, container):
+    path, _, _ = container
+    # a WARC of responses contains zero conversion records
+    assert W.read_wet(spark, path).count() == 0
+
+
 def test_read_warc_plan_zero_exchanges(spark, container):
     path, _, _ = container
     plan = W.read_warc(
