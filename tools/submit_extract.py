@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="web-scale main-content extraction")
     ap.add_argument("--input", required=True,
                     help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="'warc' ingests raw .warc/.warc.gz containers "
+                         "(sources/warc.py: HTTP-200 text/html responses "
+                         "become pages rows) instead of a pages table")
     ap.add_argument("--output", required=True, help="sink directory")
     ap.add_argument("--repartition", type=int, default=None,
                     help="salted repartition width for skew-laid-out inputs "
@@ -61,7 +66,11 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("ocr-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from ocr_module_spark.sources.warc import read_warc, warc_pages
+        pages = warc_pages(read_warc(spark, args.input))
+    else:
+        pages = spark.read.parquet(args.input)
     metrics = sinks.run_extraction(spark, pages, args.output,
                                    num_partitions=args.repartition,
                                    sink=args.sink, table=args.table)
