@@ -136,7 +136,8 @@ def curate(spark: SparkSession, pages: DataFrame,
 
 def curated_from_audit(audit: DataFrame, scrub: bool = False,
                        span_dedup: bool = False,
-                       strip_boiler: bool = False) -> DataFrame:
+                       strip_boiler: bool = False,
+                       line_filter: bool = False) -> DataFrame:
     """(url, text, n_tokens) of the surviving documents. Callers that
     materialize the audit (localCheckpoint / write) should derive the
     curated output from THAT frame — deriving it from the pre-checkpoint
@@ -163,7 +164,15 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
     line-grain host-local boilerplate first, then the span-grain
     cross-corpus pass over what remains. n_tokens counts the emitted
     text for the same reason as span dedup — removed lines leave the
-    token budget."""
+    token budget.
+
+    ``line_filter=True`` then applies the C4/RefinedWeb line-wise rules
+    (functions/linededup.line_quality_filter — nav fragments,
+    mainly-uppercase/digit lines, policy phrases leave the text;
+    zero-exchange projection) and DROPS documents whose ``doc_drop``
+    verdict fires (most of the doc was junk lines). The full RefinedWeb
+    order is strip_boiler → line_filter → span_dedup: host-repetition
+    first, rule-based line noise second, cross-corpus spans last."""
     kept = audit.where("kept").select("url", "text")
     if strip_boiler:
         from .functions.linededup import strip_boilerplate_lines
@@ -171,6 +180,11 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
         kept = (strip_boilerplate_lines(
                     with_host(kept), group_col="url_host", key_col="url")
                 .select("url", F.col("text_clean").alias("text")))
+    if line_filter:
+        from .functions.linededup import line_quality_filter
+        kept = (line_quality_filter(kept)
+                .where(~F.col("doc_drop"))
+                .select("url", F.col("text_filtered").alias("text")))
     if span_dedup:
         # url is the totally-ordered doc key, same as curate()'s chain
         kept = (span_dedup_text(

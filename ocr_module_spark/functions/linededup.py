@@ -160,13 +160,111 @@ SELECT d.doc_id,
             x -> trim(x) = '' OR NOT list_contains(
                      coalesce(f.boiler_lines, []), trim(x)))) AS INT)
            AS n_lines_kept,
-       md5(array_to_string(list_filter(string_split(d.text, chr(10)),
-            x -> trim(x) = '' OR NOT list_contains(
-                     coalesce(f.boiler_lines, []), trim(x))), chr(10)))
+       md5(CASE WHEN d.text IS NULL THEN NULL ELSE
+           -- coalesce: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' (the all-lines-removed doc)
+           coalesce(array_to_string(list_filter(
+               string_split(d.text, chr(10)),
+               x -> trim(x) = '' OR NOT list_contains(
+                        coalesce(f.boiler_lines, []), trim(x))),
+               chr(10)), '') END)
            AS clean_md5
 FROM documents d LEFT JOIN flags f USING (source)
 """
 
+# -- line-quality filtering (C4/RefinedWeb line-wise rules) -------------------
+
+LINE_MIN_WORDS = 3        # R1: shorter fragments need terminal punctuation
+LINE_MAX_UPPER_PCT = 60   # R2: mainly-uppercase lines (menus, SHOUTING nav)
+LINE_MAX_DIGIT_PCT = 50   # R3: mainly-digit lines (counters, timestamps)
+DOC_DROP_PCT = 50         # doc verdict: most of the doc was junk lines
+TERMINAL = (".", "!", "?", '"')
+POLICY_PHRASES = ("sign in", "sign up", "click here", "read more",
+                  "accept cookies", "all rights reserved")
+
+
+def _keep_line(x):
+    """Keep-verdict for one line — the C4/RefinedWeb line-wise rules as
+    native JVM expressions (evaluated inside ONE in-row ``filter`` — no
+    explode, no shuffle). Whitespace-only lines are document structure
+    and always kept, same convention as the boilerplate strip. ASCII
+    character classes on BOTH engines keep the ratios byte-portable."""
+    t = F.trim(x)
+    n_upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_words = F.size(F.split(t, r"\s+"))
+    last = F.substring(t, -1, 1)
+    r1 = (n_words < LINE_MIN_WORDS) & ~last.isin(*TERMINAL)
+    r2 = (n_alpha > 0) & (n_upper * 100 > LINE_MAX_UPPER_PCT * n_alpha)
+    r3 = n_digit * 100 > LINE_MAX_DIGIT_PCT * F.length(t)
+    low = F.lower(t)
+    r4 = F.lit(False)
+    for p in POLICY_PHRASES:
+        r4 = r4 | low.contains(p)
+    return (t == "") | ~(r1 | r2 | r3 | r4)
+
+
+def line_quality_filter(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Input grain + ``text_filtered``/``n_lines``/``n_lines_kept``/
+    ``doc_drop`` — the line-wise cleanup pass (drop nav fragments,
+    mainly-uppercase/digit lines, policy phrases) C4/RefinedWeb apply
+    after boilerplate stripping. A pure zero-exchange projection: every
+    rule is integer math over the split array in-row. ``doc_drop``
+    (> {DOC_DROP_PCT}% of lines removed) is the RefinedWeb whole-doc
+    verdict, emitted as a flag — dropping is downstream policy."""
+    lines = F.split(F.col(text_col), _NL)
+    kept = F.filter(lines, _keep_line)
+    n_lines = F.size(lines).cast("int")
+    n_kept = F.size(kept).cast("int")
+    return (docs
+            .withColumn("n_lines", n_lines)
+            .withColumn("n_lines_kept", n_kept)
+            .withColumn("doc_drop",
+                        (n_lines - n_kept) * 100 > DOC_DROP_PCT * n_lines)
+            .withColumn("text_filtered", F.array_join(kept, _NL)))
+
+
+def q_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = line_quality_filter(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_lines_kept", "doc_drop",
+        F.md5(F.col("text_filtered").cast("binary")).alias("filtered_md5"))
+
+
+_KEEP_SQL = (
+    "trim(x) = '' OR NOT ("
+    f"(len(string_split_regex(trim(x), '\\s+')) < {LINE_MIN_WORDS}"
+    " AND right(trim(x), 1) NOT IN ('.', '!', '?', '\"'))"
+    " OR (length(regexp_replace(trim(x), '[^A-Za-z]', '', 'g')) > 0"
+    "     AND length(regexp_replace(trim(x), '[^A-Z]', '', 'g')) * 100"
+    f"        > {LINE_MAX_UPPER_PCT} *"
+    "          length(regexp_replace(trim(x), '[^A-Za-z]', '', 'g')))"
+    " OR length(regexp_replace(trim(x), '[^0-9]', '', 'g')) * 100"
+    f"      > {LINE_MAX_DIGIT_PCT} * length(trim(x))"
+    + "".join(f" OR contains(lower(trim(x)), '{p}')"
+              for p in POLICY_PHRASES)
+    + ")")
+
+SQL_LINE_QUALITY = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+       CAST(len(list_filter(string_split(text, chr(10)),
+                x -> {_KEEP_SQL})) AS INT) AS n_lines_kept,
+       (len(string_split(text, chr(10)))
+        - len(list_filter(string_split(text, chr(10)), x -> {_KEEP_SQL})))
+         * 100 > {DOC_DROP_PCT} * len(string_split(text, chr(10)))
+         AS doc_drop,
+       md5(CASE WHEN text IS NULL THEN NULL ELSE
+           -- coalesce: array_to_string([]) is NULL in DuckDB, '' in Spark
+           coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+               x -> {_KEEP_SQL}), chr(10)), '') END) AS filtered_md5
+FROM documents
+"""
+
 REGISTRY = {
     "text_boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
+    "text_line_quality": (q_line_quality, SQL_LINE_QUALITY),
 }

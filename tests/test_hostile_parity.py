@@ -55,6 +55,7 @@ DOC_QUERIES = [
     "fn_url_latest_revision",
     "text_model_score",
     "text_boilerplate_lines",
+    "text_line_quality",
     "text_langid_eval",
     "host_reputation",
     "snapshot_diff",
@@ -136,6 +137,8 @@ def _extra_queries():
                              model_score.SQL_MODEL_SCORE),
         "text_boilerplate_lines": (linededup.q_boilerplate_lines,
                                    linededup.SQL_BOILERPLATE_LINES),
+        "text_line_quality": (linededup.q_line_quality,
+                              linededup.SQL_LINE_QUALITY),
         "text_langid_eval": (langid.q_langid_eval,
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,

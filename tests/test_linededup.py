@@ -172,6 +172,134 @@ def test_chain_strip_boiler_stage(spark):
         assert r["text"] == f"{banner}\nunique h2 {d}"
 
 
+# -- line-quality filter (C4/RefinedWeb line-wise rules) ----------------------
+
+from ocr_module_spark.functions.linededup import (  # noqa: E402
+    DOC_DROP_PCT, LINE_MAX_DIGIT_PCT, LINE_MAX_UPPER_PCT, LINE_MIN_WORDS,
+    POLICY_PHRASES, SQL_LINE_QUALITY, line_quality_filter, q_line_quality)
+
+
+def _keep_twin(l: str) -> bool:
+    import re
+    t = l.strip(" ")
+    if t == "":
+        return True
+    n_words = len(re.split(r"\s+", t))
+    n_upper = len(re.sub("[^A-Z]", "", t))
+    n_alpha = len(re.sub("[^A-Za-z]", "", t))
+    n_digit = len(re.sub("[^0-9]", "", t))
+    r1 = n_words < LINE_MIN_WORDS and t[-1] not in '.!?"'
+    r2 = n_alpha > 0 and n_upper * 100 > LINE_MAX_UPPER_PCT * n_alpha
+    r3 = n_digit * 100 > LINE_MAX_DIGIT_PCT * len(t)
+    low = t.lower()
+    r4 = any(p in low for p in POLICY_PHRASES)
+    return not (r1 or r2 or r3 or r4)
+
+
+def _filter_twin(text):
+    if text is None:
+        return (None, None, None, None)
+    lines = text.split("\n")
+    kept = [l for l in lines if _keep_twin(l)]
+    nl, nk = len(lines), len(kept)
+    return (nl, nk, (nl - nk) * 100 > DOC_DROP_PCT * nl, "\n".join(kept))
+
+
+LQ_ROWS = [
+    (1, "This is a fine sentence.\nHOME ABOUT CONTACT\n2024 12 31\n"
+        "Sign in to continue\nshort frag\nGood ending!\n   \n"
+        "Click here now"),
+    (2, None),
+    (3, ""),
+    (4, "ok.\nOK!\na b c d e plain line without punct"),
+    (5, "Home\nMenu\nSearch"),               # all nav fragments -> doc_drop
+]
+
+
+def test_line_quality_rules_and_twin(spark):
+    df = spark.createDataFrame(LQ_ROWS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_quality_filter(df).collect()}
+    for did, text in LQ_ROWS:
+        nl, nk, dd, clean = _filter_twin(text)
+        g = got[did]
+        assert (g["n_lines"], g["n_lines_kept"], g["doc_drop"],
+                g["text_filtered"]) == (nl, nk, dd, clean), did
+    d1 = got[1]["text_filtered"]
+    assert "HOME ABOUT" not in d1          # mainly-uppercase dropped
+    assert "2024 12 31" not in d1          # mainly-digit dropped
+    assert "Sign in" not in d1             # policy phrase dropped
+    assert "short frag" not in d1          # short, no terminal punct
+    assert "fine sentence." in d1 and "Good ending!" in d1
+    assert "   " in d1                     # whitespace structure kept
+    assert got[5]["doc_drop"] is True
+    assert got[4]["doc_drop"] is False     # 1/3 dropped, under the bar
+
+
+def test_line_quality_duckdb_parity_planted(spark, tmp_path):
+    df = spark.createDataFrame(LQ_ROWS, "doc_id long, text string")
+    pq = str(tmp_path / "documents.parquet")
+    df.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    oracle = {r[0]: r for r in con.execute(SQL_LINE_QUALITY).fetchall()}
+    con.close()
+    import hashlib
+    for did, text in LQ_ROWS:
+        nl, nk, dd, clean = _filter_twin(text)
+        want_md5 = (hashlib.md5(clean.encode()).hexdigest()
+                    if clean is not None else None)
+        assert oracle[did] == (did, nl, nk, dd, want_md5), did
+
+
+_lq_line = st.sampled_from(
+    ["A good long sentence here.", "NAV", "HOME ABOUT US", "12345",
+     "sign in", "Read More Stories Daily", "x", "ok!", " pad  2 ", ""])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(), st.lists(_lq_line, max_size=5).map("\n".join)),
+    min_size=0, max_size=16))
+def test_fuzz_line_quality_twin_equals_duckdb(texts):
+    rows = list(enumerate(texts))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    if rows:
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for did, nl, nk, dd, _md5 in con.execute(SQL_LINE_QUALITY).fetchall():
+        assert (nl, nk, dd) == _filter_twin(texts[did])[:3], did
+    con.close()
+
+
+def test_chain_line_filter_stage(spark):
+    """curated_from_audit(line_filter=True): junk lines leave the kept
+    text, mostly-junk docs drop entirely, clean docs untouched."""
+    from ocr_module_spark import curate
+    rows = [
+        ("a", "A clean paragraph stays intact.\nHOME ABOUT US", True),
+        ("b", "Menu\nSearch\nHome", True),          # all junk -> doc drops
+        ("c", "Another good sentence here.", True),
+        ("d", "dropped upstream", False),
+    ]
+    audit = spark.createDataFrame(
+        [(u, t, k, k, False, k) for u, t, k in rows],
+        "url string, text string, quality_keep boolean, dup_keep boolean,"
+        " contaminated boolean, kept boolean")
+    out = {r["url"]: r for r in curate.curated_from_audit(
+        audit, line_filter=True).collect()}
+    assert sorted(out) == ["a", "c"]
+    assert out["a"]["text"] == "A clean paragraph stays intact."
+    assert out["a"]["n_tokens"] == 5
+    assert out["c"]["text"] == "Another good sentence here."
+
+
+def test_line_quality_plan_zero_exchanges(spark, sf_dir):
+    plan = q_line_quality(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # pure in-row projection
+    assert "BatchEvalPython" not in plan
+
+
 def test_plan_broadcast_flags_no_text_shuffle_join(spark, sf_dir):
     plan = q_boilerplate_lines(
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

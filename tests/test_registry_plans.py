@@ -52,6 +52,7 @@ def _extra_queries():
         "curate_split_repair": splits.q_split_repair,
         "curate_mixture_epochs": mixture.q_mixture_epochs,
         "text_boilerplate_lines": linededup.q_boilerplate_lines,
+        "text_line_quality": linededup.q_line_quality,
     }
 
 

@@ -65,6 +65,12 @@ def main() -> int:
                          "local dedup, functions/linededup) from the kept "
                          "text before span dedup; counters gain "
                          "boiler_hosts + boiler_lines_flagged")
+    ap.add_argument("--line-filter", action="store_true",
+                    help="apply the C4/RefinedWeb line-wise quality rules "
+                         "(functions/linededup.line_quality_filter) to the "
+                         "kept text after --strip-boilerplate; documents "
+                         "whose doc_drop verdict fires are dropped and "
+                         "counted (docs_line_dropped)")
     ap.add_argument("--span-dedup", action="store_true",
                     help="C4-style exact span dedup across the surviving "
                          "corpus: strip cross-document boilerplate spans "
@@ -164,7 +170,8 @@ def main() -> int:
     audit = audit.localCheckpoint(eager=True)
     curated = curated_from_audit(audit, scrub=args.scrub_pii,
                                  span_dedup=args.span_dedup,
-                                 strip_boiler=args.strip_boilerplate)
+                                 strip_boiler=args.strip_boilerplate,
+                                 line_filter=args.line_filter)
 
     out = args.output.rstrip("/")
     counters = stage_counters(audit)
@@ -184,6 +191,17 @@ def main() -> int:
             .alias("lines")).first()
         counters["boiler_hosts"] = int(agg["hosts"])
         counters["boiler_lines_flagged"] = int(agg["lines"])
+    if args.line_filter:
+        # doc_drop census over the kept docs (zero-exchange projection;
+        # runs on the POST-boilerplate text when both dials are on, the
+        # same text the filter stage itself sees)
+        from ocr_module_spark.curate import curated_from_audit as _cfa
+        from ocr_module_spark.functions.linededup import (
+            line_quality_filter)
+        base = _cfa(audit, strip_boiler=args.strip_boilerplate) \
+            .select("url", "text")
+        counters["docs_line_dropped"] = int(
+            line_quality_filter(base).where("doc_drop").count())
     if args.host_stats:
         from ocr_module_spark.functions.hostrep import host_stats_from_audit
         hosts = host_stats_from_audit(audit)
