@@ -137,7 +137,8 @@ def curate(spark: SparkSession, pages: DataFrame,
 def curated_from_audit(audit: DataFrame, scrub: bool = False,
                        span_dedup: bool = False,
                        strip_boiler: bool = False,
-                       line_filter: bool = False) -> DataFrame:
+                       line_filter: bool = False,
+                       boiler_flags: DataFrame | None = None) -> DataFrame:
     """(url, text, n_tokens) of the surviving documents. Callers that
     materialize the audit (localCheckpoint / write) should derive the
     curated output from THAT frame — deriving it from the pre-checkpoint
@@ -177,8 +178,12 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
     if strip_boiler:
         from .functions.linededup import strip_boilerplate_lines
         from .pipeline import with_host
+        # boiler_flags: a precomputed/checkpointed flagged_lines frame —
+        # callers that also report flag counters (tools/curate.py) pass
+        # it so the exploded-lines census runs once, not per consumer
         kept = (strip_boilerplate_lines(
-                    with_host(kept), group_col="url_host", key_col="url")
+                    with_host(kept), group_col="url_host", key_col="url",
+                    flags=boiler_flags)
                 .select("url", F.col("text_clean").alias("text")))
     if line_filter:
         from .functions.linededup import line_quality_filter

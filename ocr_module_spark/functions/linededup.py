@@ -98,15 +98,21 @@ def flagged_lines(docs: DataFrame, group_col: str = "source",
 def strip_boilerplate_lines(docs: DataFrame, group_col: str = "source",
                             key_col: str = "doc_id", text_col: str = "text",
                             min_docs: int = MIN_DOCS, min_pct: int = MIN_PCT,
-                            broadcast_flags: bool = True) -> DataFrame:
+                            broadcast_flags: bool = True,
+                            flags: DataFrame | None = None) -> DataFrame:
     """Input grain + ``text_clean``/``n_lines``/``n_lines_kept``.
 
     Kept lines keep their ORIGINAL bytes (normalization is only the
     match key); NULL text stays NULL with NULL counts — the caller's
     corpus grain is preserved row-for-row.
+
+    ``flags`` accepts a precomputed (checkpointed) :func:`flagged_lines`
+    frame so a caller that also reports flag counters runs the
+    exploded-lines census ONCE, not once per consumer.
     """
-    flags = flagged_lines(docs, group_col, key_col, text_col,
-                          min_docs, min_pct)
+    if flags is None:
+        flags = flagged_lines(docs, group_col, key_col, text_col,
+                              min_docs, min_pct)
     if broadcast_flags:
         flags = F.broadcast(flags)
     boiler = F.coalesce(F.col("boiler_lines"),

@@ -9,6 +9,7 @@ reader whose output is exactly the BASELINE.json ``input_hint`` shape.
 from .warc import (  # noqa: F401
     build_cdx,
     build_warc_gz,
+    iter_warc_stream,
     parse_warc_stream,
     read_warc,
     read_warc_offsets,

@@ -92,29 +92,39 @@ CDX_SCHEMA = T.StructType([
 
 # -- pure-Python core (Spark kernel AND test oracle) -------------------------
 
+_FEED_CHUNK = 1 << 20  # 1 MiB decompressor feed — keeps memcpy linear
+
+
 def split_gzip_members(data: bytes) -> Iterator[Tuple[bytes, int, int]]:
     """Yield ``(inflated, offset, compressed_length)`` per gzip member.
 
     Common Crawl writes one record per member precisely so readers can
     re-frame without a splittable codec; ``zlib.decompressobj(wbits=31)``
     stops at each member boundary and hands back the remainder in
-    ``unused_data``. A truncated trailing member raises ``ValueError``
-    (the caller records it as one error row, not a task failure).
+    ``unused_data``. The decompressor is fed fixed-size chunks — slicing
+    ``data[pos:]`` per member would copy the whole remaining container
+    every iteration, turning a 1 GB / 10^4-member scan quadratic. A
+    truncated trailing member raises ``ValueError`` (the caller records
+    it as one error row, not a task failure).
     """
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
+        out = io.BytesIO()
+        cur = pos
         try:
-            out = d.decompress(data[pos:])
+            while cur < n and not d.eof:
+                out.write(d.decompress(data[cur:cur + _FEED_CHUNK]))
+                cur += _FEED_CHUNK
         except zlib.error as e:
             raise ValueError(f"bad gzip member at offset {pos}: {e}")
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
-        end = n - len(d.unused_data)
+        end = min(cur, n) - len(d.unused_data)
         if end <= pos:  # zero-progress guard (cannot happen on valid gzip)
             raise ValueError(f"empty gzip member at offset {pos}")
-        yield out, pos, end - pos
+        yield out.getvalue(), pos, end - pos
         pos = end
 
 
@@ -187,7 +197,10 @@ def _decode_http_response(block: bytes) -> Tuple[int, str, bytes]:
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").lower()
     if enc in ("gzip", "x-gzip"):
-        body = zlib.decompress(body, wbits=31)
+        # gzip.decompress loops CONCATENATED members (flushed streaming
+        # responses emit them); zlib wbits=31 would silently truncate to
+        # the first member with no error flag
+        body = gzip.decompress(body)
     elif enc == "deflate":
         try:
             body = zlib.decompress(body)          # RFC-correct zlib wrapper
@@ -200,12 +213,14 @@ def _decode_http_response(block: bytes) -> Tuple[int, str, bytes]:
 def _warc_date(v: Optional[str]) -> Optional[_dt.datetime]:
     if not v:
         return None
-    try:
-        return _dt.datetime.strptime(
-            v.strip(), "%Y-%m-%dT%H:%M:%SZ").replace(
+    # WARC 1.1 permits fractional seconds (warcio/wget2 emit them)
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return _dt.datetime.strptime(v.strip(), fmt).replace(
                 tzinfo=_dt.timezone.utc)
-    except ValueError:
-        return None
+        except ValueError:
+            continue
+    return None
 
 
 def _parse_member(member: bytes, warc_file: str, offset: int,
@@ -265,27 +280,35 @@ def _parse_member(member: bytes, warc_file: str, offset: int,
 
 def parse_warc_stream(data: bytes, warc_file: str,
                       want: Tuple[str, ...] = ("response",)) -> List[dict]:
-    """Whole container (gz OR plain ``.warc``) -> list of record dicts.
+    """Whole container -> list of record dicts (the test-oracle form of
+    :func:`iter_warc_stream`)."""
+    return list(iter_warc_stream(data, warc_file, want))
 
-    This is the shared kernel: the Spark stage calls it per file, the
-    tests call it single-threaded as the oracle twin. A container whose
-    gzip framing itself is broken yields ONE error row for the tail (all
-    members before the corruption still parse).
+
+def iter_warc_stream(data: bytes, warc_file: str,
+                     want: Tuple[str, ...] = ("response",)) \
+        -> Iterator[dict]:
+    """Whole container (gz OR plain ``.warc``) -> record dicts, lazily.
+
+    This is the shared kernel: the Spark stage consumes it in bounded
+    batches (one inflated container must never sit in memory as a whole
+    row list), the tests call the list form as the oracle twin. A
+    container whose gzip framing itself is broken yields ONE error row
+    for the tail (all members before the corruption still parse).
     """
-    rows: List[dict] = []
     if data[:2] == b"\x1f\x8b":
         try:
             for member, off, ln in split_gzip_members(data):
                 r = _parse_member(member, warc_file, off, ln, want)
                 if r is not None:
-                    rows.append(r)
+                    yield r
         except ValueError as e:
-            rows.append({
+            yield {
                 "url": None, "warc_ts": None, "html": None,
                 "http_status": None, "mime": None, "warc_file": warc_file,
                 "warc_offset": -1, "warc_length": -1,
-                "payload_sha256": None, "error": f"container: {e}"})
-        return rows
+                "payload_sha256": None, "error": f"container: {e}"}
+        return
     # uncompressed .warc: records are delimited by Content-Length + CRLFx2
     pos, n = 0, len(data)
     while pos < n:
@@ -306,19 +329,18 @@ def parse_warc_stream(data: bytes, warc_file: str,
             if clen < 0 or end <= pos:  # forward-progress guard
                 raise ValueError("negative Content-Length")
         except (ValueError, KeyError) as e:
-            rows.append({
+            yield {
                 "url": None, "warc_ts": None, "html": None,
                 "http_status": None, "mime": None, "warc_file": warc_file,
                 "warc_offset": pos, "warc_length": -1,
-                "payload_sha256": None, "error": f"container: {e}"})
-            return rows
+                "payload_sha256": None, "error": f"container: {e}"}
+            return
         r = _parse_member(data[pos:end], warc_file, pos, end - pos, want)
         if r is not None:
-            rows.append(r)
+            yield r
         pos = end
         while data[pos:pos + 2] == CRLF or data[pos:pos + 1] == b"\n":
             pos += 2 if data[pos:pos + 2] == CRLF else 1
-    return rows
 
 
 # -- deterministic writer (tests, round-trips, synthetic fixtures) -----------
@@ -404,15 +426,26 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
+    return files.mapInPandas(_stream_records("response"),
+                             WARC_RECORDS_SCHEMA)
 
+
+_BATCH_RECORDS = 1024  # Arrow batch bound: never one whole container
+
+
+def _stream_records(*want: str):
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                rows = parse_warc_stream(bytes(content), fpath)
-                if rows:
-                    yield _records_pdf(rows)
-
-    return files.mapInPandas(gen, WARC_RECORDS_SCHEMA)
+                buf: List[dict] = []
+                for r in iter_warc_stream(bytes(content), fpath, want):
+                    buf.append(r)
+                    if len(buf) >= _BATCH_RECORDS:
+                        yield _records_pdf(buf)
+                        buf = []
+                if buf:
+                    yield _records_pdf(buf)
+    return gen
 
 
 def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
@@ -431,7 +464,7 @@ def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                 fname, g = grp
                 g = g.sort_values("warc_offset")
                 try:
-                    fh = open(fname, "rb")
+                    fh = open(_fs_path(fname), "rb")
                 except OSError as e:
                     rows.extend({
                         "url": u, "warc_ts": None, "html": None,
@@ -451,7 +484,8 @@ def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                                 if blob[:2] == b"\x1f\x8b" else blob
                             r = _parse_member(member, fname, int(off),
                                               int(ln))
-                        except (ValueError, OSError, zlib.error) as e:
+                        except (ValueError, OSError, zlib.error,
+                                EOFError) as e:
                             r = {"url": None, "warc_ts": None, "html": blob,
                                  "http_status": None, "mime": None,
                                  "warc_file": fname, "warc_offset": int(off),
@@ -464,6 +498,17 @@ def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                 yield _records_pdf(rows)
 
     return cdx.repartition("warc_file").mapInPandas(gen, WARC_RECORDS_SCHEMA)
+
+
+def _fs_path(fname: str) -> str:
+    """binaryFile reports Hadoop URIs (``file:/...``); a CDX built from
+    scan output must still open with plain ``open()`` — strip the
+    local-scheme prefix (object-store URIs are the deployment's fs
+    client seam and pass through untouched)."""
+    if fname.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+        return unquote(urlparse(fname).path)
+    return fname
 
 
 def _records_pdf(rows: List[dict]) -> pd.DataFrame:
@@ -519,10 +564,14 @@ def write_wet(df: DataFrame, out_dir: str, n_files: int = 0) -> dict:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    # timestamps cross into pandas as SESSION-timezone-naive datetimes;
+    # formatting those with a literal 'Z' would stamp local wall time as
+    # UTC on any non-UTC session. Epoch seconds are timezone-free.
     src = df.select(
         "url",
-        (df["warc_ts"] if "warc_ts" in df.columns
-         else F.lit(None).cast("timestamp")).alias("warc_ts"),
+        F.unix_timestamp(
+            df["warc_ts"] if "warc_ts" in df.columns
+            else F.lit(None).cast("timestamp")).alias("ts_unix"),
         "text")
     if n_files > 0:
         src = src.repartition(n_files, "url")
@@ -546,11 +595,12 @@ def write_wet(df: DataFrame, out_dir: str, n_files: int = 0) -> dict:
                     "warcinfo", None, None,
                     b"software: ocr_module_spark wet sink\r\n",
                     ctype="application/warc-fields"), mtime=0))
-            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+            for url, ts, text in zip(pdf["url"], pdf["ts_unix"],
                                      pdf["text"]):
                 body = ("" if text is None else str(text)).encode("utf-8")
-                tss = None if pd.isnull(ts) else \
-                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                tss = None if pd.isnull(ts) else _dt.datetime.fromtimestamp(
+                    int(ts), tz=_dt.timezone.utc).strftime(
+                        "%Y-%m-%dT%H:%M:%SZ")
                 fh.write(gzip.compress(_warc_record(
                     "conversion", url, tss, body, ctype="text/plain"),
                     mtime=0))
@@ -579,15 +629,8 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                rows = parse_warc_stream(bytes(content), fpath,
-                                         want=("conversion",))
-                if rows:
-                    yield _records_pdf(rows)
-
-    recs = files.mapInPandas(gen, WARC_RECORDS_SCHEMA)
+    recs = files.mapInPandas(_stream_records("conversion"),
+                             WARC_RECORDS_SCHEMA)
     return recs.where(F.col("error").isNull()).select(
         "url", "warc_ts",
         F.col("html").cast("string").alias("text"))

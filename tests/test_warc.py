@@ -119,6 +119,37 @@ def test_fuzz_gz_prefix_never_raises(data):
     assert sum(1 for r in rows if r["error"] is None) == 2
 
 
+def test_multi_member_gzip_payload_full_decode():
+    """Flushed streaming responses emit CONCATENATED gzip members in one
+    body; the decode must return all members, not silently truncate."""
+    part1, part2 = b"<html>first half ", b"and second half</html>"
+    body = gzip.compress(part1, mtime=0) + gzip.compress(part2, mtime=0)
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+    rec = W._warc_record("response", "https://x.example/m", None, http)
+    rows = W.parse_warc_stream(gzip.compress(rec, mtime=0), "m")
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert rows[0]["html"] == part1 + part2
+
+
+def test_warc_date_fractional_seconds():
+    ts = W._warc_date("2024-03-05T06:07:08.123456Z")
+    assert ts is not None and ts.second == 8 and ts.microsecond == 123456
+    assert W._warc_date("2024-03-05T06:07:08Z").minute == 7
+    assert W._warc_date("not a date") is None
+
+
+def test_large_member_chunked_inflate():
+    """Members larger than the 1 MiB decompressor feed chunk must still
+    inflate completely (the linear-memcpy rework)."""
+    big = (b"x" * (3 * 1024 * 1024))
+    recs = [{"url": "https://x.example/big", "warc_ts": None, "html": big}]
+    blob, _ = W.build_warc_gz(recs)
+    rows = W.parse_warc_stream(blob, "m")
+    assert rows[0]["error"] is None and rows[0]["html"] == big
+
+
 # -- Spark side ---------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -152,6 +183,58 @@ def test_offsets_reader_subset(spark, container):
     got = {r["url"]: bytes(r["html"]) for r in df.collect()}
     want = {r["url"]: r["html"] for r in recs[::3]}
     assert got == want
+
+
+def test_offsets_from_scan_output_uris(spark, container):
+    """The documented scan -> CDX -> random-access flow: a CDX built
+    from read_warc's own rows (warc_file is a Hadoop file:/ URI) must
+    open and re-read the members."""
+    path, _, recs = container
+    scan = W.read_warc(spark, path) \
+        .select("url", "warc_file", "warc_offset", "warc_length")
+    cdx = scan.limit(0).sparkSession.createDataFrame(
+        scan.collect()[::4], W.CDX_SCHEMA)
+    assert cdx.first()["warc_file"].startswith("file:")
+    got = {r["url"]: bytes(r["html"])
+           for r in W.read_warc_offsets(spark, cdx).collect()}
+    want = {r["url"]: r["html"] for r in recs}
+    assert len(got) > 0
+    for u, h in got.items():
+        assert h == want[u]
+
+
+def test_offsets_truncated_member_error_row(spark, container):
+    """A CDX length that undershoots the member yields an error row,
+    never a task failure (per-record isolation contract)."""
+    path, cdx, _ = container
+    bad = [dict(cdx[0], warc_length=10)]
+    rows = W.read_warc_offsets(
+        spark, W.build_cdx(spark, path, bad)).collect()
+    assert len(rows) == 1
+    assert rows[0]["error"] is not None
+
+
+def test_wet_timestamps_are_timezone_proof(spark, tmp_path):
+    """WARC-Date must be the UTC instant regardless of the session
+    timezone (epoch-seconds crossing, not wall-time formatting)."""
+    import pyspark.sql.functions as F
+    ex = pipeline.extract(corpus.pages_df(spark, 4)) \
+        .join(corpus.pages_df(spark, 4).select("url", "warc_ts"), "url") \
+        .select("url", "warc_ts", "text")
+    want = {r["url"]: r["warc_ts"] for r in ex.collect()}
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        d = str(tmp_path / "wtz")
+        W.write_wet(ex, d, n_files=1)
+        back = {r["url"]: r["warc_ts"]
+                for r in W.read_wet(spark, d + "/*.warc.wet.gz")
+                .withColumn("warc_ts", F.unix_timestamp("warc_ts"))
+                .collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    for u, ts in want.items():
+        assert back[u] == int(ts.timestamp()), u
 
 
 def test_warc_pages_extraction_identity(spark, container):

@@ -168,38 +168,43 @@ def main() -> int:
     # sinks read the checkpoint (deriving curated from the original plan
     # would re-run extraction/dedup/decontamination a second time)
     audit = audit.localCheckpoint(eager=True)
+    # the boilerplate flag census is small (one row per host) but COSTS a
+    # full exploded-lines aggregation — compute it once, checkpoint it,
+    # and let the counter agg, the line-filter census, and the curated
+    # write below all consume that one materialization
+    boiler_flags = None
+    if args.strip_boilerplate:
+        from ocr_module_spark.functions.linededup import flagged_lines
+        from ocr_module_spark.pipeline import with_host
+        boiler_flags = flagged_lines(
+            with_host(audit.where("kept").select("url", "text")),
+            group_col="url_host", key_col="url") \
+            .localCheckpoint(eager=True)
     curated = curated_from_audit(audit, scrub=args.scrub_pii,
                                  span_dedup=args.span_dedup,
                                  strip_boiler=args.strip_boilerplate,
-                                 line_filter=args.line_filter)
+                                 line_filter=args.line_filter,
+                                 boiler_flags=boiler_flags)
 
     out = args.output.rstrip("/")
     counters = stage_counters(audit)
     if args.strip_boilerplate:
-        # audit is checkpointed, so the flag census is one small
-        # aggregation job over the kept docs (stats pass only — the
-        # reassembly itself rides the curated write below)
         from pyspark.sql import functions as F
-        from ocr_module_spark.functions.linededup import flagged_lines
-        from ocr_module_spark.pipeline import with_host
-        fl = flagged_lines(
-            with_host(audit.where("kept").select("url", "text")),
-            group_col="url_host", key_col="url")
-        agg = fl.agg(
+        agg = boiler_flags.agg(
             F.count("*").alias("hosts"),
             F.coalesce(F.sum(F.size("boiler_lines")), F.lit(0))
             .alias("lines")).first()
         counters["boiler_hosts"] = int(agg["hosts"])
         counters["boiler_lines_flagged"] = int(agg["lines"])
     if args.line_filter:
-        # doc_drop census over the kept docs (zero-exchange projection;
-        # runs on the POST-boilerplate text when both dials are on, the
-        # same text the filter stage itself sees)
+        # doc_drop census over the kept docs (zero-exchange projection
+        # plus the checkpointed flag join when --strip-boilerplate is
+        # also on — the same text the filter stage itself sees)
         from ocr_module_spark.curate import curated_from_audit as _cfa
         from ocr_module_spark.functions.linededup import (
             line_quality_filter)
-        base = _cfa(audit, strip_boiler=args.strip_boilerplate) \
-            .select("url", "text")
+        base = _cfa(audit, strip_boiler=args.strip_boilerplate,
+                    boiler_flags=boiler_flags).select("url", "text")
         counters["docs_line_dropped"] = int(
             line_quality_filter(base).where("doc_drop").count())
     if args.host_stats:
