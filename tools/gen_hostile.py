@@ -65,6 +65,26 @@ HOSTILE_ROWS = [
     (" ".join(f"b{i}" for i in range(64)), "en", "src15", 0),
     # 128 tokens = exactly two full sequences from one doc
     (" ".join(f"c{i}" for i in range(128)), "en", "src16", 0),
+    # multi-line docs (r4): the line-grain ops' divergence surface —
+    # srcboiler is a NEW 4-doc source sharing a banner line (4/4 ≥ the
+    # min_docs=3 / 30% dials, so the boilerplate census FLAGS it), and
+    # one doc is ONLY the banner: the all-lines-removed reassembly where
+    # DuckDB's array_to_string([]) is NULL but Spark's array_join([]) is
+    # '' (the divergence the r4 line-op oracles coalesce)
+    ("We use cookies\nUnique seventeen content line stays here fine.",
+     "en", "srcboiler", 0),
+    ("We use cookies\nAnother unique line with enough words to live.",
+     "en", "srcboiler", 0),
+    ("We use cookies\nThird unique body line keeps this doc alive.",
+     "en", "srcboiler", 0),
+    ("We use cookies", "en", "srcboiler", 0),   # all lines removed
+    # every line-quality rule in one doc + a survivor line
+    ("HOME ABOUT US\n2024 12 31\nSign in now\nGood sentence stays here.",
+     "en", "src18", 0),
+    # CRLF line endings: '\r' survives the '\n' split AND space-only trim
+    # on BOTH engines — pinned so neither side 'helpfully' strips it
+    ("line with trailing CR\r\nsecond line\r", "en", "src18", 0),
+    ("\nleading and trailing newlines\n", "en", "src19", 0),
 ]
 
 
