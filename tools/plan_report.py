@@ -108,6 +108,13 @@ QUERIES = [
      "signature-array GROUPS on (band, sig), agreement counted by "
      "map-side partial aggregation; no per-pair array-fetch joins, no "
      "interpreted fold, no all-pairs"),
+    ("text_boilerplate_lines", "host-level boilerplate line stripping — "
+     "one exploded-lines partial-agg census (doc text never rides that "
+     "shuffle) + a BROADCAST flag-array join with in-row "
+     "filter/array_join reassembly"),
+    ("text_line_quality", "C4/RefinedWeb line-wise quality rules — a "
+     "pure zero-exchange in-row projection (integer ratios over the "
+     "split array; scan speed)"),
 ]
 
 
