@@ -53,8 +53,20 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     ap = argparse.ArgumentParser(description="corpus curation pipeline")
     ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="'warc' curates straight off raw .warc/.warc.gz "
+                         "containers (sources/warc.py) instead of a "
+                         "pages parquet")
     ap.add_argument("--bench", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--wet", action="store_true",
+                    help="also export the curated text as WET-style "
+                         "containers at <out>/wet (sources/warc.write_wet; "
+                         "counters gain wet_files/wet_records)")
+    ap.add_argument("--wet-files", type=int, default=8,
+                    help="WET container count (size toward ~1 GB each "
+                         "in production)")
     ap.add_argument("--coalesce", type=int, default=0,
                     help="output files (0 = leave to AQE)")
     ap.add_argument("--scrub-pii", action="store_true",
@@ -158,7 +170,11 @@ def main() -> int:
 
     from ocr_module_spark.curate import curated_from_audit
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from ocr_module_spark.sources.warc import read_warc, warc_pages
+        pages = warc_pages(read_warc(spark, args.input))
+    else:
+        pages = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench)
     weights = (spark.read.parquet(args.model_weights)
                if args.model_weights else None)
@@ -230,6 +246,15 @@ def main() -> int:
         curated = split_from_curated(curated)
     cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
     cur.write.mode("overwrite").parquet(f"{out}/curated")
+    if args.wet:
+        # export off the materialized parquet, not the curation plan —
+        # the WET writer is a second consumer and must not re-run the
+        # decision pipeline
+        from ocr_module_spark.sources.warc import write_wet
+        acc = write_wet(spark.read.parquet(f"{out}/curated"),
+                        f"{out}/wet", n_files=args.wet_files)
+        counters["wet_files"] = acc["wet_files"]
+        counters["wet_records"] = acc["records"]
     # every artifact a trainer consumes comes from this frame: the full
     # curated corpus, or its train split when --split is on (val/test
     # rows must never reach the mixture/packing/BPE sink)
