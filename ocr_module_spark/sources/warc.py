@@ -109,11 +109,16 @@ def split_gzip_members(data: bytes) -> Iterator[Tuple[bytes, int, int]]:
     """
     pos = 0
     n = len(data)
+    carry = b""  # sliced-but-unconsumed tail handed to the next member —
+    #              without it a container of many small members re-slices
+    #              (and re-discards) ~a full chunk per member
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         out = io.BytesIO()
-        cur = pos
+        cur = pos + len(carry)
         try:
+            if carry:
+                out.write(d.decompress(carry))
             while cur < n and not d.eof:
                 out.write(d.decompress(data[cur:cur + _FEED_CHUNK]))
                 cur += _FEED_CHUNK
@@ -125,6 +130,7 @@ def split_gzip_members(data: bytes) -> Iterator[Tuple[bytes, int, int]]:
         if end <= pos:  # zero-progress guard (cannot happen on valid gzip)
             raise ValueError(f"empty gzip member at offset {pos}")
         yield out.getvalue(), pos, end - pos
+        carry = d.unused_data
         pos = end
 
 
@@ -197,10 +203,7 @@ def _decode_http_response(block: bytes) -> Tuple[int, str, bytes]:
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").lower()
     if enc in ("gzip", "x-gzip"):
-        # gzip.decompress loops CONCATENATED members (flushed streaming
-        # responses emit them); zlib wbits=31 would silently truncate to
-        # the first member with no error flag
-        body = gzip.decompress(body)
+        body = _gunzip_members(body)
     elif enc == "deflate":
         try:
             body = zlib.decompress(body)          # RFC-correct zlib wrapper
@@ -208,6 +211,28 @@ def _decode_http_response(block: bytes) -> Tuple[int, str, bytes]:
             body = zlib.decompress(body, wbits=-15)  # bare-deflate servers
     mime = headers.get("content-type", "").split(";")[0].strip().lower()
     return status, mime, body
+
+
+def _gunzip_members(body: bytes) -> bytes:
+    """Inflate a gzip-encoded HTTP payload: loops CONCATENATED members
+    (flushed streaming responses emit them — a single-member inflate
+    silently truncates with no error flag) but, unlike
+    ``gzip.decompress``, tolerates trailing non-gzip bytes after the
+    last member (CRLF padding counted into Content-Length is common in
+    real captures and was decodable before the multi-member fix)."""
+    out = io.BytesIO()
+    pos, n = 0, len(body)
+    first = True
+    while body[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        out.write(d.decompress(body[pos:]))
+        if not d.eof:
+            raise ValueError("truncated gzip payload")
+        pos = n - len(d.unused_data)
+        first = False
+    if first:
+        raise ValueError("payload is not gzip")
+    return out.getvalue()
 
 
 def _warc_date(v: Optional[str]) -> Optional[_dt.datetime]:
@@ -458,8 +483,9 @@ def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
     never read — this is the petabyte-scale backfill path.
     """
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: List[dict] = []  # flushed at _BATCH_RECORDS, same bounded-
+        #                        batch discipline as the container scan
         for pdf in it:
-            rows: List[dict] = []
             for grp in pdf.groupby("warc_file", sort=False):
                 fname, g = grp
                 g = g.sort_values("warc_offset")
@@ -494,8 +520,14 @@ def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                                  "error": f"member: {e}"}
                         if r is not None:
                             rows.append(r)
-            if rows:
-                yield _records_pdf(rows)
+                        if len(rows) >= _BATCH_RECORDS:
+                            yield _records_pdf(rows)
+                            rows = []
+                if len(rows) >= _BATCH_RECORDS:
+                    yield _records_pdf(rows)
+                    rows = []
+        if rows:
+            yield _records_pdf(rows)
 
     return cdx.repartition("warc_file").mapInPandas(gen, WARC_RECORDS_SCHEMA)
 
@@ -506,8 +538,16 @@ def _fs_path(fname: str) -> str:
     local-scheme prefix (object-store URIs are the deployment's fs
     client seam and pass through untouched)."""
     if fname.startswith("file:"):
-        from urllib.parse import unquote, urlparse
-        return unquote(urlparse(fname).path)
+        from urllib.parse import unquote
+        rest = fname[len("file:"):]
+        # scheme-strip by hand: urlparse would truncate at an unencoded
+        # '#' or '?' in a hand-built CDX path (scan-derived URIs are
+        # percent-encoded, arbitrary CDX strings are not)
+        if rest.startswith("///"):
+            rest = rest[2:]
+        elif rest.startswith("//"):
+            rest = rest[1:]
+        return unquote(rest)
     return fname
 
 

@@ -133,6 +133,35 @@ def test_multi_member_gzip_payload_full_decode():
     assert rows[0]["html"] == part1 + part2
 
 
+def test_gzip_payload_trailing_padding_tolerated():
+    """CRLF padding counted into Content-Length after a gzip body must
+    not turn the capture into an error row (and multi-member + padding
+    must still decode every member)."""
+    part1, part2 = b"<html>alpha ", b"omega</html>"
+    for body, want in (
+            (gzip.compress(part1, mtime=0) + b"\r\n", part1),
+            (gzip.compress(part1, mtime=0) + gzip.compress(part2, mtime=0)
+             + b"\r\n\r\n", part1 + part2)):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: gzip\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        rec = W._warc_record("response", "https://x.example/p", None, http)
+        rows = W.parse_warc_stream(gzip.compress(rec, mtime=0), "m")
+        assert rows[0]["error"] is None and rows[0]["html"] == want
+
+
+def test_fs_path_hash_and_query_chars(tmp_path):
+    """_fs_path must not truncate at unencoded '#' or '?' in hand-built
+    CDX paths."""
+    d = tmp_path / "crawl#1"
+    d.mkdir()
+    p = d / "f?x.warc.gz"
+    p.write_bytes(b"data")
+    assert open(W._fs_path(f"file:{p}"), "rb").read() == b"data"
+    assert W._fs_path(f"file://{p}") == str(p)
+    assert W._fs_path(str(p)) == str(p)
+
+
 def test_warc_date_fractional_seconds():
     ts = W._warc_date("2024-03-05T06:07:08.123456Z")
     assert ts is not None and ts.second == 8 and ts.microsecond == 123456
