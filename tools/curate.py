@@ -32,7 +32,15 @@ decontamination (ocr_module_spark.curate) and writes:
 * ``<out>/shards_bpe`` — the data-loader files: token-ID sequences
   partitioned by shard_id, pos-ordered inside every file, with a
   manifest (``--shards`` + ``--encode-bpe``)
+* ``<out>/wet``      — the curated text as WET-style WARC containers
+  + manifest (``--wet``; ``--wet-files`` dials the container count)
 * stdout             — ONE JSON line of per-stage counters
+
+``--input-format warc`` curates straight off raw ``.warc/.warc.gz``
+containers (sources/warc.py) — with ``--wet`` the CLI runs
+container-to-container. ``--strip-boilerplate`` / ``--line-filter``
+rewrite the kept text through the line-grain curation passes
+(functions/linededup) ahead of ``--span-dedup``.
 
 ``--split`` adds a leakage-safe host-hashed train/val/test column to
 ``<out>/curated`` and restricts every training artifact (mixture,
