@@ -302,6 +302,23 @@ def test_wet_roundtrip_and_determinism(spark, tmp_path):
     assert sum(r["n_records"] for r in man.collect()) == 16
 
 
+def test_wet_roundtrip_hostile_strings(spark, tmp_path):
+    """Text with control chars, CRLF, CJK/emoji, NULs-adjacent bytes,
+    empty and very long strings must round-trip the WET container
+    byte-for-byte (utf-8 both ways; payload is the record block)."""
+    texts = ["", "   ", "line one\r\nline two\r", "日本語 テキスト 🚀",
+             "tab\tand\x0bvertical", "WARC/1.0 looks like a header",
+             "Content-Length: 99", "x" * 100_000,
+             "naïve — déjà vu", "a\nb\nc\n"]
+    rows = [(f"https://h.example/{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    d = str(tmp_path / "whost")
+    W.write_wet(df, d, n_files=1)
+    back = {r["url"]: r["text"]
+            for r in W.read_wet(spark, d + "/*.warc.wet.gz").collect()}
+    assert back == dict(rows)
+
+
 def test_wet_reader_ignores_response_records(spark, container):
     path, _, _ = container
     # a WARC of responses contains zero conversion records
