@@ -68,6 +68,12 @@ def main() -> int:
                          "pages parquet")
     ap.add_argument("--bench", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip extraction + curation gates and replay the "
+                         "training-sink stages (--split/--mixture/--pack/"
+                         "--train-bpe/--shards/--wet/--host-stats) off an "
+                         "existing <out>/audit + <out>/curated — iterate "
+                         "on packing/shard dials without re-curating")
     ap.add_argument("--wet", action="store_true",
                     help="also export the curated text as WET-style "
                          "containers at <out>/wet (sources/warc.write_wet; "
@@ -169,6 +175,14 @@ def main() -> int:
         ap.error("--shards requires --pack SEQ_LEN")
     if args.encode_bpe and args.train_bpe <= 0:
         ap.error("--encode-bpe requires --train-bpe N")
+    if args.resume and (args.budget_mix or args.strip_boilerplate
+                        or args.line_filter or args.span_dedup
+                        or args.scrub_pii or args.langid):
+        ap.error("--resume replays only the training-sink stages off the "
+                 "existing <out>/audit + <out>/curated; the text-stage "
+                 "dials (--budget-mix/--strip-boilerplate/--line-filter/"
+                 "--span-dedup/--scrub-pii/--langid) are already baked "
+                 "into that artifact and cannot be re-specified")
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("curate").getOrCreate()
@@ -178,82 +192,96 @@ def main() -> int:
 
     from ocr_module_spark.curate import curated_from_audit
 
-    if args.input_format == "warc":
-        from ocr_module_spark.sources.warc import read_warc, warc_pages
-        pages = warc_pages(read_warc(spark, args.input))
-    else:
-        pages = spark.read.parquet(args.input)
-    bench = spark.read.parquet(args.bench)
-    weights = (spark.read.parquet(args.model_weights)
-               if args.model_weights else None)
-    _, audit = curate(spark, pages, bench, model_weights=weights,
-                      langid=args.langid)
-    # one materialization of the decision pipeline; counters AND both
-    # sinks read the checkpoint (deriving curated from the original plan
-    # would re-run extraction/dedup/decontamination a second time)
-    audit = audit.localCheckpoint(eager=True)
-    # the boilerplate flag census is small (one row per host) but COSTS a
-    # full exploded-lines aggregation — compute it once, checkpoint it,
-    # and let the counter agg, the line-filter census, and the curated
-    # write below all consume that one materialization
-    boiler_flags = None
-    if args.strip_boilerplate:
-        from ocr_module_spark.functions.linededup import flagged_lines
-        from ocr_module_spark.pipeline import with_host
-        boiler_flags = flagged_lines(
-            with_host(audit.where("kept").select("url", "text")),
-            group_col="url_host", key_col="url") \
-            .localCheckpoint(eager=True)
-    curated = curated_from_audit(audit, scrub=args.scrub_pii,
-                                 span_dedup=args.span_dedup,
-                                 strip_boiler=args.strip_boilerplate,
-                                 line_filter=args.line_filter,
-                                 boiler_flags=boiler_flags)
-
     out = args.output.rstrip("/")
-    counters = stage_counters(audit)
-    if args.strip_boilerplate:
-        from pyspark.sql import functions as F
-        agg = boiler_flags.agg(
-            F.count("*").alias("hosts"),
-            F.coalesce(F.sum(F.size("boiler_lines")), F.lit(0))
-            .alias("lines")).first()
-        counters["boiler_hosts"] = int(agg["hosts"])
-        counters["boiler_lines_flagged"] = int(agg["lines"])
-    if args.line_filter:
-        # doc_drop census over the kept docs (zero-exchange projection
-        # plus the checkpointed flag join when --strip-boilerplate is
-        # also on — the same text the filter stage itself sees)
-        from ocr_module_spark.curate import curated_from_audit as _cfa
-        from ocr_module_spark.functions.linededup import (
-            line_quality_filter)
-        base = _cfa(audit, strip_boiler=args.strip_boilerplate,
-                    boiler_flags=boiler_flags).select("url", "text")
-        counters["docs_line_dropped"] = int(
-            line_quality_filter(base).where("doc_drop").count())
-    if args.host_stats:
-        from ocr_module_spark.functions.hostrep import host_stats_from_audit
-        hosts = host_stats_from_audit(audit)
-        hosts.write.mode("overwrite").parquet(f"{out}/hosts")
-        counters["hosts_blocked"] = int(
-            spark.read.parquet(f"{out}/hosts").where("blocked").count())
-    if args.budget_mix:
-        from ocr_module_spark.curate import mix_from_audit
-        mix = mix_from_audit(audit).localCheckpoint(eager=True)
-        mix.write.mode("overwrite").parquet(f"{out}/mix")
-        # decision frame joined back on url — the text column never
-        # rides the mix's window shuffles
-        curated = curated.join(mix.select("url"), "url")
-        agg = mix.selectExpr("count(*) AS docs_mixed",
-                             "coalesce(sum(n_tokens), 0) AS tokens_mixed") \
-            .first()
-        counters["docs_mixed"] = int(agg["docs_mixed"])
-        counters["tokens_mixed"] = int(agg["tokens_mixed"])
-    if args.split:
-        from ocr_module_spark.curate import split_from_curated
-        curated = split_from_curated(curated)
-    cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
-    cur.write.mode("overwrite").parquet(f"{out}/curated")
+    if args.resume:
+        # replay mode: the decision pipeline already ran — load its
+        # materializations and recompute only the training sinks.
+        # stage_counters works on the text-dropped audit (verdict
+        # columns only), so stdout stays one coherent counters line.
+        import os
+        for part in ("audit", "curated"):
+            if not os.path.exists(f"{out}/{part}/_SUCCESS"):
+                ap.error(f"--resume: {out}/{part} missing (run the "
+                         "full pipeline once first)")
+        audit = spark.read.parquet(f"{out}/audit")
+        counters = stage_counters(audit)
+        counters["resumed"] = True
+    else:
+        if args.input_format == "warc":
+            from ocr_module_spark.sources.warc import read_warc, warc_pages
+            pages = warc_pages(read_warc(spark, args.input))
+        else:
+            pages = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.bench)
+        weights = (spark.read.parquet(args.model_weights)
+                   if args.model_weights else None)
+        _, audit = curate(spark, pages, bench, model_weights=weights,
+                          langid=args.langid)
+        # one materialization of the decision pipeline; counters AND both
+        # sinks read the checkpoint (deriving curated from the original plan
+        # would re-run extraction/dedup/decontamination a second time)
+        audit = audit.localCheckpoint(eager=True)
+        # the boilerplate flag census is small (one row per host) but COSTS a
+        # full exploded-lines aggregation — compute it once, checkpoint it,
+        # and let the counter agg, the line-filter census, and the curated
+        # write below all consume that one materialization
+        boiler_flags = None
+        if args.strip_boilerplate:
+            from ocr_module_spark.functions.linededup import flagged_lines
+            from ocr_module_spark.pipeline import with_host
+            boiler_flags = flagged_lines(
+                with_host(audit.where("kept").select("url", "text")),
+                group_col="url_host", key_col="url") \
+                .localCheckpoint(eager=True)
+        curated = curated_from_audit(audit, scrub=args.scrub_pii,
+                                     span_dedup=args.span_dedup,
+                                     strip_boiler=args.strip_boilerplate,
+                                     line_filter=args.line_filter,
+                                     boiler_flags=boiler_flags)
+
+        counters = stage_counters(audit)
+        if args.strip_boilerplate:
+            from pyspark.sql import functions as F
+            agg = boiler_flags.agg(
+                F.count("*").alias("hosts"),
+                F.coalesce(F.sum(F.size("boiler_lines")), F.lit(0))
+                .alias("lines")).first()
+            counters["boiler_hosts"] = int(agg["hosts"])
+            counters["boiler_lines_flagged"] = int(agg["lines"])
+        if args.line_filter:
+            # doc_drop census over the kept docs (zero-exchange projection
+            # plus the checkpointed flag join when --strip-boilerplate is
+            # also on — the same text the filter stage itself sees)
+            from ocr_module_spark.curate import curated_from_audit as _cfa
+            from ocr_module_spark.functions.linededup import (
+                line_quality_filter)
+            base = _cfa(audit, strip_boiler=args.strip_boilerplate,
+                        boiler_flags=boiler_flags).select("url", "text")
+            counters["docs_line_dropped"] = int(
+                line_quality_filter(base).where("doc_drop").count())
+        if args.host_stats:
+            from ocr_module_spark.functions.hostrep import host_stats_from_audit
+            hosts = host_stats_from_audit(audit)
+            hosts.write.mode("overwrite").parquet(f"{out}/hosts")
+            counters["hosts_blocked"] = int(
+                spark.read.parquet(f"{out}/hosts").where("blocked").count())
+        if args.budget_mix:
+            from ocr_module_spark.curate import mix_from_audit
+            mix = mix_from_audit(audit).localCheckpoint(eager=True)
+            mix.write.mode("overwrite").parquet(f"{out}/mix")
+            # decision frame joined back on url — the text column never
+            # rides the mix's window shuffles
+            curated = curated.join(mix.select("url"), "url")
+            agg = mix.selectExpr("count(*) AS docs_mixed",
+                                 "coalesce(sum(n_tokens), 0) AS tokens_mixed") \
+                .first()
+            counters["docs_mixed"] = int(agg["docs_mixed"])
+            counters["tokens_mixed"] = int(agg["tokens_mixed"])
+        if args.split:
+            from ocr_module_spark.curate import split_from_curated
+            curated = split_from_curated(curated)
+        cur = curated if args.coalesce <= 0 else curated.coalesce(args.coalesce)
+        cur.write.mode("overwrite").parquet(f"{out}/curated")
     if args.wet:
         # export off the materialized parquet, not the curation plan —
         # the WET writer is a second consumer and must not re-run the
@@ -268,6 +296,12 @@ def main() -> int:
     # rows must never reach the mixture/packing/BPE sink)
     train = spark.read.parquet(f"{out}/curated")
     if args.split:
+        if args.resume and "split" not in train.columns:
+            # the original run didn't split; derive it on the fly (the
+            # assignment is a deterministic host-hash projection) without
+            # rewriting the stored curated parquet
+            from ocr_module_spark.curate import split_from_curated
+            train = split_from_curated(train)
         # seed all three keys: an empty split must report 0, not a
         # missing key (the counters line is diffed across runs)
         for s in ("train", "val", "test"):
@@ -391,7 +425,10 @@ def main() -> int:
                         key_col="url_host")
                     counters["bpe_shards"] = acc["shards"]
                     counters["bpe_shard_tokens"] = acc["tokens"]
-    audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
+    if not args.resume:
+        # --resume read the stored audit lazily; it is unchanged, and
+        # overwriting a path Spark is still reading from is an error
+        audit.drop("text").write.mode("overwrite").parquet(f"{out}/audit")
 
     print(json.dumps(counters))
     return 0
