@@ -58,6 +58,7 @@ DOC_QUERIES = [
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
+    "host_link_centrality",
     "snapshot_diff",
     # rotated out of the driver window in round 4 (slots taken by
     # curate_pack_sequences / fn_url_canonicalize) — identical value
@@ -102,10 +103,10 @@ def _extra_queries():
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
     from ocr_module_spark.functions import (dedup, hostrep, langid,
-                                            linededup, mixture, model_score,
-                                            multimodal, packing, simsearch,
-                                            snapshots, splits, textstats,
-                                            urls)
+                                            linededup, linkgraph, mixture,
+                                            model_score, multimodal,
+                                            packing, simsearch, snapshots,
+                                            splits, textstats, urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -143,6 +144,8 @@ def _extra_queries():
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,
                             hostrep.SQL_HOST_REPUTATION),
+        "host_link_centrality": (linkgraph.q_link_centrality,
+                                 linkgraph.SQL_LINK_CENTRALITY),
         "snapshot_diff": (snapshots.q_snapshot_diff,
                           snapshots.SQL_SNAPSHOT_DIFF),
         "mm_metadata": (multimodal.q_mm_metadata,

@@ -20,21 +20,26 @@ import __spark_entry__ as entry_mod
 # - text_langid_eval: the trained weight grid is vocab x language-list x
 #   1-row language-count — two cross products of model-sized frames,
 #   both build sides broadcast
-BNLJ_OK = {"ann_recall_eval", "text_langid_eval"}
+# - host_link_centrality: per-round dangling-mass fold-back is a
+#   crossJoin against a broadcast 1-row aggregate (plus the demo's
+#   broadcast 1-row max-doc_id frame) — both build sides single-row
+BNLJ_OK = {"ann_recall_eval", "text_langid_eval", "host_link_centrality"}
 
 def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
     from ocr_module_spark.functions import (hostrep, langid, linededup,
-                                            mixture, model_score, packing,
-                                            snapshots, splits, urls)
+                                            linkgraph, mixture, model_score,
+                                            packing, snapshots, splits,
+                                            urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
     return {
         "text_langid_eval": langid.q_langid_eval,
         "host_reputation": hostrep.q_host_reputation,
+        "host_link_centrality": linkgraph.q_link_centrality,
         "snapshot_diff": snapshots.q_snapshot_diff,
         # curate_pack_sequences / fn_url_canonicalize moved INTO the
         # driver window in round 4; proj_bbox / token_split left it

@@ -19,6 +19,8 @@ decontamination (ocr_module_spark.curate) and writes:
   (``--train-bpe N``)
 * ``<out>/hosts``     — host-grain verdict rollup + crawl blocklist
   (``--host-stats``)
+* ``<out>/hostgraph`` — (host, rank_x, in_hosts, out_hosts) host-level
+  webgraph PageRank from the raw pages' out-links (``--link-graph``)
 * ``<out>/token_ids`` — (url, token_ids, n_bpe) the curated corpus
   encoded with the trained merges (``--encode-bpe``)
 * ``<out>/packs_bpe`` — (url_host, seq_no, n_fill, tokens, doc_starts)
@@ -131,6 +133,11 @@ def main() -> int:
                          "quality tier's token budget deterministically; "
                          "writes <out>/mix and restricts <out>/curated "
                          "to the selected documents")
+    ap.add_argument("--link-graph", action="store_true",
+                    help="harvest out-links from the raw pages, build "
+                         "the host-level webgraph and its fixed-point "
+                         "PageRank centrality; writes <out>/hostgraph "
+                         "(host, rank_x, in_hosts, out_hosts)")
     ap.add_argument("--host-stats", action="store_true",
                     help="host-grain rollup of the audit's per-stage "
                          "verdicts with the crawl blocklist verdict "
@@ -175,6 +182,10 @@ def main() -> int:
         ap.error("--shards requires --pack SEQ_LEN")
     if args.encode_bpe and args.train_bpe <= 0:
         ap.error("--encode-bpe requires --train-bpe N")
+    if args.resume and args.link_graph:
+        ap.error("--link-graph reads the raw pages' html, which the "
+                 "stored audit does not keep; run it on a full (non "
+                 "--resume) pass")
     if args.resume and (args.budget_mix or args.strip_boilerplate
                         or args.line_filter or args.span_dedup
                         or args.scrub_pii or args.langid):
@@ -259,6 +270,19 @@ def main() -> int:
                         boiler_flags=boiler_flags).select("url", "text")
             counters["docs_line_dropped"] = int(
                 line_quality_filter(base).where("doc_drop").count())
+        if args.link_graph:
+            # host-grain from the first groupBy on: anchors never leave
+            # their scan partition, the rank rounds shuffle host-grain
+            # longs only
+            from ocr_module_spark.functions.linkgraph import (
+                extract_links, host_centrality, host_link_graph)
+            graph = host_link_graph(extract_links(pages)) \
+                .localCheckpoint(eager=True)
+            rank = host_centrality(graph)
+            rank.write.mode("overwrite").parquet(f"{out}/hostgraph")
+            counters["graph_edges"] = graph.count()
+            counters["graph_hosts"] = int(
+                spark.read.parquet(f"{out}/hostgraph").count())
         if args.host_stats:
             from ocr_module_spark.functions.hostrep import host_stats_from_audit
             hosts = host_stats_from_audit(audit)

@@ -115,6 +115,12 @@ QUERIES = [
     ("text_line_quality", "C4/RefinedWeb line-wise quality rules — a "
      "pure zero-exchange in-row projection (integer ratios over the "
      "split array; scan speed)"),
+    ("host_link_centrality", "host-graph PageRank (fixed-point int64), "
+     "shown at rounds=1 — every round has this same shape: ONE "
+     "equi-join of host-grain ranks into the static outdeg-carrying "
+     "edge frame + ONE partial-agg groupBy on dst; dangling mass folds "
+     "back via a broadcast 1-row aggregate; no all-pairs, no "
+     "driver-side graph"),
 ]
 
 
@@ -129,14 +135,18 @@ def main() -> int:
     qs = dict(entry_mod.queries())
     # oracled operators outside the 50-row driver window
     from ocr_module_spark.functions import (hostrep, langid, linededup,
-                                            mixture, model_score, packing,
-                                            snapshots, splits, urls)
+                                            linkgraph, mixture, model_score,
+                                            packing, snapshots, splits,
+                                            urls)
     qs.update({name: fn for name, (fn, _sql) in
                {**packing.REGISTRY, **urls.REGISTRY,
                 **model_score.REGISTRY, **langid.REGISTRY,
                 **hostrep.REGISTRY, **snapshots.REGISTRY,
                 **splits.REGISTRY, **mixture.REGISTRY,
                 **linededup.REGISTRY}.items()})
+    # the report shows the per-round plan (rounds=1); the 3-round
+    # unrolled parity query is the same shape repeated ~2700 nodes deep
+    qs["host_link_centrality"] = linkgraph.q_link_centrality_round_plan
     qs["curate_pack_materialize"] = packing.q_pack_materialize
     from ocr_module_spark.functions.dedup import q_dedup_incremental
     qs["dedup_incremental"] = q_dedup_incremental
