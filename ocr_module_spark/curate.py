@@ -39,7 +39,8 @@ from .functions.textstats import (_words, budget_select, pii_scrub,
 def curate(spark: SparkSession, pages: DataFrame,
            bench_docs: DataFrame,
            model_weights: DataFrame | None = None,
-           langid: bool = False) \
+           langid: bool = False,
+           normalize: bool = False) \
         -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain. Returns ``(curated, audit)``:
 
@@ -69,15 +70,30 @@ def curate(spark: SparkSession, pages: DataFrame,
     policy decision. Production trains once on a hash sample and
     persists the grid (train_langid_weights); the self-train here is
     the demo path, same convention as model_score's weights_frame.
+
+    ``normalize=True`` inserts the unicode canon + mojibake-repair pass
+    (functions/textnorm) between extraction and every gate, so quality
+    ratios, line dedup and packing all see one normal form ("café" ==
+    "cafe\\u0301" == "cafÃ©"). Opt-in: the default path keeps the
+    extraction invariant byte-exact (BASELINE.json — byte-identical
+    text per url vs the reference). The pass fuses into the extraction
+    Arrow stage (zero extra exchanges); the audit gains
+    ``norm_changed``/``norm_repaired`` and stage_counters reports
+    ``docs_normalized``/``docs_mojibake_repaired``.
     """
     extracted = pipeline.extract(pages).select("url", "text")
+    norm_cols: list = []
+    if normalize:
+        from .functions.textnorm import normalize_docs
+        extracted = normalize_docs(extracted)
+        norm_cols = ["norm_changed", "norm_repaired"]
     # the unique url IS the doc key (the dedup/decon machinery only needs
     # a totally-ordered doc_id: min() picks the lexicographically first
     # url as the cluster canonical). A hashed key would be narrower on
     # the shuffle wire but collides at ~n^2/2^65 — at the 10^12-doc
     # design point that is tens of thousands of silently-merged docs
     docs = extracted.select(
-        F.col("url").alias("doc_id"), "url", "text")
+        F.col("url").alias("doc_id"), "url", "text", *norm_cols)
     docs = docs.localCheckpoint(eager=True)  # 3 consumers below
 
     quality = quality_frame(docs).select(
@@ -107,7 +123,8 @@ def curate(spark: SparkSession, pages: DataFrame,
             .join(flags, "doc_id", "left"))
     cols = ["url", "text", "quality_keep",
             F.coalesce("dup_keep", F.lit(False)).alias("dup_keep"),
-            F.coalesce("contaminated", F.lit(False)).alias("contaminated")]
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            *norm_cols]
     if langid:
         from .functions.langid import (langid_score_frame,
                                        train_langid_weights)
@@ -359,5 +376,10 @@ def stage_counters(audit: DataFrame) -> dict:
         # never dropped — so these do NOT enter the sum invariant above
         aggs.append(n(~F.col("lang_agree"), "docs_lang_mismatch"))
         aggs.append(n(F.col("pred_lang") == "und", "docs_lang_und"))
+    if "norm_changed" in audit.columns:
+        # normalization rollup (curate(normalize=True)): repair is a
+        # rewrite, not a drop — outside the sum invariant like langid
+        aggs.append(n(F.col("norm_changed"), "docs_normalized"))
+        aggs.append(n(F.col("norm_repaired"), "docs_mojibake_repaired"))
     row = audit.agg(*aggs).first()
     return {k: int(row[k]) for k in row.asDict()}

@@ -406,3 +406,36 @@ def test_encode_bpe_stage_on_chain(spark, curated_audit):
         last[r["url_host"]] = max(last.get(r["url_host"], -1), r["seq_no"])
     for r in seqs:
         assert r["n_fill"] == L or r["seq_no"] == last[r["url_host"]]
+
+
+def test_normalize_stage_on_chain(spark):
+    """curate(normalize=True) == canon(repair(curate-raw text)) per url
+    (the textnorm kernel IS the stage — no second implementation), the
+    audit flags agree with the rewrite, and the counters gain the two
+    normalization keys without breaking the sum invariant."""
+    from ocr_module_spark import pipeline
+    from ocr_module_spark.functions.textnorm import (canon_str,
+                                                     repair_mojibake_str)
+    pages = corpus.pages_df(spark, 60)
+    bench = (pipeline.extract(pages).select("url", "text")
+             .where(F.xxhash64("url") % 17 == 3)
+             .select(F.xxhash64("url").alias("doc_id"), "text")
+             .localCheckpoint(eager=True))
+    _, raw_audit = curate.curate(spark, pages, bench)
+    _, norm_audit = curate.curate(spark, pages, bench, normalize=True)
+    raw = {r["url"]: r["text"] for r in raw_audit.collect()}
+    rows = norm_audit.collect()
+    assert set(raw) == {r["url"] for r in rows}
+    for r in rows:
+        fixed, rep = repair_mojibake_str(raw[r["url"]])
+        want = canon_str(fixed)
+        assert r["text"] == want
+        assert r["norm_changed"] == (want != raw[r["url"]])
+        assert r["norm_repaired"] == rep
+    c = curate.stage_counters(norm_audit)
+    assert (c["docs_kept"] + c["dropped_quality"] + c["dropped_duplicate"]
+            + c["dropped_contaminated"]) == c["docs_extracted"] == 60
+    assert c["docs_normalized"] == sum(
+        1 for r in rows if r["norm_changed"])
+    assert c["docs_mojibake_repaired"] == sum(
+        1 for r in rows if r["norm_repaired"])

@@ -55,6 +55,7 @@ DOC_QUERIES = [
     "fn_url_latest_revision",
     "text_model_score",
     "text_boilerplate_lines",
+    "text_normalize",
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
@@ -106,7 +107,8 @@ def _extra_queries():
                                             linededup, linkgraph, mixture,
                                             model_score, multimodal,
                                             packing, simsearch, snapshots,
-                                            splits, textstats, urls)
+                                            splits, textnorm, textstats,
+                                            urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -140,6 +142,8 @@ def _extra_queries():
                                    linededup.SQL_BOILERPLATE_LINES),
         "text_line_quality": (linededup.q_line_quality,
                               linededup.SQL_LINE_QUALITY),
+        "text_normalize": (textnorm.q_text_normalize,
+                           textnorm.SQL_TEXT_NORMALIZE),
         "text_langid_eval": (langid.q_langid_eval,
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,

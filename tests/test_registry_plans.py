@@ -32,7 +32,7 @@ def _extra_queries():
     from ocr_module_spark.functions import (hostrep, langid, linededup,
                                             linkgraph, mixture, model_score,
                                             packing, snapshots, splits,
-                                            urls)
+                                            textnorm, urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
@@ -58,6 +58,7 @@ def _extra_queries():
         "curate_mixture_epochs": mixture.q_mixture_epochs,
         "text_boilerplate_lines": linededup.q_boilerplate_lines,
         "text_line_quality": linededup.q_line_quality,
+        "text_normalize": textnorm.q_text_normalize,
     }
 
 

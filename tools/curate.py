@@ -168,6 +168,14 @@ def main() -> int:
                          "training-shard files with a deterministic "
                          "in-shard read order (requires --pack): writes "
                          "<out>/shards and shard-balance counters")
+    ap.add_argument("--normalize", action="store_true",
+                    help="unicode-normalize extracted text before every "
+                         "gate (NFC, CRLF->LF, C0/C1 strip, space-zoo "
+                         "map, ftfy-style mojibake repair): audit gains "
+                         "norm_changed/norm_repaired and the counters "
+                         "gain docs_normalized + docs_mojibake_repaired; "
+                         "fused into the extraction Arrow stage, zero "
+                         "extra exchanges")
     ap.add_argument("--langid", action="store_true",
                     help="verify the crawl's lang labels with the "
                          "trained char-trigram classifier (self-trained "
@@ -188,12 +196,14 @@ def main() -> int:
                  "--resume) pass")
     if args.resume and (args.budget_mix or args.strip_boilerplate
                         or args.line_filter or args.span_dedup
-                        or args.scrub_pii or args.langid):
+                        or args.scrub_pii or args.langid
+                        or args.normalize):
         ap.error("--resume replays only the training-sink stages off the "
                  "existing <out>/audit + <out>/curated; the text-stage "
                  "dials (--budget-mix/--strip-boilerplate/--line-filter/"
-                 "--span-dedup/--scrub-pii/--langid) are already baked "
-                 "into that artifact and cannot be re-specified")
+                 "--span-dedup/--scrub-pii/--langid/--normalize) are "
+                 "already baked into that artifact and cannot be "
+                 "re-specified")
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("curate").getOrCreate()
@@ -227,7 +237,7 @@ def main() -> int:
         weights = (spark.read.parquet(args.model_weights)
                    if args.model_weights else None)
         _, audit = curate(spark, pages, bench, model_weights=weights,
-                          langid=args.langid)
+                          langid=args.langid, normalize=args.normalize)
         # one materialization of the decision pipeline; counters AND both
         # sinks read the checkpoint (deriving curated from the original plan
         # would re-run extraction/dedup/decontamination a second time)

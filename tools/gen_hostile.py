@@ -85,6 +85,31 @@ HOSTILE_ROWS = [
     # on BOTH engines — pinned so neither side 'helpfully' strips it
     ("line with trailing CR\r\nsecond line\r", "en", "src18", 0),
     ("\nleading and trailing newlines\n", "en", "src19", 0),
+    # encoding damage (r4): the textnorm divergence surface — NFD
+    # combining sequences, C0/C1 controls, BOM/ZWSP (ZWNJ/ZWJ must
+    # SURVIVE), the unicode space zoo, and latin-1/cp1252 mojibake
+    # incl. a double-encoded row (repair path; canon oracle ignores it)
+    # NFD combining accents
+    ('NFD cafe\u0301 et de\u0301ja\u0300 vu',
+     'fr', 'src20', 0),
+    # C0/C1 controls; tab+newline survive
+    ('ctrl\x00ed\x08 text\x1f keeps\ttab\x7fand\x93newline\n',
+     'en', 'src20', 0),
+    # BOM/ZWSP strip, ZWNJ/ZWJ survive
+    ('\ufeffbom lead zw\u200bsplit zwnj\u200cstays zwj\u200dstays',
+     'en', 'src20', 0),
+    # unicode space zoo
+    ('nb\xa0sp en\u2002sp em\u2003sp thin\u2009sp nnbsp\u202fideo\u3000end',
+     'en', 'src20', 0),
+    # latin-1 mojibake incl. C1 bytes
+    ('caf\xc3\xa9 \xe2\x80\x94 na\xc3\xafve \xe2\x80\x9cmojibake\xe2\x80\x9d',
+     'en', 'src21', 0),
+    # doubly-encoded mojibake
+    ('double caf\xc3\x83\xc2\xa9 encoded',
+     'en', 'src21', 0),
+    # every damage class in one row
+    ('CRLF\r\nmix\rwith mojibake \xc3\xa9 and NFD e\u0301 plus\x85C1',
+     'en', 'src21', 0),
 ]
 
 
