@@ -56,6 +56,7 @@ DOC_QUERIES = [
     "text_model_score",
     "text_boilerplate_lines",
     "text_normalize",
+    "text_lm_perplexity",
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
@@ -107,8 +108,8 @@ def _extra_queries():
                                             linededup, linkgraph, mixture,
                                             model_score, multimodal,
                                             packing, simsearch, snapshots,
-                                            splits, textnorm, textstats,
-                                            urls)
+                                            ngramlm, splits, textnorm,
+                                            textstats, urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -142,6 +143,8 @@ def _extra_queries():
                                    linededup.SQL_BOILERPLATE_LINES),
         "text_line_quality": (linededup.q_line_quality,
                               linededup.SQL_LINE_QUALITY),
+        "text_lm_perplexity": (ngramlm.q_lm_perplexity,
+                               ngramlm.SQL_LM_PERPLEXITY),
         "text_normalize": (textnorm.q_text_normalize,
                            textnorm.SQL_TEXT_NORMALIZE),
         "text_langid_eval": (langid.q_langid_eval,

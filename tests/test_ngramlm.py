@@ -1,0 +1,186 @@
+"""Stupid-Backoff trigram LM: hand-computed model values, backoff-chain
+policy pins, exact pure-Python-twin equality on planted + fuzzed
+corpora, pruning, and determinism across parallelism. Cross-engine
+value parity (trainer + scorer + tiers in one SQL) runs on the sf and
+hostile corpora through tests/test_hostile_parity.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_module_spark.functions.ngramlm import (
+    BO_X10000, score_ngram_lm, train_ngram_lm)
+
+# -- pure-Python twin ----------------------------------------------------
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _lp(num: int, den: int) -> int:
+    return _round_half_away(math.log10(num / den) * 10000)
+
+
+def lm_py(train_texts, score_texts):
+    """(model dicts, {doc_id: (n_tokens, n_oov, mean_nll_x10000)}) —
+    the reference twin of train_ngram_lm + score_ngram_lm."""
+    uni, bi, tri, pair = {}, {}, {}, {}
+    T = 0
+    for t in train_texts:
+        w = [x.lower() for x in t.split()]
+        for i, w3 in enumerate(w):
+            T += 1
+            uni[w3] = uni.get(w3, 0) + 1
+            if i >= 1:
+                bi[(w[i - 1], w3)] = bi.get((w[i - 1], w3), 0) + 1
+                pair[(w[i - 1], w3)] = pair.get((w[i - 1], w3), 0) + 1
+            if i >= 2:
+                k = (w[i - 2], w[i - 1], w3)
+                tri[k] = tri.get(k, 0) + 1
+    m1 = {k: _lp(n, T) for k, n in uni.items()}
+    m2 = {k: _lp(n, uni[k[0]]) for k, n in bi.items()}
+    m3 = {k: _lp(n, pair[(k[0], k[1])]) for k, n in tri.items()}
+    unk = _lp(1, T + 1)
+    out = {}
+    for doc_id, t in score_texts.items():
+        w = [x.lower() for x in t.split()]
+        if not w:
+            continue
+        s, oov = 0, 0
+        for i, w3 in enumerate(w):
+            if w3 not in m1:
+                oov += 1
+            if i == 0:
+                s += m1.get(w3, unk)
+            elif i == 1:
+                k2 = (w[0], w3)
+                s += m2[k2] if k2 in m2 else m1.get(w3, unk) + BO_X10000
+            else:
+                k3, k2 = (w[i - 2], w[i - 1], w3), (w[i - 1], w3)
+                if k3 in m3:
+                    s += m3[k3]
+                elif k2 in m2:
+                    s += m2[k2] + BO_X10000
+                else:
+                    s += m1.get(w3, unk) + 2 * BO_X10000
+        out[doc_id] = (len(w), oov, (-s) // len(w))
+    return (m1, m2, m3, unk), out
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+
+
+# -- hand-computed model --------------------------------------------------
+
+def test_trained_model_hand_values(spark):
+    # corpus: "a b a b c"  -> T=5, c(a)=2 c(b)=2 c(c)=1
+    # bigrams: ab:2? no — pairs: (a,b) (b,a) (a,b)?? stream = a b a b c:
+    #   (a,b), (b,a), (a,b), (b,c)  -> c(a,b)=2 c(b,a)=1 c(b,c)=1
+    # trigrams: (a,b,a), (b,a,b), (a,b,c)
+    m = {(r["ord"], r["w1"], r["w2"], r["w3"]): r["lp_x10000"]
+         for r in train_ngram_lm(_docs(spark, {0: "a b a b c"})).collect()}
+    assert m[(1, None, None, "a")] == _lp(2, 5)
+    assert m[(1, None, None, "c")] == _lp(1, 5)
+    assert m[(2, None, "a", "b")] == _lp(2, 2)       # log10(1) = 0
+    assert m[(2, None, "b", "a")] == _lp(1, 2)       # -3010
+    assert m[(3, "a", "b", "a")] == _lp(1, 2)        # c(ab)=2 context
+    assert m[(3, "a", "b", "c")] == _lp(1, 2)
+    assert m[(3, "b", "a", "b")] == _lp(1, 1)        # 0
+    assert m[(0, None, None, None)] == _lp(1, 6)
+    assert len(m) == 3 + 3 + 3 + 1
+    assert m[(2, None, "a", "b")] == 0 and m[(3, "b", "a", "b")] == 0
+    assert m[(2, None, "b", "a")] == -3010
+
+
+def test_backoff_chain_policy(spark):
+    model = train_ngram_lm(_docs(spark, {0: "a b a b c"}))
+    got = {r["doc_id"]: r for r in
+           score_ngram_lm(_docs(spark, {
+               1: "a",          # pos1: unigram, no penalty
+               2: "z",          # pos1 OOV: unk floor, no penalty
+               3: "c a",        # pos2: (c,a) unseen bigram -> lp1(a)+BO
+               4: "a b c",      # full trigram hit at pos3
+               5: "b c a",      # (b,c,a) unseen, (c,a) unseen -> 2*BO+lp1
+           }), model).collect()}
+    (m1, m2, m3, unk), _ = lm_py(["a b a b c"], {})
+    assert got[1]["mean_nll_x10000"] == -m1["a"]
+    assert got[1]["n_oov"] == 0
+    assert got[2]["mean_nll_x10000"] == -unk and got[2]["n_oov"] == 1
+    assert got[3]["mean_nll_x10000"] == \
+        -(m1["c"] + (m1["a"] + BO_X10000)) // 2
+    assert got[4]["mean_nll_x10000"] == \
+        -(m1["a"] + m2[("a", "b")] + m3[("a", "b", "c")]) // 3
+    assert got[5]["mean_nll_x10000"] == \
+        -(m1["b"] + m2[("b", "c")] + (m1["a"] + 2 * BO_X10000)) // 3
+
+
+def test_no_rows_for_empty_docs(spark):
+    model = train_ngram_lm(_docs(spark, {0: "a b"}))
+    got = score_ngram_lm(
+        _docs(spark, {1: "", 2: "   ", 3: None, 4: "a"}), model).collect()
+    assert {r["doc_id"] for r in got} == {4}
+
+
+def test_prune_min_drops_singletons_keeps_unigrams(spark):
+    d = _docs(spark, {0: "a b a b c"})
+    m = train_ngram_lm(d, prune_min=2).collect()
+    by_ord = {}
+    for r in m:
+        by_ord.setdefault(r["ord"], []).append(r)
+    # only c(a,b)=2 survives at ord2; no trigram count reaches 2
+    assert [(r["w2"], r["w3"]) for r in by_ord[2]] == [("a", "b")]
+    assert 3 not in by_ord
+    # unigrams are the last-resort backoff: never pruned
+    assert len(by_ord[1]) == 3 and len(by_ord[0]) == 1
+
+
+PLANTED = {
+    0: "the cat sat on the mat",
+    1: "the cat sat on the cat",
+    2: "a completely different sentence here",
+    3: "the the the the",
+    4: "on the mat sat the cat",
+    5: "singleword",
+    6: "x " * 50 + "y",
+}
+
+
+def test_twin_equality_planted(spark):
+    train = [PLANTED[0], PLANTED[1], PLANTED[3]]
+    model = train_ngram_lm(_docs(spark, dict(enumerate(train))))
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["mean_nll_x10000"])
+           for r in score_ngram_lm(_docs(spark, PLANTED), model).collect()}
+    _, want = lm_py(train, PLANTED)
+    assert got == want
+
+
+_word = st.sampled_from(["a", "b", "c", "dog", "the", "über", "日本"])
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=5),
+       st.lists(_text, min_size=1, max_size=5))
+def test_twin_equality_fuzz(spark, train_texts, score_texts):
+    score = dict(enumerate(score_texts))
+    model = train_ngram_lm(_docs(spark, dict(enumerate(train_texts))))
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["mean_nll_x10000"])
+           for r in score_ngram_lm(_docs(spark, score), model).collect()}
+    _, want = lm_py(train_texts, score)
+    assert got == want
+
+
+def test_model_deterministic_across_parallelism(spark):
+    texts = {i: PLANTED[i % len(PLANTED)] for i in range(40)}
+    d1 = _docs(spark, texts).repartition(1)
+    d8 = _docs(spark, texts).repartition(8)
+    m1 = sorted(map(tuple, train_ngram_lm(d1).collect()))
+    m8 = sorted(map(tuple, train_ngram_lm(d8).collect()))
+    assert m1 == m8

@@ -23,7 +23,10 @@ import __spark_entry__ as entry_mod
 # - host_link_centrality: per-round dangling-mass fold-back is a
 #   crossJoin against a broadcast 1-row aggregate (plus the demo's
 #   broadcast 1-row max-doc_id frame) — both build sides single-row
-BNLJ_OK = {"ann_recall_eval", "text_langid_eval", "host_link_centrality"}
+# - text_lm_perplexity: the unk-floor row (ord=0) and the trainer's
+#   total-token frame are broadcast 1-row crossJoins (model constants)
+BNLJ_OK = {"ann_recall_eval", "text_langid_eval", "host_link_centrality",
+           "text_lm_perplexity"}
 
 def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
@@ -31,8 +34,8 @@ def _extra_queries():
     plan discipline)."""
     from ocr_module_spark.functions import (hostrep, langid, linededup,
                                             linkgraph, mixture, model_score,
-                                            packing, snapshots, splits,
-                                            textnorm, urls)
+                                            ngramlm, packing, snapshots,
+                                            splits, textnorm, urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
@@ -59,6 +62,7 @@ def _extra_queries():
         "text_boilerplate_lines": linededup.q_boilerplate_lines,
         "text_line_quality": linededup.q_line_quality,
         "text_normalize": textnorm.q_text_normalize,
+        "text_lm_perplexity": ngramlm.q_lm_perplexity,
     }
 
 

@@ -136,14 +136,15 @@ def main() -> int:
     # oracled operators outside the 50-row driver window
     from ocr_module_spark.functions import (hostrep, langid, linededup,
                                             linkgraph, mixture, model_score,
-                                            packing, snapshots, splits,
-                                            textnorm, urls)
+                                            ngramlm, packing, snapshots,
+                                            splits, textnorm, urls)
     qs.update({name: fn for name, (fn, _sql) in
                {**packing.REGISTRY, **urls.REGISTRY,
                 **model_score.REGISTRY, **langid.REGISTRY,
                 **hostrep.REGISTRY, **snapshots.REGISTRY,
                 **splits.REGISTRY, **mixture.REGISTRY,
-                **linededup.REGISTRY, **textnorm.REGISTRY}.items()})
+                **linededup.REGISTRY, **textnorm.REGISTRY,
+                **ngramlm.REGISTRY}.items()})
     # the report shows the per-round plan (rounds=1); the 3-round
     # unrolled parity query is the same shape repeated ~2700 nodes deep
     qs["host_link_centrality"] = linkgraph.q_link_centrality_round_plan
