@@ -217,6 +217,24 @@ def score_ngram_lm(docs: DataFrame, model: DataFrame,
         .alias("mean_nll_x10000"))
 
 
+def with_ppl_tiers(scored: DataFrame,
+                   part_col: str = "lang") -> DataFrame:
+    """``scored`` + ``ppl_tier`` ∈ {head, middle, tail}: CCNet's
+    per-``part_col`` perplexity terciles — ``row_number`` against the
+    partition count over the total order (mean_nll ASC, doc_id ASC),
+    pure integer comparisons. The window shuffles doc-grain rows only;
+    at 10^12 docs production samples per-partition nll thresholds and
+    broadcasts them back instead (the budget_mix decomposition — same
+    numbers, different exchange)."""
+    w = Window.partitionBy(part_col) \
+        .orderBy(F.col("mean_nll_x10000").asc(), F.col("doc_id").asc())
+    cw = Window.partitionBy(part_col)
+    rn, cnt = F.row_number().over(w), F.count(F.lit(1)).over(cw)
+    tier = (F.when(3 * rn <= cnt, "head")
+            .when(3 * rn <= 2 * cnt, "middle").otherwise("tail"))
+    return scored.withColumn("ppl_tier", tier)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demo query: self-train on the corpus's Gopher-gate positives
     (the CCNet bootstrap), score every doc, and assign each language's
@@ -228,14 +246,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.join(labels.where("label = 1"), "doc_id") \
         .select("doc_id", "text")
     scored = score_ngram_lm(d, train_ngram_lm(train), "lang")
-    w = Window.partitionBy("lang") \
-        .orderBy(F.col("mean_nll_x10000").asc(), F.col("doc_id").asc())
-    cw = Window.partitionBy("lang")
-    rn, cnt = F.row_number().over(w), F.count("*").over(cw)
-    tier = (F.when(3 * rn <= cnt, "head")
-            .when(3 * rn <= 2 * cnt, "middle").otherwise("tail"))
-    return scored.select("doc_id", "lang", "n_tokens", "n_oov",
-                         "mean_nll_x10000", tier.alias("ppl_tier"))
+    return with_ppl_tiers(scored).select(
+        "doc_id", "lang", "n_tokens", "n_oov",
+        "mean_nll_x10000", "ppl_tier")
 
 
 # one SQL twin: trainer CTEs + scorer joins + integer tercile window.

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -184,3 +183,67 @@ def test_model_deterministic_across_parallelism(spark):
     m1 = sorted(map(tuple, train_ngram_lm(d1).collect()))
     m8 = sorted(map(tuple, train_ngram_lm(d8).collect()))
     assert m1 == m8
+
+
+def test_tercile_boundaries(spark):
+    """with_ppl_tiers: exact integer tercile edges (n=7 -> 2/2/3) per
+    partition, ties broken by doc_id (total order, both engines)."""
+    from ocr_module_spark.functions.ngramlm import with_ppl_tiers
+    rows = [(i, "en", 100 + i) for i in range(7)] \
+        + [(i + 10, "de", 500) for i in range(3)]   # all-tied partition
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, mean_nll_x10000 long")
+    got = {r["doc_id"]: r["ppl_tier"]
+           for r in with_ppl_tiers(df).collect()}
+    assert [got[i] for i in range(7)] == \
+        ["head", "head", "middle", "middle", "tail", "tail", "tail"]
+    # tied scores: doc_id ASC decides -> 10 head, 11 middle, 12 tail
+    assert [got[i + 10] for i in range(3)] == ["head", "middle", "tail"]
+
+
+def test_lm_tiers_curation_stage(spark):
+    """Mirrors tools/curate.py --lm-tiers: train on the gate-surviving
+    curated output, score corpus-wide, per-lang terciles. The synthetic
+    corpus keeps very few docs (strict Gopher gate + near-dup collapse,
+    the CLI smoke covers that literal path incl. the empty-model
+    degrade), so the scoring side here runs over ALL extracted docs —
+    the OOV-heavy shape a thin reference model meets at crawl scale —
+    and must still equal the twin exactly."""
+    from pyspark.sql import functions as F
+
+    from ocr_module_spark import corpus, curate, pipeline
+    from ocr_module_spark.functions.ngramlm import with_ppl_tiers
+    pages = corpus.pages_df(spark, 80)
+    bench = spark.createDataFrame(
+        [(1, "no overlap benchmark text")], "doc_id long, text string")
+    cur, _ = curate.curate(spark, pages, bench)
+    kept = cur.select(F.col("url").alias("doc_id"), "text") \
+        .localCheckpoint(eager=True)
+    assert kept.count() >= 1
+    model = train_ngram_lm(kept).localCheckpoint(eager=True)
+    everything = pipeline.extract(pages) \
+        .select(F.col("url").alias("doc_id"), "text") \
+        .join(pages.select(F.col("url").alias("doc_id"), "lang"),
+              "doc_id", "left").localCheckpoint(eager=True)
+    scored = score_ngram_lm(everything, model, "lang")
+    tiers = with_ppl_tiers(scored).collect()
+    n_texty = everything.where(
+        "text IS NOT NULL AND length(trim(text)) > 0").count()
+    assert len(tiers) == n_texty
+    per = {}
+    for r in tiers:
+        per.setdefault(r["lang"], []).append(r["ppl_tier"])
+    for lang, ts in per.items():
+        n = len(ts)
+        assert abs(ts.count("head") - ts.count("tail")) <= 1
+        assert abs(ts.count("middle") - ts.count("tail")) <= 1
+        assert ts.count("head") + ts.count("middle") + ts.count("tail") == n
+    train_texts = [r["text"] for r in kept.collect()]
+    texts = {r["doc_id"]: r["text"] for r in everything.collect()}
+    _, want = lm_py(train_texts, texts)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["mean_nll_x10000"])
+           for r in tiers}
+    assert got == want
+    # the thin model makes most of the corpus OOV-score — the path a
+    # reference-trained LM meets on a raw crawl; must be exercised
+    assert sum(r["n_oov"] for r in tiers) > 0

@@ -176,6 +176,15 @@ def main() -> int:
                          "gain docs_normalized + docs_mojibake_repaired; "
                          "fused into the extraction Arrow stage, zero "
                          "extra exchanges")
+    ap.add_argument("--lm-tiers", action="store_true",
+                    help="train the Stupid-Backoff trigram LM on the "
+                         "curated output and bucket it into CCNet-style "
+                         "head/middle/tail perplexity terciles (per "
+                         "crawl lang when available, global under "
+                         "--resume): writes <out>/lm_model + "
+                         "<out>/lm_tiers and docs_ppl_* counters; "
+                         "annotation, not a gate — tier-based dropping "
+                         "is a downstream mixture policy")
     ap.add_argument("--langid", action="store_true",
                     help="verify the crawl's lang labels with the "
                          "trained char-trigram classifier (self-trained "
@@ -325,6 +334,33 @@ def main() -> int:
                         f"{out}/wet", n_files=args.wet_files)
         counters["wet_files"] = acc["wet_files"]
         counters["wet_records"] = acc["records"]
+    if args.lm_tiers:
+        from pyspark.sql import functions as F
+        from ocr_module_spark.functions.ngramlm import (
+            score_ngram_lm, train_ngram_lm, with_ppl_tiers)
+        # train on the curated output itself — post-gate text IS the
+        # pipeline's best "reference corpus" (the CCNet Wikipedia seat);
+        # checkpoint the model so the scorer's three broadcast builds
+        # read one materialization instead of re-running the trainer
+        base = spark.read.parquet(f"{out}/curated") \
+            .select(F.col("url").alias("doc_id"), "text")
+        model = train_ngram_lm(base).localCheckpoint(eager=True)
+        model.write.mode("overwrite").parquet(f"{out}/lm_model")
+        scored = score_ngram_lm(base, model)
+        if not args.resume:
+            scored = scored.join(
+                pages.select(F.col("url").alias("doc_id"), "lang"),
+                "doc_id", "left")
+        else:
+            # the stored artifact keeps no crawl lang — global terciles
+            scored = scored.withColumn("lang", F.lit(None).cast("string"))
+        tiers = with_ppl_tiers(scored).withColumnRenamed("doc_id", "url")
+        tiers.write.mode("overwrite").parquet(f"{out}/lm_tiers")
+        for r in (spark.read.parquet(f"{out}/lm_tiers")
+                  .groupBy("ppl_tier").count().collect()):
+            counters[f"docs_ppl_{r['ppl_tier']}"] = int(r["count"])
+        counters["lm_model_rows"] = model.count()
+
     # every artifact a trainer consumes comes from this frame: the full
     # curated corpus, or its train split when --split is on (val/test
     # rows must never reach the mixture/packing/BPE sink)
