@@ -115,6 +115,13 @@ QUERIES = [
     ("text_line_quality", "C4/RefinedWeb line-wise quality rules — a "
      "pure zero-exchange in-row projection (integer ratios over the "
      "split array; scan speed)"),
+    ("text_normalize", "unicode canon pass — ONE mapInPandas Arrow "
+     "stage computes repair + all five steps + counters in-batch; zero "
+     "exchanges, text never shuffles"),
+    ("text_lm_perplexity", "Stupid-Backoff trigram LM — in-row trigram "
+     "structs (no array duplication), sample-sized count groupBys, "
+     "THREE broadcast scoring joins + 1-row unk crossJoin, one "
+     "doc-grain agg, per-lang integer tercile window"),
     ("host_link_centrality", "host-graph PageRank (fixed-point int64), "
      "shown at rounds=1 — every round has this same shape: ONE "
      "equi-join of host-grain ranks into the static outdeg-carrying "
