@@ -56,6 +56,7 @@ DOC_QUERIES = [
     "text_model_score",
     "text_boilerplate_lines",
     "text_normalize",
+    "text_embed_hash",
     "text_lm_perplexity",
     "text_line_quality",
     "text_langid_eval",
@@ -104,7 +105,7 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, hostrep, langid,
+    from ocr_module_spark.functions import (dedup, embed, hostrep, langid,
                                             linededup, linkgraph, mixture,
                                             model_score, multimodal,
                                             packing, simsearch, snapshots,
@@ -143,6 +144,8 @@ def _extra_queries():
                                    linededup.SQL_BOILERPLATE_LINES),
         "text_line_quality": (linededup.q_line_quality,
                               linededup.SQL_LINE_QUALITY),
+        "text_embed_hash": (embed.q_text_embed_hash,
+                            embed.SQL_TEXT_EMBED_HASH),
         "text_lm_perplexity": (ngramlm.q_lm_perplexity,
                                ngramlm.SQL_LM_PERPLEXITY),
         "text_normalize": (textnorm.q_text_normalize,

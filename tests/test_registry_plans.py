@@ -32,7 +32,7 @@ def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
-    from ocr_module_spark.functions import (hostrep, langid, linededup,
+    from ocr_module_spark.functions import (embed, hostrep, langid, linededup,
                                             linkgraph, mixture, model_score,
                                             ngramlm, packing, snapshots,
                                             splits, textnorm, urls)
@@ -63,6 +63,7 @@ def _extra_queries():
         "text_line_quality": linededup.q_line_quality,
         "text_normalize": textnorm.q_text_normalize,
         "text_lm_perplexity": ngramlm.q_lm_perplexity,
+        "text_embed_hash": embed.q_text_embed_hash,
     }
 
 

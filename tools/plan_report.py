@@ -115,6 +115,9 @@ QUERIES = [
     ("text_line_quality", "C4/RefinedWeb line-wise quality rules — a "
      "pure zero-exchange in-row projection (integer ratios over the "
      "split array; scan speed)"),
+    ("text_embed_hash", "signed feature-hash embeddings — one explode "
+     "+ two narrow partial-agg groupBys; the dense vector assembles "
+     "from a bucket map lookup, order-free; integer artifact"),
     ("text_normalize", "unicode canon pass — ONE mapInPandas Arrow "
      "stage computes repair + all five steps + counters in-batch; zero "
      "exchanges, text never shuffles"),
@@ -141,7 +144,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry_mod.queries())
     # oracled operators outside the 50-row driver window
-    from ocr_module_spark.functions import (hostrep, langid, linededup,
+    from ocr_module_spark.functions import (embed, hostrep, langid, linededup,
                                             linkgraph, mixture, model_score,
                                             ngramlm, packing, snapshots,
                                             splits, textnorm, urls)
@@ -151,7 +154,7 @@ def main() -> int:
                 **hostrep.REGISTRY, **snapshots.REGISTRY,
                 **splits.REGISTRY, **mixture.REGISTRY,
                 **linededup.REGISTRY, **textnorm.REGISTRY,
-                **ngramlm.REGISTRY}.items()})
+                **ngramlm.REGISTRY, **embed.REGISTRY}.items()})
     # the report shows the per-round plan (rounds=1); the 3-round
     # unrolled parity query is the same shape repeated ~2700 nodes deep
     qs["host_link_centrality"] = linkgraph.q_link_centrality_round_plan
