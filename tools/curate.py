@@ -176,6 +176,17 @@ def main() -> int:
                          "gain docs_normalized + docs_mojibake_repaired; "
                          "fused into the extraction Arrow stage, zero "
                          "extra exchanges")
+    ap.add_argument("--embed", action="store_true",
+                    help="derive feature-hash embeddings for the "
+                         "curated output (signed hashing trick, "
+                         "all-integer artifact): writes "
+                         "<out>/embeddings (url, emb array<long>)")
+    ap.add_argument("--compress-stats", action="store_true",
+                    help="zlib compression-ratio audit of the curated "
+                         "output (repetition / encoded-payload flags): "
+                         "writes <out>/compress_stats and the "
+                         "docs_too_repetitive / docs_incompressible "
+                         "counters; annotation, not a gate")
     ap.add_argument("--lm-tiers", action="store_true",
                     help="train the Stupid-Backoff trigram LM on the "
                          "curated output and bucket it into CCNet-style "
@@ -334,6 +345,35 @@ def main() -> int:
                         f"{out}/wet", n_files=args.wet_files)
         counters["wet_files"] = acc["wet_files"]
         counters["wet_records"] = acc["records"]
+    if args.embed:
+        from pyspark.sql import functions as F
+
+        from ocr_module_spark.functions.embed import embed_hashing
+        emb = embed_hashing(
+            spark.read.parquet(f"{out}/curated")
+            .select(F.col("url").alias("doc_id"), "text")) \
+            .withColumnRenamed("doc_id", "url")
+        emb.write.mode("overwrite").parquet(f"{out}/embeddings")
+        counters["docs_embedded"] = \
+            spark.read.parquet(f"{out}/embeddings").count()
+
+    if args.compress_stats:
+        from pyspark.sql import functions as F
+
+        from ocr_module_spark.functions.compress import compression_frame
+        cs = compression_frame(
+            spark.read.parquet(f"{out}/curated")
+            .select(F.col("url").alias("doc_id"), "text")) \
+            .withColumnRenamed("doc_id", "url")
+        cs.write.mode("overwrite").parquet(f"{out}/compress_stats")
+        agg = spark.read.parquet(f"{out}/compress_stats").agg(
+            F.coalesce(F.sum(F.col("too_repetitive").cast("long")),
+                       F.lit(0)).alias("r"),
+            F.coalesce(F.sum(F.col("incompressible").cast("long")),
+                       F.lit(0)).alias("i")).first()
+        counters["docs_too_repetitive"] = int(agg["r"])
+        counters["docs_incompressible"] = int(agg["i"])
+
     if args.lm_tiers:
         from pyspark.sql import functions as F
         from ocr_module_spark.functions.ngramlm import (
