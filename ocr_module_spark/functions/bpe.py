@@ -282,3 +282,31 @@ def packed_bpe_sequences(docs: DataFrame, merges: list[tuple[str, str]],
                         key_col, "w"))
     return packed_sequences_from_tokens(
         base, seq_len if seq_len is not None else SEQ_LEN, key_col)
+
+
+UNK_SYM = "�"     # decode-side rendering of UNK_ID (U+FFFD)
+
+
+def decode_corpus(enc: DataFrame, vocab: dict[str, int],
+                  ids_col: str = "token_ids",
+                  keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(keep..., text): invert :func:`encode_corpus` — the training-sink
+    integrity direction (shards must decode back to real text; a vocab/
+    merge-table mismatch surfaces here, not after a training run).
+
+    Pure native expressions, zero exchanges: the inverse vocabulary is
+    a MAP LITERAL (model-sized — alphabet + merges — so it rides the
+    plan, no join), symbols re-assemble in-row and the reserved END
+    marker becomes the word boundary. UNK_ID renders as U+FFFD (the
+    information was destroyed at encode time — the replacement char
+    says so honestly). Round-trip law (pinned in tests):
+    ``decode(encode(t)) == ' '.join(javaws_split(lower(t)))`` for every
+    document whose chars were all seen at train time."""
+    inv = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in vocab.values()]),
+        F.array(*[F.lit(s) for s in vocab.keys()]))
+    syms = F.transform(
+        F.col(ids_col),
+        lambda i: F.coalesce(F.element_at(inv, i), F.lit(UNK_SYM)))
+    text = F.rtrim(F.regexp_replace(F.concat_ws("", syms), END, " "))
+    return enc.select(*keep, text.alias("text"))

@@ -173,3 +173,62 @@ def test_encode_plan_is_single_arrow_stage(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_decode_round_trip(spark):
+    """decode(encode(t)) == the tokenizer's normal form of t — for every
+    corpus doc whose chars are all in the training alphabet; chars
+    unseen at train time decode to U+FFFD (information destroyed at
+    encode time, reported honestly); zero-exchange plan."""
+    import re
+
+    from ocr_module_spark.functions.bpe import (
+        END, UNK_ID, bpe_vocab, corpus_alphabet, decode_corpus,
+        encode_corpus, train_bpe_merges)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").where("doc_id < 80")
+    merges = train_bpe_merges(docs, n_merges=12)
+    vocab = bpe_vocab(corpus_alphabet(docs), merges)
+    enc = encode_corpus(docs, merges, vocab)
+    plan = decode_corpus(enc, vocab)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    dec = {r["doc_id"]: r["text"]
+           for r in decode_corpus(enc, vocab).collect()}
+    has_unk = {r["doc_id"] for r in
+               enc.where(f"array_contains(token_ids, {UNK_ID})")
+               .collect()}
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for r in docs.collect():
+        if r["text"] is None:
+            assert dec[r["doc_id"]] == ""
+            continue
+        want = " ".join(
+            w for w in ws.split(r["text"].lower().replace(END, ""))
+            if w)
+        if r["doc_id"] in has_unk:
+            assert "�" in dec[r["doc_id"]]
+        else:
+            assert dec[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_decode_unk_renders_replacement(spark):
+    from ocr_module_spark.functions.bpe import (
+        bpe_vocab, corpus_alphabet, decode_corpus, encode_corpus,
+        train_bpe_merges)
+    train = spark.createDataFrame(
+        [(0, "abc abc cab")], "doc_id long, text string")
+    merges = train_bpe_merges(train, n_merges=3)
+    vocab = bpe_vocab(corpus_alphabet(train), merges)
+    # 'z' never seen at train time
+    enc = encode_corpus(spark.createDataFrame(
+        [(1, "ab zz ba")], "doc_id long, text string"), merges, vocab)
+    dec = decode_corpus(enc, vocab).collect()[0]["text"]
+    # 'zz' -> (z, z▁) both unseen -> two UNKs, and 'ba' ends in 'a▁'
+    # (a never word-final at train time) -> one more UNK. An UNK that
+    # swallowed a word-FINAL symbol also swallowed its END marker, so
+    # the following boundary is lost — by design (the information was
+    # destroyed at encode time): 'ab ��b�'
+    assert dec == "ab ��b�"
+    assert dec.count("�") == 3
