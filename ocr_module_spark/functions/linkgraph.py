@@ -63,7 +63,7 @@ from html.parser import HTMLParser
 from typing import Iterator, List, Optional, Tuple
 from urllib.parse import urljoin
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DAMPING_X1000 = 850        # the classic 0.85, in integer permille
@@ -438,6 +438,98 @@ ORDER BY r.host
 SQL_LINK_CENTRALITY = _sql_link_centrality()
 
 
+ANCHOR_TOP_K = 8      # anchors kept per destination host
+
+
+def host_anchor_texts(links: DataFrame, k: int = ANCHOR_TOP_K,
+                      include_nofollow: bool = False,
+                      cross_host_only: bool = True) -> DataFrame:
+    """(dst_host, anchor, n_links, n_src_hosts, rnk) — the top-``k``
+    in-link anchor strings per destination host: the classic web-search
+    relevance signal, and in a pretraining pipeline the document-
+    enrichment text ("what the web calls this page") that augments a
+    host's own content. Consumes :func:`extract_links` output.
+
+    Shape: one partial-aggregated groupBy(dst_host, anchor) — anchors
+    shuffle once at (host, anchor) grain, never page content — then one
+    per-host window over the aggregated frame (rows per host ≤ its
+    distinct-anchor count, already reduced). Rank order (n_links DESC,
+    n_src_hosts DESC, anchor ASC) is total — deterministic on both
+    engines. Empty anchors and (by default) nofollow / same-host links
+    are excluded: an anchor the author withheld endorsement from, or
+    navigation a site says about itself, is not third-party evidence.
+    """
+    f = links.where((F.col("dst_host") != "") & (F.col("anchor") != ""))
+    if not include_nofollow:
+        f = f.where(~F.col("nofollow"))
+    if cross_host_only:
+        f = f.where(F.col("src_host") != F.col("dst_host"))
+    agg = (f.groupBy("dst_host", "anchor")
+           .agg(F.count("*").cast("long").alias("n_links"),
+                F.countDistinct("src_host").cast("long")
+                .alias("n_src_hosts")))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("n_src_hosts").desc(),
+        F.col("anchor").asc())
+    return (agg.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def q_host_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-checkable demo: pseudo-links derived from the
+    documents table (the q_link_centrality device — source of doc i
+    endorses source of doc (7i+3) mod N), with the ANCHOR being doc
+    i's first whitespace token lowercased and nofollow a doc_id
+    stripe — then the exact production rollup."""
+    from .textstats import _docs
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text") \
+        .where(F.col("source").isNotNull()
+               & F.col("text").isNotNull()
+               & (F.length(F.trim("text")) > 0))
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    b = d.select(F.col("doc_id").alias("b_id"),
+                 F.col("source").alias("dst_host"))
+    links = (d.crossJoin(F.broadcast(mx))
+             .withColumn("b_id", F.expr("(doc_id * 7 + 3) % m"))
+             .join(b, "b_id")
+             .select(F.col("source").alias("src_host"), "dst_host",
+                     F.lower(F.element_at(
+                         F.split(F.trim("text"), r"\s+"), 1))
+                     .alias("anchor"),
+                     (F.col("doc_id") % 5 == 0).alias("nofollow")))
+    return host_anchor_texts(links).orderBy("dst_host", "rnk")
+
+
+SQL_HOST_ANCHORS = f"""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
+    AND length(trim(text)) > 0
+), mx AS (SELECT max(doc_id) + 1 AS m FROM d),
+links AS (
+  SELECT a.source AS src_host, b.source AS dst_host,
+         lower(string_split_regex(trim(a.text), '\\s+')[1]) AS anchor,
+         (a.doc_id % 5 = 0) AS nofollow
+  FROM d a, mx JOIN d b ON b.doc_id = (a.doc_id * 7 + 3) % mx.m
+), agg AS (
+  SELECT dst_host, anchor, count(*)::BIGINT AS n_links,
+         count(DISTINCT src_host)::BIGINT AS n_src_hosts
+  FROM links
+  WHERE dst_host <> '' AND anchor <> '' AND NOT nofollow
+    AND src_host <> dst_host
+  GROUP BY dst_host, anchor
+), rnk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY dst_host
+      ORDER BY n_links DESC, n_src_hosts DESC, anchor ASC) AS rnk
+  FROM agg
+)
+SELECT dst_host, anchor, n_links, n_src_hosts, rnk
+FROM rnk WHERE rnk <= {ANCHOR_TOP_K}
+"""
+
+
 REGISTRY = {
     "host_link_centrality": (q_link_centrality, SQL_LINK_CENTRALITY),
+    "host_anchor_texts": (q_host_anchors, SQL_HOST_ANCHORS),
 }

@@ -62,6 +62,7 @@ DOC_QUERIES = [
     "text_langid_eval",
     "host_reputation",
     "host_link_centrality",
+    "host_anchor_texts",
     "snapshot_diff",
     # rotated out of the driver window in round 4 (slots taken by
     # curate_pack_sequences / fn_url_canonicalize) — identical value
@@ -156,6 +157,8 @@ def _extra_queries():
                             hostrep.SQL_HOST_REPUTATION),
         "host_link_centrality": (linkgraph.q_link_centrality,
                                  linkgraph.SQL_LINK_CENTRALITY),
+        "host_anchor_texts": (linkgraph.q_host_anchors,
+                              linkgraph.SQL_HOST_ANCHORS),
         "snapshot_diff": (snapshots.q_snapshot_diff,
                           snapshots.SQL_SNAPSHOT_DIFF),
         "mm_metadata": (multimodal.q_mm_metadata,

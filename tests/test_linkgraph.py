@@ -222,3 +222,55 @@ def test_demo_plan_no_scale_killers(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_host_anchor_texts_production_path(spark):
+    """Planted pages -> extract_links -> host_anchor_texts equals the
+    pure-Python rollup over links_one; nofollow/same-host/empty anchors
+    excluded; rank order total (count desc, src-host fanout desc,
+    anchor asc)."""
+    from collections import Counter
+
+    from ocr_module_spark.functions.linkgraph import (extract_links,
+                                                      host_anchor_texts)
+    mk = lambda links: ("<html><body>" + "".join(
+        f'<a href="{h}"{" rel=nofollow" if nf else ""}>{a}</a>'
+        for h, a, nf in links) + "</body></html>").encode()
+    pages = [
+        ("https://a.example/p1", mk([
+            ("https://t.example/x", "Great Docs", False),
+            ("https://t.example/y", "Great Docs", False),
+            ("https://t.example/z", "api reference", False),
+            ("https://t.example/n", "paid link", True),      # nofollow
+            ("https://a.example/self", "nav", False),        # same-host
+            ("https://t.example/e", "", False),              # empty
+        ])),
+        ("https://b.example/p2", mk([
+            ("https://t.example/x", "Great Docs", False),
+            ("https://u.example/1", "other site", False),
+        ])),
+    ]
+    df = spark.createDataFrame(pages, "url string, html binary")
+    got = [tuple(r) for r in
+           host_anchor_texts(extract_links(df))
+           .orderBy("dst_host", "rnk").collect()]
+    # pure-Python expectation via the shared kernel
+    cnt, srcs = Counter(), {}
+    for url, payload in pages:
+        src_host = url.split("/")[2]
+        for _, dh, a, nf in links_one(url, payload):
+            if nf or not a or dh == src_host:
+                continue
+            cnt[(dh, a)] += 1
+            srcs.setdefault((dh, a), set()).add(src_host)
+    want = []
+    per_host = {}
+    for (dh, a), n in cnt.items():
+        per_host.setdefault(dh, []).append((a, n, len(srcs[(dh, a)])))
+    for dh, rows in sorted(per_host.items()):
+        rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
+        for i, (a, n, s) in enumerate(rows, 1):
+            want.append((dh, a, n, s, i))
+    assert got == want
+    assert got[0][:2] == ("t.example", "great docs") or \
+        got[0][:2] == ("t.example", "Great Docs")

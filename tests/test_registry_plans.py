@@ -25,8 +25,11 @@ import __spark_entry__ as entry_mod
 #   broadcast 1-row max-doc_id frame) — both build sides single-row
 # - text_lm_perplexity: the unk-floor row (ord=0) and the trainer's
 #   total-token frame are broadcast 1-row crossJoins (model constants)
+# - host_anchor_texts: the DEMO derives pseudo-links via the same
+#   broadcast 1-row max-doc_id frame as host_link_centrality; the
+#   production path (extract_links -> rollup) has no cross join
 BNLJ_OK = {"ann_recall_eval", "text_langid_eval", "host_link_centrality",
-           "text_lm_perplexity"}
+           "text_lm_perplexity", "host_anchor_texts"}
 
 def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
@@ -43,6 +46,7 @@ def _extra_queries():
         "text_langid_eval": langid.q_langid_eval,
         "host_reputation": hostrep.q_host_reputation,
         "host_link_centrality": linkgraph.q_link_centrality,
+        "host_anchor_texts": linkgraph.q_host_anchors,
         "snapshot_diff": snapshots.q_snapshot_diff,
         # curate_pack_sequences / fn_url_canonicalize moved INTO the
         # driver window in round 4; proj_bbox / token_split left it
