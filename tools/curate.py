@@ -36,6 +36,14 @@ decontamination (ocr_module_spark.curate) and writes:
   manifest (``--shards`` + ``--encode-bpe``)
 * ``<out>/wet``      — the curated text as WET-style WARC containers
   + manifest (``--wet``; ``--wet-files`` dials the container count)
+* ``<out>/embeddings`` — (url, emb array<long>) feature-hash document
+  embeddings of the curated output (``--embed``)
+* ``<out>/compress_stats`` — (url, raw_len, comp_len, ratio_x1000,
+  too_repetitive, incompressible) zlib quality audit
+  (``--compress-stats``)
+* ``<out>/lm_model`` + ``<out>/lm_tiers`` — the Stupid-Backoff trigram
+  LM trained on the curated output and its per-lang head/middle/tail
+  perplexity terciles (``--lm-tiers``)
 * stdout             — ONE JSON line of per-stage counters
 
 ``--input-format warc`` curates straight off raw ``.warc/.warc.gz``
