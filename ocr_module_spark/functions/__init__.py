@@ -9,7 +9,8 @@ value-hash comparison is exact.
 
 from __future__ import annotations
 
-from . import decontam, dedup, multimodal, packing, simsearch, textstats, urls
+from . import (decontam, dedup, dsir, multimodal, packing, simsearch,
+               textstats, urls)
 
 
 def registry():
@@ -24,4 +25,10 @@ def registry():
     # (tools/parity_check.py + tests/test_hostile_parity.py).
     out["curate_pack_sequences"] = packing.REGISTRY["curate_pack_sequences"]
     out["fn_url_canonicalize"] = urls.REGISTRY["fn_url_canonicalize"]
+    # second r4 rotation: DSIR selection takes the slot of
+    # dedup_jaccard_pairs — the jaccard-verify stage stays fully gated
+    # out-of-window (hostile parity + parity_check) and its family keeps
+    # two in-window rows (dedup_ngram_jaccard, the keep-list chain).
+    del out["dedup_jaccard_pairs"]
+    out["text_dsir_select"] = dsir.REGISTRY["text_dsir_select"]
     return out

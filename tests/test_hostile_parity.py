@@ -58,6 +58,7 @@ DOC_QUERIES = [
     "text_normalize",
     "text_embed_hash",
     "text_lm_perplexity",
+    "text_dsir_select",
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
@@ -70,6 +71,7 @@ DOC_QUERIES = [
     # part table
     "proj_bbox_reduction_units",
     "dedup_exact",
+    "dedup_jaccard_pairs",
     "dedup_incremental",
     "dedup_spans",
     "dedup_minhash_signatures",
@@ -106,12 +108,12 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, embed, hostrep, langid,
-                                            linededup, linkgraph, mixture,
-                                            model_score, multimodal,
-                                            packing, simsearch, snapshots,
-                                            ngramlm, splits, textnorm,
-                                            textstats, urls)
+    from ocr_module_spark.functions import (dedup, dsir, embed, hostrep,
+                                            langid, linededup, linkgraph,
+                                            mixture, model_score,
+                                            multimodal, packing, simsearch,
+                                            snapshots, ngramlm, splits,
+                                            textnorm, textstats, urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -151,6 +153,8 @@ def _extra_queries():
                                ngramlm.SQL_LM_PERPLEXITY),
         "text_normalize": (textnorm.q_text_normalize,
                            textnorm.SQL_TEXT_NORMALIZE),
+        "text_dsir_select": (dsir.q_dsir_select,
+                             dsir.SQL_DSIR_SELECT),
         "text_langid_eval": (langid.q_langid_eval,
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,
@@ -177,6 +181,8 @@ def _extra_queries():
                                    textstats.SQL_SAMPLE_STRATIFIED_HASH),
         "dedup_minhash_signatures": (dedup.q_dedup_minhash,
                                      dedup.SQL_DEDUP_MINHASH),
+        "dedup_jaccard_pairs": (dedup.q_dedup_jaccard_pairs,
+                                dedup.SQL_DEDUP_JACCARD_PAIRS),
         "dedup_incremental": (dedup.q_dedup_incremental,
                               dedup.SQL_DEDUP_INCREMENTAL),
         "dedup_lsh_buckets": (dedup.q_dedup_lsh_buckets,

@@ -29,16 +29,20 @@ import __spark_entry__ as entry_mod
 #   broadcast 1-row max-doc_id frame as host_link_centrality; the
 #   production path (extract_links -> rollup) has no cross join
 BNLJ_OK = {"ann_recall_eval", "text_langid_eval", "host_link_centrality",
-           "text_lm_perplexity", "host_anchor_texts"}
+           "text_lm_perplexity", "host_anchor_texts",
+           # text_dsir_select: the smoothing-totals frame is a broadcast
+           # 1-row aggregate crossJoined onto the <=DSIR_DIM-row model
+           "text_dsir_select"}
 
 def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
-    from ocr_module_spark.functions import (embed, hostrep, langid, linededup,
-                                            linkgraph, mixture, model_score,
-                                            ngramlm, packing, snapshots,
-                                            splits, textnorm, urls)
+    from ocr_module_spark.functions import (dedup, embed, hostrep, langid,
+                                            linededup, linkgraph, mixture,
+                                            model_score, ngramlm, packing,
+                                            snapshots, splits, textnorm,
+                                            urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
@@ -68,6 +72,7 @@ def _extra_queries():
         "text_normalize": textnorm.q_text_normalize,
         "text_lm_perplexity": ngramlm.q_lm_perplexity,
         "text_embed_hash": embed.q_text_embed_hash,
+        "dedup_jaccard_pairs": dedup.q_dedup_jaccard_pairs,
     }
 
 

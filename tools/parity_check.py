@@ -63,13 +63,14 @@ def main() -> int:
     # oracled operators living OUTSIDE the 50-row driver window (the
     # registry is pinned at 50 so every driver row stays green; these
     # get the identical gate here and in tests/test_hostile_parity.py)
-    from ocr_module_spark.functions import (embed, hostrep, langid, linededup,
-                                            linkgraph, mixture, model_score,
-                                            ngramlm, packing, snapshots,
-                                            splits, textnorm, urls)
+    from ocr_module_spark.functions import (dsir, embed, hostrep, langid,
+                                            linededup, linkgraph, mixture,
+                                            model_score, ngramlm, packing,
+                                            snapshots, splits, textnorm,
+                                            urls)
     for mod in (packing, urls, model_score, langid, hostrep, snapshots,
                 splits, mixture, linededup, linkgraph, textnorm, ngramlm,
-                embed):
+                embed, dsir):
         for name, (fn, sql) in mod.REGISTRY.items():
             qs.setdefault(name, fn)
             if sql is not None:
@@ -77,6 +78,11 @@ def main() -> int:
     qs.setdefault("curate_pack_materialize", packing.q_pack_materialize)
     oracles.setdefault("curate_pack_materialize",
                        packing.SQL_PACK_MATERIALIZE)
+    # rotated out of the driver window in round 4 (slot taken by
+    # text_dsir_select); identical value gate here + hostile parity
+    from ocr_module_spark.functions import dedup
+    qs.setdefault("dedup_jaccard_pairs", dedup.q_dedup_jaccard_pairs)
+    oracles.setdefault("dedup_jaccard_pairs", dedup.SQL_DEDUP_JACCARD_PAIRS)
     # rotated out of the driver window in round 4 (slots taken by
     # curate_pack_sequences / fn_url_canonicalize)
     from ocr_module_spark.operators import relational
