@@ -284,6 +284,29 @@ def split_from_curated(curated: DataFrame) -> DataFrame:
             .drop("url_host"))
 
 
+def dsir_from_curated(curated: DataFrame, pages: DataFrame,
+                      target_lang: str = "en", k: int = 1000) -> DataFrame:
+    """DSIR importance selection over the curation survivors
+    (functions/dsir): rank every curated document by how well its
+    hashed-n-gram distribution matches the ``target_lang`` slice and
+    keep the Gumbel-top-k — the domain-targeting stage (Xie et al.
+    2023) that runs AFTER the quality/dedup/decontamination gates and
+    BEFORE the budget/mixture stages (select the domain first, then
+    weigh what survived). Returns the decision frame ``(url, logw,
+    key)`` — equi-join the curated output against it; text bytes never
+    ride the selection's shuffles (grams hash to integer buckets before
+    the first exchange). The crawl ``lang`` label comes from the pages
+    table; unlabeled docs score against the raw model only (they can
+    be selected, never contribute to the target model)."""
+    from .functions.dsir import dsir_select
+    labeled = (curated.select("url", "text")
+               .join(pages.select("url", "lang"), "url", "left"))
+    docs = labeled.select(F.col("url").alias("doc_id"), "lang", "text")
+    return (dsir_select(docs, target_lang=target_lang, k=k,
+                        checkpoint=True)
+            .select(F.col("doc_id").alias("url"), "logw", "key"))
+
+
 def mixture_from_curated(curated: DataFrame, budget: int) -> DataFrame:
     """Temperature-sampled mixture over the curated output
     (functions/mixture): groups are the quality tiers (low excluded —

@@ -12,6 +12,9 @@ decontamination (ocr_module_spark.curate) and writes:
 * ``<out>/audit``    — per-document stage verdicts (drop-reason dashboard)
 * ``<out>/mix``      — (url, tier, n_tokens, cum_tokens) token-budget
   mixture selection (``--budget-mix``; curated is restricted to it)
+* ``<out>/dsir``     — (url, logw, key) DSIR importance-resampling
+  decision frame toward ``--dsir-target``'s language slice
+  (``--dsir K``; curated is restricted to the K selected docs)
 * ``<out>/packs``    — (url_host, seq_no, url, tok_start, tok_end,
   seq_off) sequence-packing plan (``--pack SEQ_LEN``; ``--pack-salt``
   splits hot hosts into independent streams)
@@ -141,6 +144,16 @@ def main() -> int:
                          "quality tier's token budget deterministically; "
                          "writes <out>/mix and restricts <out>/curated "
                          "to the selected documents")
+    ap.add_argument("--dsir", type=int, default=0, metavar="K",
+                    help="DSIR importance selection (hashed-n-gram "
+                         "importance resampling toward --dsir-target's "
+                         "language slice, Gumbel-top-K): writes the "
+                         "(url, logw, key) decision frame to <out>/dsir "
+                         "and restricts <out>/curated to the K selected "
+                         "documents; runs after --budget-mix, before "
+                         "--split")
+    ap.add_argument("--dsir-target", default="en", metavar="LANG",
+                    help="target lang label for --dsir (default en)")
     ap.add_argument("--link-graph", action="store_true",
                     help="harvest out-links from the raw pages, build "
                          "the host-level webgraph and its fixed-point "
@@ -220,6 +233,10 @@ def main() -> int:
         ap.error("--encode-bpe requires --train-bpe N")
     if args.resume and args.link_graph:
         ap.error("--link-graph reads the raw pages' html, which the "
+                 "stored audit does not keep; run it on a full (non "
+                 "--resume) pass")
+    if args.resume and args.dsir > 0:
+        ap.error("--dsir reads the raw pages' lang labels, which the "
                  "stored audit does not keep; run it on a full (non "
                  "--resume) pass")
     if args.resume and (args.budget_mix or args.strip_boilerplate
@@ -339,6 +356,14 @@ def main() -> int:
                 .first()
             counters["docs_mixed"] = int(agg["docs_mixed"])
             counters["tokens_mixed"] = int(agg["tokens_mixed"])
+        if args.dsir > 0:
+            from ocr_module_spark.curate import dsir_from_curated
+            sel = dsir_from_curated(curated, pages, args.dsir_target,
+                                    args.dsir).localCheckpoint(eager=True)
+            sel.write.mode("overwrite").parquet(f"{out}/dsir")
+            # decision frame joined back on url, same shape as --budget-mix
+            curated = curated.join(sel.select("url"), "url")
+            counters["docs_dsir_selected"] = sel.count()
         if args.split:
             from ocr_module_spark.curate import split_from_curated
             curated = split_from_curated(curated)
