@@ -125,6 +125,12 @@ QUERIES = [
      "structs (no array duplication), sample-sized count groupBys, "
      "THREE broadcast scoring joins + 1-row unk crossJoin, one "
      "doc-grain agg, per-lang integer tercile window"),
+    ("text_dsir_select", "DSIR importance selection — gram strings hash "
+     "to integer buckets BEFORE the exchange (doc text never shuffles), "
+     "the two bag-of-ngrams models are ≤1024-row bucket rollups joined "
+     "via one BROADCAST log-ratio table, the fixed-point log2 recurrence "
+     "is a constant-width whole-stage-codegen projection chain, and the "
+     "Gumbel-top-k is TakeOrdered — never a global sort"),
     ("host_link_centrality", "host-graph PageRank (fixed-point int64), "
      "shown at rounds=1 — every round has this same shape: ONE "
      "equi-join of host-grain ranks into the static outdeg-carrying "
@@ -159,8 +165,12 @@ def main() -> int:
     # unrolled parity query is the same shape repeated ~2700 nodes deep
     qs["host_link_centrality"] = linkgraph.q_link_centrality_round_plan
     qs["curate_pack_materialize"] = packing.q_pack_materialize
-    from ocr_module_spark.functions.dedup import q_dedup_incremental
+    from ocr_module_spark.functions.dedup import (q_dedup_incremental,
+                                                  q_dedup_jaccard_pairs)
     qs["dedup_incremental"] = q_dedup_incremental
+    # rotated out of the 50-row driver window for text_dsir_select
+    # (hostile gate keeps its DuckDB parity); the plan is still reported
+    qs["dedup_jaccard_pairs"] = q_dedup_jaccard_pairs
 
     out = ["# PLANS — physical plans of the headline queries",
            "",
