@@ -1,0 +1,100 @@
+"""text_datacard — one-pass corpus datasheet (GROUPING SETS rollup).
+
+Pure-Python reference twin on a planted corpus (NULL/empty edges
+included), conservation invariants (every dim partitions the corpus),
+cross-parallelism determinism, and plan shape (text never rides the
+Expand or any exchange; join-free). DuckDB value parity runs in
+tools/parity_check.py and tests/test_hostile_parity.py.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ocr_module_spark.functions.datacard import (corpus_datacard,
+                                                 q_text_datacard)
+
+PLANTED = [
+    # (doc_id, text, lang, source)
+    (1, "one two three", "en", "a.com"),
+    (2, "vier fünf", "de", "a.com"),
+    (3, " ".join(f"w{i}" for i in range(12)), "en", "b.org"),
+    (4, "", "en", "b.org"),            # empty text: 0 tokens, 0 chars
+    (5, None, None, None),             # all-NULL row: und / '' host
+    (6, "solo", "en", None),           # NULL host joins the '' group
+    (7, "  padded   spacing  ", "fr", "c.net"),
+]
+
+
+def ref_datacard(rows):
+    per = []
+    for _id, text, lang, source in rows:
+        nt = len(text.split()) if text and text.strip() else 0
+        nc = len(text) if text is not None else 0
+        per.append((lang or "und", source or "", nt, nc,
+                    len(str(nt))))
+    out = {}
+    for dim, key in (("total", lambda r: ""),
+                     ("lang", lambda r: r[0]),
+                     ("len_digits", lambda r: str(r[4]))):
+        g = defaultdict(lambda: [0, set(), 0, 0])
+        for r in per:
+            a = g[key(r)]
+            a[0] += 1
+            a[1].add(r[1])
+            a[2] += r[2]
+            a[3] += r[3]
+        for v, a in g.items():
+            out[(dim, v)] = (a[0], len(a[1]), a[2], a[3])
+    return out
+
+
+def test_reference_twin(spark):
+    df = spark.createDataFrame(
+        PLANTED, "doc_id long, text string, lang string, source string")
+    got = {(r["dim"], r["value"]):
+           (r["n_docs"], r["n_hosts"], r["n_tokens"], r["n_chars"])
+           for r in corpus_datacard(df).collect()}
+    assert got == ref_datacard(PLANTED)
+
+
+def test_dims_partition_corpus(spark, sf_dir):
+    rows = q_text_datacard(spark, sf_dir).collect()
+    by_dim = defaultdict(list)
+    for r in rows:
+        by_dim[r["dim"]].append(r)
+    [total] = by_dim["total"]
+    assert total["value"] == ""
+    for dim in ("lang", "len_digits"):
+        assert sum(r["n_docs"] for r in by_dim[dim]) == total["n_docs"]
+        assert sum(r["n_tokens"] for r in by_dim[dim]) \
+            == total["n_tokens"]
+        assert sum(r["n_chars"] for r in by_dim[dim]) == total["n_chars"]
+        # hosts span categories, so per-dim distinct counts bound the
+        # corpus total from above but each is at most the total docs
+        assert all(1 <= r["n_hosts"] <= total["n_docs"]
+                   for r in by_dim[dim])
+
+
+def test_cross_parallelism_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i} " * (i % 23), ["en", "de", "fr"][i % 3],
+          f"h{i % 11}") for i in range(400)],
+        "doc_id long, text string, lang string, source string")
+    a = sorted(map(tuple, corpus_datacard(df).collect()))
+    b = sorted(map(tuple, corpus_datacard(
+        df.repartition(13, "lang")).collect()))
+    assert a == b
+
+
+def test_plan_shape(spark, sf_dir):
+    plan = (q_text_datacard(spark, sf_dir)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Expand" in plan                      # grouping sets, 1 pass
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # text is consumed by the narrow projection before the Expand and
+    # before any exchange: neither multiplies nor shuffles document text
+    for line in plan.splitlines():
+        if "Expand" in line or "Exchange" in line:
+            assert "text#" not in line, line

@@ -59,6 +59,7 @@ DOC_QUERIES = [
     "text_embed_hash",
     "text_lm_perplexity",
     "text_dsir_select",
+    "text_datacard",
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
@@ -108,12 +109,13 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (dedup, dsir, embed, hostrep,
-                                            langid, linededup, linkgraph,
-                                            mixture, model_score,
-                                            multimodal, packing, simsearch,
-                                            snapshots, ngramlm, splits,
-                                            textnorm, textstats, urls)
+    from ocr_module_spark.functions import (datacard, dedup, dsir, embed,
+                                            hostrep, langid, linededup,
+                                            linkgraph, mixture,
+                                            model_score, multimodal,
+                                            packing, simsearch, snapshots,
+                                            ngramlm, splits, textnorm,
+                                            textstats, urls)
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -155,6 +157,8 @@ def _extra_queries():
                            textnorm.SQL_TEXT_NORMALIZE),
         "text_dsir_select": (dsir.q_dsir_select,
                              dsir.SQL_DSIR_SELECT),
+        "text_datacard": (datacard.q_text_datacard,
+                          datacard.SQL_TEXT_DATACARD),
         "text_langid_eval": (langid.q_langid_eval,
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,

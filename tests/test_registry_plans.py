@@ -38,8 +38,9 @@ def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
-    from ocr_module_spark.functions import (dedup, embed, hostrep, langid,
-                                            linededup, linkgraph, mixture,
+    from ocr_module_spark.functions import (datacard, dedup, embed,
+                                            hostrep, langid, linededup,
+                                            linkgraph, mixture,
                                             model_score, ngramlm, packing,
                                             snapshots, splits, textnorm,
                                             urls)
@@ -73,6 +74,7 @@ def _extra_queries():
         "text_lm_perplexity": ngramlm.q_lm_perplexity,
         "text_embed_hash": embed.q_text_embed_hash,
         "dedup_jaccard_pairs": dedup.q_dedup_jaccard_pairs,
+        "text_datacard": datacard.q_text_datacard,
     }
 
 

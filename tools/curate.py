@@ -44,6 +44,8 @@ decontamination (ocr_module_spark.curate) and writes:
 * ``<out>/compress_stats`` — (url, raw_len, comp_len, ratio_x1000,
   too_repetitive, incompressible) zlib quality audit
   (``--compress-stats``)
+* ``<out>/datacard`` — (dim, value, n_docs, n_hosts, n_tokens,
+  n_chars) one-pass dataset-card rollup of the curated output
 * ``<out>/lm_model`` + ``<out>/lm_tiers`` — the Stupid-Backoff trigram
   LM trained on the curated output and its per-lang head/middle/tail
   perplexity terciles (``--lm-tiers``)
@@ -217,6 +219,12 @@ def main() -> int:
                          "<out>/lm_tiers and docs_ppl_* counters; "
                          "annotation, not a gate — tier-based dropping "
                          "is a downstream mixture policy")
+    ap.add_argument("--datacard", action="store_true",
+                    help="one-pass GROUPING SETS datasheet of the "
+                         "curated output (totals / per-lang / "
+                         "length-decade rows over docs, hosts, tokens, "
+                         "chars — the dataset-card table): writes "
+                         "<out>/datacard; annotation, not a gate")
     ap.add_argument("--langid", action="store_true",
                     help="verify the crawl's lang labels with the "
                          "trained char-trigram classifier (self-trained "
@@ -433,6 +441,24 @@ def main() -> int:
                   .groupBy("ppl_tier").count().collect()):
             counters[f"docs_ppl_{r['ppl_tier']}"] = int(r["count"])
         counters["lm_model_rows"] = model.count()
+
+    if args.datacard:
+        from pyspark.sql import functions as F
+
+        from ocr_module_spark.functions.datacard import corpus_datacard
+        from ocr_module_spark.pipeline import with_host
+        base = with_host(spark.read.parquet(f"{out}/curated")
+                         .select("url", "text"))
+        if not args.resume:
+            base = base.join(pages.select("url", "lang"), "url", "left")
+        else:
+            # the stored artifact keeps no crawl lang — single 'und' row
+            base = base.withColumn("lang", F.lit(None).cast("string"))
+        card = corpus_datacard(base, lang_col="lang",
+                               host_col="url_host")
+        card.write.mode("overwrite").parquet(f"{out}/datacard")
+        counters["datacard_rows"] = \
+            spark.read.parquet(f"{out}/datacard").count()
 
     # every artifact a trainer consumes comes from this frame: the full
     # curated corpus, or its train split when --split is on (val/test

@@ -131,6 +131,12 @@ QUERIES = [
      "via one BROADCAST log-ratio table, the fixed-point log2 recurrence "
      "is a constant-width whole-stage-codegen projection chain, and the "
      "Gumbel-top-k is TakeOrdered — never a global sort"),
+    ("text_datacard", "corpus datasheet in ONE pass — GROUPING SETS "
+     "((), (lang), (len_digits)) over a narrow projection: the 3-column "
+     "pruned scan drops document text BEFORE the Expand, so the ×3 row "
+     "multiplication and both exchanges carry ~50 B rows; the "
+     "distinct-host count is the standard two-phase aggregate; "
+     "join-free, kilobytes out at any corpus size"),
     ("host_link_centrality", "host-graph PageRank (fixed-point int64), "
      "shown at rounds=1 — every round has this same shape: ONE "
      "equi-join of host-grain ranks into the static outdeg-carrying "
@@ -171,6 +177,8 @@ def main() -> int:
     # rotated out of the 50-row driver window for text_dsir_select
     # (hostile gate keeps its DuckDB parity); the plan is still reported
     qs["dedup_jaccard_pairs"] = q_dedup_jaccard_pairs
+    from ocr_module_spark.functions.datacard import q_text_datacard
+    qs["text_datacard"] = q_text_datacard
 
     out = ["# PLANS — physical plans of the headline queries",
            "",
