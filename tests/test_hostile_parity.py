@@ -60,6 +60,7 @@ DOC_QUERIES = [
     "text_lm_perplexity",
     "text_dsir_select",
     "text_datacard",
+    "text_badwords",
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
@@ -109,7 +110,8 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (datacard, dedup, dsir, embed,
+    from ocr_module_spark.functions import (badwords, datacard, dedup,
+                                            dsir, embed,
                                             hostrep, langid, linededup,
                                             linkgraph, mixture,
                                             model_score, multimodal,
@@ -159,6 +161,8 @@ def _extra_queries():
                              dsir.SQL_DSIR_SELECT),
         "text_datacard": (datacard.q_text_datacard,
                           datacard.SQL_TEXT_DATACARD),
+        "text_badwords": (badwords.q_text_badwords,
+                          badwords.SQL_TEXT_BADWORDS),
         "text_langid_eval": (langid.q_langid_eval,
                              langid.SQL_LANGID_EVAL),
         "host_reputation": (hostrep.q_host_reputation,

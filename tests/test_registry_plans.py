@@ -38,7 +38,8 @@ def _extra_queries():
     """Oracled operators living outside the 50-row driver window (the
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
-    from ocr_module_spark.functions import (datacard, dedup, embed,
+    from ocr_module_spark.functions import (badwords, datacard, dedup,
+                                            embed,
                                             hostrep, langid, linededup,
                                             linkgraph, mixture,
                                             model_score, ngramlm, packing,
@@ -75,6 +76,7 @@ def _extra_queries():
         "text_embed_hash": embed.q_text_embed_hash,
         "dedup_jaccard_pairs": dedup.q_dedup_jaccard_pairs,
         "text_datacard": datacard.q_text_datacard,
+        "text_badwords": badwords.q_text_badwords,
     }
 
 

@@ -44,6 +44,8 @@ decontamination (ocr_module_spark.curate) and writes:
 * ``<out>/compress_stats`` — (url, raw_len, comp_len, ratio_x1000,
   too_repetitive, incompressible) zlib quality audit
   (``--compress-stats``)
+* ``<out>/badwords`` — (url, n_bad_words, bad_flag) policy-wordlist
+  verdict (C4 blocklist stage; list supplied via --badwords FILE)
 * ``<out>/datacard`` — (dim, value, n_docs, n_hosts, n_tokens,
   n_chars) one-pass dataset-card rollup of the curated output
 * ``<out>/lm_model`` + ``<out>/lm_tiers`` — the Stupid-Backoff trigram
@@ -219,6 +221,14 @@ def main() -> int:
                          "<out>/lm_tiers and docs_ppl_* counters; "
                          "annotation, not a gate — tier-based dropping "
                          "is a downstream mixture policy")
+    ap.add_argument("--badwords", default="", metavar="FILE",
+                    help="policy-wordlist verdict over the curated "
+                         "output (C4 blocklist stage; FILE = one "
+                         "lowercase word per line — the engine ships no "
+                         "list of its own): writes <out>/badwords and "
+                         "the docs_badwords_flagged counter; "
+                         "annotation, not a gate — dropping is a "
+                         "downstream policy")
     ap.add_argument("--datacard", action="store_true",
                     help="one-pass GROUPING SETS datasheet of the "
                          "curated output (totals / per-lang / "
@@ -441,6 +451,22 @@ def main() -> int:
                   .groupBy("ppl_tier").count().collect()):
             counters[f"docs_ppl_{r['ppl_tier']}"] = int(r["count"])
         counters["lm_model_rows"] = model.count()
+
+    if args.badwords:
+        from pyspark.sql import functions as F
+
+        from ocr_module_spark.functions.badwords import badwords_flags
+        with open(args.badwords, encoding="utf-8") as fh:
+            words = sorted({w.strip().lower()
+                            for w in fh if w.strip()})
+        bw = badwords_flags(
+            spark.read.parquet(f"{out}/curated").select("url", "text"),
+            words, id_col="url")
+        bw.write.mode("overwrite").parquet(f"{out}/badwords")
+        counters["docs_badwords_flagged"] = int(
+            spark.read.parquet(f"{out}/badwords")
+            .agg(F.coalesce(F.sum(F.col("bad_flag").cast("long")),
+                            F.lit(0))).first()[0])
 
     if args.datacard:
         from pyspark.sql import functions as F

@@ -63,15 +63,15 @@ def main() -> int:
     # oracled operators living OUTSIDE the 50-row driver window (the
     # registry is pinned at 50 so every driver row stays green; these
     # get the identical gate here and in tests/test_hostile_parity.py)
-    from ocr_module_spark.functions import (datacard, dsir, embed,
-                                            hostrep, langid, linededup,
-                                            linkgraph, mixture,
+    from ocr_module_spark.functions import (badwords, datacard, dsir,
+                                            embed, hostrep, langid,
+                                            linededup, linkgraph, mixture,
                                             model_score, ngramlm, packing,
                                             snapshots, splits, textnorm,
                                             urls)
     for mod in (packing, urls, model_score, langid, hostrep, snapshots,
                 splits, mixture, linededup, linkgraph, textnorm, ngramlm,
-                embed, dsir, datacard):
+                embed, dsir, datacard, badwords):
         for name, (fn, sql) in mod.REGISTRY.items():
             qs.setdefault(name, fn)
             if sql is not None:

@@ -131,6 +131,10 @@ QUERIES = [
      "via one BROADCAST log-ratio table, the fixed-point log2 recurrence "
      "is a constant-width whole-stage-codegen projection chain, and the "
      "Gumbel-top-k is TakeOrdered — never a global sort"),
+    ("text_badwords", "C4-style policy-wordlist filter — the list rides "
+     "the plan as an ARRAY LITERAL (broadcast-by-constant: no join, no "
+     "shuffle, no Python); whole-token set-intersection verdict in a "
+     "zero-exchange scan-speed projection"),
     ("text_datacard", "corpus datasheet in ONE pass — GROUPING SETS "
      "((), (lang), (len_digits)) over a narrow projection: the 3-column "
      "pruned scan drops document text BEFORE the Expand, so the ×3 row "
@@ -179,6 +183,8 @@ def main() -> int:
     qs["dedup_jaccard_pairs"] = q_dedup_jaccard_pairs
     from ocr_module_spark.functions.datacard import q_text_datacard
     qs["text_datacard"] = q_text_datacard
+    from ocr_module_spark.functions.badwords import q_text_badwords
+    qs["text_badwords"] = q_text_badwords
 
     out = ["# PLANS — physical plans of the headline queries",
            "",
