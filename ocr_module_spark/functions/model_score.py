@@ -144,6 +144,96 @@ FROM s
 """
 
 
+def auc_frame(scored: DataFrame, labels: DataFrame,
+              score_col: str = "score_x1000") -> DataFrame:
+    """Exact tie-aware ROC-AUC of a score column against binary labels
+    — the "measure, don't guess" eval for the model gate (does the
+    classifier's score actually rank gate-passing documents above
+    gate-failing ones?). One row out: ``(n_pos, n_neg, u_times2,
+    auc_x1000000)``.
+
+    Mann-Whitney rank form, INTEGER end-to-end (bit-identical across
+    partitionings/engines): with per-score-value groups g ordered by
+    score, average-rank×2 of group g is ``2·cum_below + n_g + 1``, so
+
+        2·R_pos = Σ_g n_pos_g · (2·cum_below_g + n_g + 1)
+        2·U     = 2·R_pos − n_pos·(n_pos+1)           # ∈ [0, 2·n_pos·n_neg]
+        auc_x1e6 = (2U · 500000) div (n_pos·n_neg)    # ties count 1/2
+
+    Scale shape: the corpus reduces FIRST — one partial-aggregated
+    groupBy(score) census — and only then does the one-partition
+    running-sum window run, over the score GRID, not the corpus: the
+    model emits quantized integer scores (0..2000 for the count-ratio
+    weights), so the window input is ≤2001 rows at any corpus size.
+    Degenerate single-class inputs yield NULL auc (n_pos·n_neg = 0).
+    """
+    from pyspark.sql.window import Window
+    sc = (scored.select("doc_id",
+                        F.col(score_col).cast("long").alias("score"))
+          .join(labels, "doc_id"))
+    g = sc.groupBy("score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("cum_below",
+                     F.coalesce(F.sum("n").over(w), F.lit(0)))
+    agg = c.agg(
+        F.sum(F.col("n_pos")
+              * (2 * F.col("cum_below") + F.col("n") + 1))
+        .cast("long").alias("r2"),
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("nn"))
+    u2 = F.col("r2") - F.col("np") * (F.col("np") + 1)
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        u2.cast("long").alias("u_times2"),
+        F.when((F.col("np") > 0) & (F.col("nn") > 0),
+               F.expr("((r2 - np * (np + 1)) * 500000)"
+                      " div (np * nn)"))
+        .cast("long").alias("auc_x1000000"))
+
+
+def q_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: AUC of the bootstrap-trained model's score against
+    the heuristic quality labels it was trained on (training-set AUC —
+    the gate-calibration sanity number; production evaluates on a
+    held-out labeled sample through the same frame)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return auc_frame(score_frame(d, weights_frame(d)),
+                     quality_label_frame(d))
+
+
+SQL_MODEL_AUC = SQL_MODEL_SCORE.rsplit("\nSELECT", 1)[0] + """,
+sc AS (
+  SELECT s.doc_id, (sum_w // n_tokens)::BIGINT AS score, lab.label
+  FROM s JOIN lab ON s.doc_id = lab.doc_id
+), g AS (
+  SELECT score, count(*)::BIGINT AS n, sum(label)::BIGINT AS n_pos
+  FROM sc GROUP BY score
+), c AS (
+  SELECT score, n, n_pos,
+         coalesce(sum(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_below
+  FROM g
+), agg AS (
+  SELECT CAST(sum(n_pos * (2 * cum_below + n + 1)) AS BIGINT) AS r2,
+         CAST(sum(n_pos) AS BIGINT) AS np,
+         CAST(sum(n - n_pos) AS BIGINT) AS nn
+  FROM c
+)
+SELECT np AS n_pos, nn AS n_neg,
+       (r2 - np * (np + 1))::BIGINT AS u_times2,
+       CAST(CASE WHEN np > 0 AND nn > 0
+            THEN ((r2 - np * (np + 1)) * 500000) // (np * nn)
+       END AS BIGINT) AS auc_x1000000
+FROM agg
+"""
+
+
 REGISTRY = {
     "text_model_score": (q_model_score, SQL_MODEL_SCORE),
+    "text_model_auc": (q_model_auc, SQL_MODEL_AUC),
 }

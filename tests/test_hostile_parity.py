@@ -61,6 +61,7 @@ DOC_QUERIES = [
     "text_dsir_select",
     "text_datacard",
     "text_badwords",
+    "text_model_auc",
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
@@ -147,6 +148,8 @@ def _extra_queries():
                                    urls.SQL_URL_LATEST_REVISION),
         "text_model_score": (model_score.q_model_score,
                              model_score.SQL_MODEL_SCORE),
+        "text_model_auc": (model_score.q_model_auc,
+                           model_score.SQL_MODEL_AUC),
         "text_boilerplate_lines": (linededup.q_boilerplate_lines,
                                    linededup.SQL_BOILERPLATE_LINES),
         "text_line_quality": (linededup.q_line_quality,

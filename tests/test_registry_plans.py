@@ -64,6 +64,7 @@ def _extra_queries():
         "curate_shards_salted": packing.q_curate_shards_salted,
         "fn_url_latest_revision": urls.q_url_latest_revision,
         "text_model_score": model_score.q_model_score,
+        "text_model_auc": model_score.q_model_auc,
         "region_pixel_features": q_region_pixel_features,
         "curate_split": splits.q_split_rollup,
         "curate_split_leakage": splits.q_split_leakage_audit,

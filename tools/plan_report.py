@@ -131,6 +131,12 @@ QUERIES = [
      "via one BROADCAST log-ratio table, the fixed-point log2 recurrence "
      "is a constant-width whole-stage-codegen projection chain, and the "
      "Gumbel-top-k is TakeOrdered — never a global sort"),
+    ("text_model_auc", "tie-aware ROC-AUC of the model gate "
+     "(Mann-Whitney rank form, integer end-to-end) — the corpus reduces "
+     "FIRST through one partial-aggregated groupBy(score) census; the "
+     "one-partition running-sum window then runs over the quantized "
+     "score GRID (≤2001 rows at any corpus size), never per-document "
+     "rows; one row out"),
     ("text_badwords", "C4-style policy-wordlist filter — the list rides "
      "the plan as an ARRAY LITERAL (broadcast-by-constant: no join, no "
      "shuffle, no Python); whole-token set-intersection verdict in a "
@@ -185,6 +191,8 @@ def main() -> int:
     qs["text_datacard"] = q_text_datacard
     from ocr_module_spark.functions.badwords import q_text_badwords
     qs["text_badwords"] = q_text_badwords
+    from ocr_module_spark.functions.model_score import q_model_auc
+    qs["text_model_auc"] = q_model_auc
 
     out = ["# PLANS — physical plans of the headline queries",
            "",
