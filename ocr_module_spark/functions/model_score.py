@@ -233,7 +233,86 @@ FROM agg
 """
 
 
+AUC_HOLDOUT_MOD = 5    # demo fold: doc_id % 5 == 0 held out, rest trains
+
+
+def q_model_auc_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out AUC — the honest generalization number next to
+    ``q_model_auc``'s training-set reading: the bootstrap model trains
+    ONLY on the 4/5 train fold (``doc_id % 5 != 0``) and is scored +
+    evaluated ONLY on the held-out fold. Production composes
+    ``auc_frame`` with the host-keyed ``splits.split_assignments``
+    (leakage-safe); the demo folds on doc_id because the sf corpora
+    have ~20 hosts, so a 2%-of-hosts val fold is empty — a
+    doc-grain fold keeps the demo discriminative while exercising the
+    identical train/score/evaluate composition. Scale shape unchanged:
+    the fold predicates are scan filters ahead of the model-score
+    shapes."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    labels = quality_label_frame(d)
+    fold = F.pmod(F.col("doc_id"), F.lit(AUC_HOLDOUT_MOD))
+    w = train_weights(d.where(fold != 0), labels)
+    held = d.where(fold == 0)
+    return auc_frame(score_frame(held, w), labels)
+
+
+SQL_MODEL_AUC_HOLDOUT = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), lab AS (
+  SELECT doc_id, {sql_quality_label_expr()} AS label FROM d
+), t AS (
+  SELECT doc_id, lower(u.word) AS word
+  FROM d, unnest(w) AS u(word)
+), v AS (
+  SELECT word, count(*)::BIGINT AS n, sum(lab.label)::BIGINT AS n_pos
+  FROM t JOIN lab ON t.doc_id = lab.doc_id
+  WHERE t.doc_id % {AUC_HOLDOUT_MOD} <> 0
+  GROUP BY word
+  ORDER BY count(*) DESC, word LIMIT {W_VOCAB_K}
+), wt AS (
+  SELECT word, (2000 * (n_pos + 1)) // (n + 2) AS w_x1000 FROM v
+), s AS (
+  SELECT t.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(coalesce(wt.w_x1000, {W_NEUTRAL}))::BIGINT AS sum_w
+  FROM t LEFT JOIN wt ON t.word = wt.word
+  WHERE t.doc_id % {AUC_HOLDOUT_MOD} = 0
+  GROUP BY t.doc_id
+), sc AS (
+  SELECT s.doc_id, (sum_w // n_tokens)::BIGINT AS score, lab.label
+  FROM s JOIN lab ON s.doc_id = lab.doc_id
+), g AS (
+  SELECT score, count(*)::BIGINT AS n, sum(label)::BIGINT AS n_pos
+  FROM sc GROUP BY score
+), c AS (
+  SELECT score, n, n_pos,
+         coalesce(sum(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_below
+  FROM g
+), agg AS (
+  SELECT CAST(sum(n_pos * (2 * cum_below + n + 1)) AS BIGINT) AS r2,
+         CAST(sum(n_pos) AS BIGINT) AS np,
+         CAST(sum(n - n_pos) AS BIGINT) AS nn
+  FROM c
+)
+SELECT np AS n_pos, nn AS n_neg,
+       (r2 - np * (np + 1))::BIGINT AS u_times2,
+       CAST(CASE WHEN np > 0 AND nn > 0
+            THEN ((r2 - np * (np + 1)) * 500000) // (np * nn)
+       END AS BIGINT) AS auc_x1000000
+FROM agg
+"""
+
+
 REGISTRY = {
     "text_model_score": (q_model_score, SQL_MODEL_SCORE),
     "text_model_auc": (q_model_auc, SQL_MODEL_AUC),
+    "text_model_auc_holdout": (q_model_auc_holdout,
+                               SQL_MODEL_AUC_HOLDOUT),
 }

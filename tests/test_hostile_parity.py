@@ -62,6 +62,7 @@ DOC_QUERIES = [
     "text_datacard",
     "text_badwords",
     "text_model_auc",
+    "text_model_auc_holdout",
     "text_line_quality",
     "text_langid_eval",
     "host_reputation",
@@ -150,6 +151,8 @@ def _extra_queries():
                              model_score.SQL_MODEL_SCORE),
         "text_model_auc": (model_score.q_model_auc,
                            model_score.SQL_MODEL_AUC),
+        "text_model_auc_holdout": (model_score.q_model_auc_holdout,
+                                   model_score.SQL_MODEL_AUC_HOLDOUT),
         "text_boilerplate_lines": (linededup.q_boilerplate_lines,
                                    linededup.SQL_BOILERPLATE_LINES),
         "text_line_quality": (linededup.q_line_quality,

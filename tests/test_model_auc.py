@@ -70,6 +70,25 @@ def test_fuzz_vs_pair_counting(spark, pairs):
         assert r["auc_x1000000"] is None
 
 
+def test_holdout_composition(spark, sf_dir):
+    """The holdout row accounts for exactly the held-out fold's
+    scoreable docs, and its AUC reads below the training-set AUC on
+    this corpus (the generalization gap the operator exists to
+    expose)."""
+    from pyspark.sql import functions as F
+
+    from ocr_module_spark.functions.model_score import (
+        AUC_HOLDOUT_MOD, q_model_auc_holdout)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    held_scoreable = d.where(
+        (F.pmod("doc_id", F.lit(AUC_HOLDOUT_MOD)) == 0)
+        & (F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)).count()
+    [h] = q_model_auc_holdout(spark, sf_dir).collect()
+    assert h["n_pos"] + h["n_neg"] == held_scoreable
+    [t] = q_model_auc(spark, sf_dir).collect()
+    assert h["auc_x1000000"] < t["auc_x1000000"]
+
+
 def test_plan_census_before_window(spark, sf_dir):
     plan = (q_model_auc(spark, sf_dir)._jdf.queryExecution()
             .executedPlan().toString())

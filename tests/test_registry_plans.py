@@ -65,6 +65,7 @@ def _extra_queries():
         "fn_url_latest_revision": urls.q_url_latest_revision,
         "text_model_score": model_score.q_model_score,
         "text_model_auc": model_score.q_model_auc,
+        "text_model_auc_holdout": model_score.q_model_auc_holdout,
         "region_pixel_features": q_region_pixel_features,
         "curate_split": splits.q_split_rollup,
         "curate_split_leakage": splits.q_split_leakage_audit,

@@ -137,6 +137,10 @@ QUERIES = [
      "one-partition running-sum window then runs over the quantized "
      "score GRID (≤2001 rows at any corpus size), never per-document "
      "rows; one row out"),
+    ("text_model_auc_holdout", "held-out AUC — identical census-then-"
+     "grid-window shape as text_model_auc; the train/holdout folds are "
+     "scan-level filter predicates ahead of the model-score joins, so "
+     "the composition adds zero exchanges of its own"),
     ("text_badwords", "C4-style policy-wordlist filter — the list rides "
      "the plan as an ARRAY LITERAL (broadcast-by-constant: no join, no "
      "shuffle, no Python); whole-token set-intersection verdict in a "
@@ -191,8 +195,10 @@ def main() -> int:
     qs["text_datacard"] = q_text_datacard
     from ocr_module_spark.functions.badwords import q_text_badwords
     qs["text_badwords"] = q_text_badwords
-    from ocr_module_spark.functions.model_score import q_model_auc
+    from ocr_module_spark.functions.model_score import (
+        q_model_auc, q_model_auc_holdout)
     qs["text_model_auc"] = q_model_auc
+    qs["text_model_auc_holdout"] = q_model_auc_holdout
 
     out = ["# PLANS — physical plans of the headline queries",
            "",
