@@ -76,6 +76,27 @@ def test_dims_partition_corpus(spark, sf_dir):
                    for r in by_dim[dim])
 
 
+def test_curate_chain_mirror(spark):
+    """Mirrors tools/curate.py --datacard plumbing: host derived from
+    the curated output's url, crawl lang left-joined from pages (NULL
+    lang lands in 'und')."""
+    from ocr_module_spark.pipeline import with_host
+    curated = spark.createDataFrame(
+        [("http://a.com/x", "w1 w2"), ("http://b.org/y", "w3")],
+        "url string, text string")
+    pages = spark.createDataFrame(
+        [("http://a.com/x", "en"), ("http://b.org/y", None)],
+        "url string, lang string")
+    base = with_host(curated).join(pages, "url", "left")
+    rows = {(r["dim"], r["value"]): (r["n_docs"], r["n_tokens"])
+            for r in corpus_datacard(base, host_col="url_host")
+            .collect()}
+    assert rows[("total", "")] == (2, 3)
+    assert rows[("lang", "en")] == (1, 2)
+    assert rows[("lang", "und")] == (1, 1)
+    assert rows[("len_digits", "1")] == (2, 3)
+
+
 def test_cross_parallelism_determinism(spark):
     df = spark.createDataFrame(
         [(i, f"tok{i} " * (i % 23), ["en", "de", "fr"][i % 3],
