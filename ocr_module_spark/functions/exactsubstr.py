@@ -1,0 +1,273 @@
+"""ExactSubstr dedup: arbitrary-alignment duplicated-run removal.
+
+The one dedup grain the suite's other operators cannot see: span dedup
+(dedup.span_dedup_frame) removes DISJOINT k-word spans, so a duplicated
+passage that straddles a span boundary — or starts at word 3 of one doc
+and word 4,007 of another — survives it. The ExactSubstr discipline
+(Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better") removes every duplicated run of >= L tokens at ANY alignment.
+The paper builds a corpus-wide suffix array; that is a driver-sized
+object at 10^12 documents, so this module gets the same answer with a
+two-phase anchor/verify plan whose every stage is a bounded relational
+shape:
+
+* ANCHOR — per-document winnowing (Schleimer et al. 2003): hash every
+  k-word gram (md5, the house hash), then in every window of w
+  consecutive k-grams select the (hash, pos)-minimal one. All in-row
+  higher-order functions — no shuffle until the anchors exist, and the
+  selected set is ~2/(w+1) of the k-grams, 40-byte rows. The winnowing
+  GUARANTEE: any two occurrences of a common run of >= w + k - 1 words
+  contain a content-identical window of w k-grams, whose hash-minimal
+  k-gram is selected in BOTH documents at the same content offset (ties
+  broken by position inside a content-identical window land on the same
+  relative k-gram) — so every duplicated run of >= MIN_RUN words is
+  covered by a shared anchor hash. No suffix array needed.
+* DECIDE — one partial-aggregated ``groupBy`` on the 32-char anchor
+  hash: occurrence count + min (doc_id, pos) canonical. Boilerplate
+  anchors repeated 10^9 times are one decision row.
+* VERIFY — each non-canonical occurrence fetches a bounded word window
+  (+-ext around its anchor; one equi-join to the corpus on doc_id, one
+  to the canonical window on the hash) and extends the match forward /
+  backward with ``zip_with`` word-equality + first-mismatch — exact
+  WORD comparison, JVM-side, so the output has ZERO false positives
+  (an md5 collision fails the word compare and drops out). Runs
+  shorter than ``min_run`` are discarded; the cap ``ext`` bounds
+  per-row work and shuffle width (a fully-duplicated 10^6-word page
+  still verifies in O(ext), its uncovered middle caught by its own
+  later anchors).
+* REWRITE — matched intervals merge per document (sort + one
+  ``aggregate`` fold) and the kept text reassembles in-row; the
+  canonical occurrence of every run is preserved (keep-first, min
+  (doc_id, pos) — the same canonical rule as span/keep-list dedup).
+
+Reference tie: the reference deduplicates nothing (it re-OCRs every
+page it is handed, translate_pdf.py); this operator exists for the
+100 TB training-data curation mission the brief layers on top.
+
+Cross-engine value pinning follows the test_bpe convention: a pure-
+Python reference twin (:func:`exact_substr_twin`) mirrors every stage
+bit-for-bit and the frame exposes ``kept_md5`` so tests pin the
+reassembled bytes without shipping text through a compare.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+K = 8          # words per k-gram
+W = 18         # winnowing window (k-grams)
+MIN_RUN = W + K - 1   # 25 words — exactly the winnowing guarantee
+EXT_CAP = 512  # max verified extension (words, each side of the anchor)
+
+_IVT = "array<struct<start:bigint,end:bigint>>"
+
+
+def _words_col(col: str = "text"):
+    """The suite's whitespace tokenizer; NULL/empty -> empty array."""
+    return (F.when(F.col(col).isNull()
+                   | (F.length(F.trim(col)) == 0),
+                   F.array().cast("array<string>"))
+            .otherwise(F.split(F.trim(col), r"\s+")))
+
+
+def winnow_anchors(docs: DataFrame, k: int = K, w: int = W) -> DataFrame:
+    """Per-document winnowing fingerprints: ``(doc_id, h, pos)``.
+
+    ``pos`` is the selected k-gram's word offset; ``h`` its md5. Docs
+    shorter than ``k`` words emit nothing (they cannot contain a run).
+    Documents with fewer than ``w`` k-grams winnow over one whole-doc
+    window, so every doc with >= k words emits >= 1 anchor. Pure
+    projection + one posexplode — no shuffle.
+    """
+    d = (docs.select("doc_id", _words_col().alias("wds"))
+         .withColumn("n_w", F.size("wds"))
+         .where(F.col("n_w") >= k)
+         .withColumn("n_kg", F.col("n_w") - F.lit(k) + 1)
+         .withColumn("hs", F.expr(
+             f"transform(sequence(0, n_kg - 1), i -> "
+             f"md5(cast(array_join(slice(wds, i + 1, {k}), ' ') "
+             f"as binary)))"))
+         .withColumn("ww", F.least(F.col("n_kg"), F.lit(w))))
+    sel = ("array_distinct(transform(sequence(0, n_kg - ww), j -> "
+           "array_min(transform(sequence(j, j + ww - 1), p -> "
+           "named_struct('h', element_at(hs, p + 1), 'pos', p)))))")
+    return (d.select("doc_id", F.explode(F.expr(sel)).alias("a"))
+            .select("doc_id", F.col("a.h").alias("h"),
+                    F.col("a.pos").cast("long").alias("pos")))
+
+
+def _first_mismatch(a: str, b: str) -> str:
+    """SQL: common-prefix length of two word arrays (exact compare).
+
+    ``zip_with`` pads the shorter side with NULL and ``<=>`` makes the
+    pad compare false; the appended sentinel false means
+    ``array_position`` always finds a first mismatch, so the -1 is the
+    match length."""
+    return (f"array_position(concat(zip_with({a}, {b}, "
+            f"(x, y) -> x <=> y), array(false)), false) - 1")
+
+
+def exact_substr_matched(docs: DataFrame, k: int = K, w: int = W,
+                         min_run: int = MIN_RUN,
+                         ext: int = EXT_CAP) -> DataFrame:
+    """Verified duplicated-run intervals per non-canonical occurrence:
+    ``(doc_id, start, end)`` word intervals (end exclusive), each an
+    exact word-for-word match of >= ``min_run`` words against the run's
+    canonical (min (doc_id, pos)) occurrence."""
+    anchors = winnow_anchors(docs, k, w)
+    dec = (anchors.groupBy("h")
+           .agg(F.count("*").alias("n_occ"),
+                F.min(F.struct("doc_id", "pos")).alias("first"))
+           .where(F.col("n_occ") >= 2)
+           .select("h", "first"))
+    flagged = anchors.join(dec, "h")
+    wide = docs.select("doc_id", _words_col().alias("wds"))
+    lo = F.greatest(F.lit(0), F.col("pos") - F.lit(ext))
+    wins = (flagged.join(wide, "doc_id")
+            .select("doc_id", "h", "pos", "first",
+                    (F.col("pos") - lo).alias("off"),
+                    F.expr(f"slice(wds, greatest(0L, pos - {ext}) + 1, "
+                           f"pos - greatest(0L, pos - {ext}) "
+                           f"+ {k} + {ext})").alias("win")))
+    is_canon = ((F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos")))
+    canon = (wins.where(is_canon)
+             .select("h", F.col("win").alias("cwin"),
+                     F.col("off").alias("coff")))
+    pairs = wins.where(~is_canon).join(canon, "h")
+    fwd = F.expr(_first_mismatch(
+        "slice(win, off + 1, size(win) - off)",
+        "slice(cwin, coff + 1, size(cwin) - coff)"))
+    bwd = F.expr(_first_mismatch(
+        "reverse(slice(win, 1, off))", "reverse(slice(cwin, 1, coff))"))
+    return (pairs.select("doc_id", fwd.alias("fwd"), bwd.alias("bwd"),
+                         "pos")
+            .where(F.col("fwd") + F.col("bwd") >= min_run)
+            .select("doc_id",
+                    (F.col("pos") - F.col("bwd")).alias("start"),
+                    (F.col("pos") + F.col("fwd")).alias("end")))
+
+
+_MERGE = f"""aggregate(ivs, cast(array() as {_IVT}), (acc, x) ->
+  case when size(acc) > 0 and element_at(acc, -1).end >= x.start
+       then concat(slice(acc, 1, size(acc) - 1),
+                   array(named_struct(
+                       'start', element_at(acc, -1).start,
+                       'end', greatest(element_at(acc, -1).end, x.end))))
+       else concat(acc, array(x)) end)"""
+
+_KEPT = """transform(filter(
+  transform(wds, (x, i) -> named_struct('x', x, 'i', cast(i as bigint))),
+  s -> not exists(mi, m -> s.i >= m.start and s.i < m.end)),
+  s -> s.x)"""
+
+
+def _rewritten(docs: DataFrame, matched: DataFrame) -> DataFrame:
+    per_doc = (matched.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("start", "end")))
+                    .alias("ivs"))
+               .select("doc_id", F.expr(_MERGE).alias("mi")))
+    return (docs.select("doc_id", _words_col().alias("wds"))
+            .join(per_doc, "doc_id", "left")
+            .withColumn("mi", F.coalesce(
+                "mi", F.expr(f"cast(array() as {_IVT})")))
+            .withColumn("kept", F.expr(_KEPT)))
+
+
+def exact_substr_frame(docs: DataFrame, k: int = K, w: int = W,
+                       min_run: int = MIN_RUN,
+                       ext: int = EXT_CAP) -> DataFrame:
+    """Per-document verdict frame: one row per input doc (grain
+    preserved, NULL/empty included) with the duplicated-run audit and
+    the md5 of the reassembled kept text."""
+    out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run, ext))
+    kept_text = F.array_join("kept", " ")
+    return out.select(
+        "doc_id",
+        F.size("wds").alias("n_words"),
+        F.size("mi").alias("n_dup_runs"),
+        F.expr("aggregate(mi, 0L, (acc, m) -> acc + m.end - m.start)")
+        .alias("dup_words"),
+        F.size("kept").alias("kept_words"),
+        F.md5(kept_text.cast("binary")).alias("kept_md5"))
+
+
+def exact_substr_text(docs: DataFrame, k: int = K, w: int = W,
+                      min_run: int = MIN_RUN,
+                      ext: int = EXT_CAP) -> DataFrame:
+    """Content-rewrite form: ``(doc_id, text, n_dup_runs)`` with every
+    non-canonical duplicated run removed (whitespace-normalized to
+    single spaces by construction) — chains between the quality gate
+    and the training sink like span_dedup_text."""
+    out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run, ext))
+    return out.select("doc_id", F.array_join("kept", " ").alias("text"),
+                      F.size("mi").cast("int").alias("n_dup_runs"))
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference twin (mirrors every stage; tests pin equality)
+
+def _twin_words(text) -> list[str]:
+    if text is None or not text.strip():
+        return []
+    return text.strip().split()
+
+
+def _twin_anchors(wds: list[str], k: int, w: int) -> list[tuple[str, int]]:
+    n_kg = len(wds) - k + 1
+    if n_kg < 1:
+        return []
+    hs = [hashlib.md5(" ".join(wds[i:i + k]).encode()).hexdigest()
+          for i in range(n_kg)]
+    ww = min(n_kg, w)
+    sel = set()
+    for j in range(n_kg - ww + 1):
+        sel.add(min(((hs[p], p) for p in range(j, j + ww))))
+    return sorted(sel)
+
+
+def exact_substr_twin(docs: dict, k: int = K, w: int = W,
+                      min_run: int = MIN_RUN, ext: int = EXT_CAP) -> dict:
+    """Pure-Python mirror of exact_substr_frame over ``{doc_id: text}``:
+    returns ``{doc_id: (kept_text, n_dup_runs, dup_words)}``."""
+    words = {d: _twin_words(t) for d, t in docs.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(words):
+        for h, pos in _twin_anchors(words[d], k, w):
+            occ.setdefault(h, []).append((d, pos))
+    ivs: dict[int, list[tuple[int, int]]] = {d: [] for d in docs}
+    for h, lst in occ.items():
+        if len(lst) < 2:
+            continue
+        cd, cp = min(lst)
+        cw = words[cd]
+        for d, p in lst:
+            if (d, p) == (cd, cp):
+                continue
+            dw = words[d]
+            fwd = 0
+            while (p + fwd < min(len(dw), p + k + ext)
+                   and cp + fwd < min(len(cw), cp + k + ext)
+                   and dw[p + fwd] == cw[cp + fwd]):
+                fwd += 1
+            bwd = 0
+            while (bwd < min(p, ext) and bwd < min(cp, ext)
+                   and dw[p - 1 - bwd] == cw[cp - 1 - bwd]):
+                bwd += 1
+            if fwd + bwd >= min_run:
+                ivs[d].append((p - bwd, p + fwd))
+    out = {}
+    for d in docs:
+        merged: list[list[int]] = []
+        for s, e in sorted(ivs[d]):
+            if merged and merged[-1][1] >= s:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept = [x for i, x in enumerate(words[d])
+                if not any(s <= i < e for s, e in merged)]
+        out[d] = (" ".join(kept), len(merged),
+                  sum(e - s for s, e in merged))
+    return out

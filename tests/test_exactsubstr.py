@@ -1,0 +1,171 @@
+"""ExactSubstr dedup (functions/exactsubstr.py): twin equality, the
+winnowing coverage guarantee, exactness (zero false positives), and the
+scale shape of the plan.
+
+Conventions mirror test_span_dedup / test_bpe: a pure-Python reference
+twin pins every value (the operator has no tractable single-query SQL
+form — the suffix-array paper's semantics need the anchor/verify
+composition), hypothesis fuzz drives the twin-vs-engine equality, and
+the plan is asserted equi-join-only with no Python stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from ocr_module_spark.functions.exactsubstr import (
+    K, MIN_RUN, W, _twin_anchors, exact_substr_frame, exact_substr_text,
+    exact_substr_twin, winnow_anchors)
+
+# a run of exactly MIN_RUN words (the winnowing guarantee boundary)
+RUN = " ".join(f"run{i}" for i in range(MIN_RUN))
+# unique filler vocabularies (no accidental k-gram overlap across docs)
+FILL_A = " ".join(f"fa{i}" for i in range(40))
+FILL_B = " ".join(f"fb{i}" for i in range(40))
+FILL_C = " ".join(f"fc{i}" for i in range(40))
+FILL_D = " ".join(f"fd{i}" for i in range(40))
+
+
+def _frame(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict()
+            for r in exact_substr_frame(df).collect()}
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (0, f"{FILL_A} {RUN}"),            # canonical (min doc, pos)
+        (1, f"{FILL_B} {RUN} {FILL_C}"),   # duplicate at a different offset
+        (2, FILL_D),                       # clean doc — untouched
+        (3, ""), (4, None),                # grain preserved
+        (5, " ".join(f"sh{i}" for i in range(K - 1))),  # < k words
+    ]
+    return _frame(spark, rows), rows
+
+
+def test_grain_preserved(planted):
+    out, _ = planted
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]
+
+
+def test_canonical_keeps_duplicate_drops(planted):
+    out, rows = planted
+    # doc 0 is canonical: nothing dropped
+    assert out[0]["n_dup_runs"] == 0 and out[0]["dup_words"] == 0
+    # doc 1 loses exactly the planted run, at arbitrary alignment
+    assert out[1]["n_dup_runs"] == 1
+    assert out[1]["dup_words"] == MIN_RUN
+    kept = f"{FILL_B} {FILL_C}"
+    assert out[1]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+    assert out[1]["kept_words"] == 80
+    # untouched docs keep their bytes
+    assert out[2]["kept_md5"] == hashlib.md5(FILL_D.encode()).hexdigest()
+    assert out[3]["kept_words"] == 0 and out[4]["kept_words"] == 0
+
+
+def test_run_below_threshold_survives(spark):
+    short = " ".join(f"run{i}" for i in range(MIN_RUN - 1))
+    out = _frame(spark, [(0, f"{FILL_A} {short}"),
+                         (1, f"{FILL_B} {short}")])
+    assert out[0]["n_dup_runs"] == 0 and out[1]["n_dup_runs"] == 0
+
+
+def test_whole_doc_duplicate(spark):
+    body = f"{FILL_A} {RUN} {FILL_B}"
+    out = _frame(spark, [(0, body), (1, body)])
+    assert out[0]["n_dup_runs"] == 0           # canonical copy intact
+    assert out[1]["kept_words"] == 0           # clone fully dropped
+    assert out[1]["dup_words"] == out[1]["n_words"]
+
+
+def test_within_doc_repeat(spark):
+    out = _frame(spark, [(0, f"{RUN} {RUN} {FILL_A}")])
+    # second copy inside the same doc drops; first copy + filler stay
+    assert out[0]["n_dup_runs"] == 1
+    kept = f"{RUN} {FILL_A}"
+    assert out[0]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+
+def test_text_form_matches_frame(spark):
+    rows = [(0, f"{FILL_A} {RUN}"), (1, f"{RUN} {FILL_B}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    txt = {r["doc_id"]: r["text"]
+           for r in exact_substr_text(df).collect()}
+    frm = _frame(spark, rows)
+    for d in (0, 1):
+        assert hashlib.md5(txt[d].encode()).hexdigest() \
+            == frm[d]["kept_md5"]
+
+
+def test_anchor_density_and_determinism(spark):
+    text = " ".join(f"w{i * 7919 % 4096}" for i in range(800))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    a1 = sorted((r["h"], r["pos"])
+                for r in winnow_anchors(df).collect())
+    a2 = sorted(_twin_anchors(text.split(), K, W))
+    assert a1 == a2                    # engine == twin, bit for bit
+    n_kg = 800 - K + 1
+    # winnowing density ~2/(w+1); allow generous slack either side
+    assert n_kg // (W * 3) <= len(a1) <= n_kg
+
+
+# --- hypothesis: twin equality over adversarial corpora ----------------
+
+WORD = st.sampled_from([f"t{i}" for i in range(7)])  # tiny vocab -> repeats
+DOC = st.lists(WORD, min_size=0, max_size=120).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=5))
+def test_twin_equality_fuzz(spark, docs):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    got = _frame(spark, rows)
+    want = exact_substr_twin(dict(rows))
+    for d, (kept, n_runs, dup_words) in want.items():
+        assert got[d]["n_dup_runs"] == n_runs, (d, docs)
+        assert got[d]["dup_words"] == dup_words, (d, docs)
+        assert got[d]["kept_md5"] \
+            == hashlib.md5(kept.encode()).hexdigest(), (d, docs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 30), st.integers(0, 30), st.integers(0, 2000))
+def test_guarantee_planted_run_always_caught(spark, off_a, off_b, seed):
+    """The winnowing guarantee: a shared run of >= W + K - 1 words is
+    flagged whatever its alignment in either document."""
+    fa = " ".join(f"ga{seed}x{i}" for i in range(off_a))
+    fb = " ".join(f"gb{seed}x{i}" for i in range(off_b))
+    rows = [(0, f"{fa} {RUN}".strip()), (1, f"{fb} {RUN} tail".strip())]
+    out = _frame(spark, rows)
+    assert out[0]["n_dup_runs"] + out[1]["n_dup_runs"] == 1
+    assert out[0]["dup_words"] + out[1]["dup_words"] == MIN_RUN
+
+
+def test_no_false_positives_dropped_text_exists_elsewhere(spark):
+    """Exactness: every dropped interval is a word-for-word match of
+    text that survives in the canonical doc."""
+    rows = [(0, f"{FILL_A} {RUN}"),
+            (1, f"{FILL_B} {RUN} {FILL_C}"),
+            (2, f"{RUN} {FILL_C}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    txt = {r["doc_id"]: r["text"]
+           for r in exact_substr_text(df).collect()}
+    orig = dict(rows)
+    for d in orig:
+        kept_words = txt[d].split()
+        # kept text is a subsequence of the original
+        it = iter(orig[d].split())
+        assert all(any(w == x for x in it) for w in kept_words)
+
+
+def test_plan_shape(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = exact_substr_frame(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BatchEvalPython" not in plan          # no Python stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan      # equi-joins only
