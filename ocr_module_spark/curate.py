@@ -155,6 +155,7 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
                        span_dedup: bool = False,
                        strip_boiler: bool = False,
                        line_filter: bool = False,
+                       exact_substr: bool = False,
                        boiler_flags: DataFrame | None = None) -> DataFrame:
     """(url, text, n_tokens) of the surviving documents. Callers that
     materialize the audit (localCheckpoint / write) should derive the
@@ -190,7 +191,13 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
     zero-exchange projection) and DROPS documents whose ``doc_drop``
     verdict fires (most of the doc was junk lines). The full RefinedWeb
     order is strip_boiler → line_filter → span_dedup: host-repetition
-    first, rule-based line noise second, cross-corpus spans last."""
+    first, rule-based line noise second, cross-corpus spans last.
+
+    ``exact_substr=True`` finishes with the ExactSubstr pass
+    (functions/exactsubstr) — arbitrary-alignment duplicated runs of
+    >= MIN_RUN words that the disjoint-span grain cannot see are
+    removed from every non-canonical occurrence. It runs LAST: the
+    coarser passes shrink the corpus the winnowing anchors scan."""
     kept = audit.where("kept").select("url", "text")
     if strip_boiler:
         from .functions.linededup import strip_boilerplate_lines
@@ -210,6 +217,11 @@ def curated_from_audit(audit: DataFrame, scrub: bool = False,
     if span_dedup:
         # url is the totally-ordered doc key, same as curate()'s chain
         kept = (span_dedup_text(
+            kept.select(F.col("url").alias("doc_id"), "text"))
+            .select(F.col("doc_id").alias("url"), "text"))
+    if exact_substr:
+        from .functions.exactsubstr import exact_substr_text
+        kept = (exact_substr_text(
             kept.select(F.col("url").alias("doc_id"), "text"))
             .select(F.col("doc_id").alias("url"), "text"))
     n_tokens = F.when(F.length("text") == 0, 0).otherwise(

@@ -206,6 +206,14 @@ def exact_substr_text(docs: DataFrame, k: int = K, w: int = W,
                       F.size("mi").cast("int").alias("n_dup_runs"))
 
 
+def q_dedup_exactsubstr(spark, sf_dir: str) -> DataFrame:
+    """Registry-shaped form over the documents table (plan-sweep +
+    informational bench entry; values are twin-gated — the anchor/verify
+    composition has no tractable single-query SQL oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substr_frame(docs.select("doc_id", "text"))
+
+
 # ---------------------------------------------------------------------------
 # pure-Python reference twin (mirrors every stage; tests pin equality)
 

@@ -89,6 +89,33 @@ def test_span_dedup_rewrite(spark):
         assert r["n_tokens"] == expected
 
 
+def test_exact_substr_rewrite(spark):
+    """curated_from_audit(exact_substr=True): an arbitrary-alignment
+    duplicated run (>= MIN_RUN words, offset differently in each doc —
+    invisible to the disjoint span grain) is stripped from all but its
+    canonical occurrence."""
+    from ocr_module_spark.functions.exactsubstr import MIN_RUN
+    run = " ".join(f"boiler{i}" for i in range(MIN_RUN))
+    lead_a = " ".join(f"la{i}" for i in range(3))   # offsets 3 vs 7:
+    lead_b = " ".join(f"lb{i}" for i in range(7))   # never span-aligned
+    rows = [
+        ("a", f"{lead_a} {run}", True),
+        ("b", f"{lead_b} {run}", True),
+        ("c", "clean unique doc body", True),
+    ]
+    audit = spark.createDataFrame(
+        [(u, t, k, k, False, k) for u, t, k in rows],
+        "url string, text string, quality_keep boolean, dup_keep boolean,"
+        " contaminated boolean, kept boolean")
+    out = {r["url"]: r for r in curate.curated_from_audit(
+        audit, exact_substr=True).collect()}
+    assert out["a"]["text"] == f"{lead_a} {run}"    # canonical (min url)
+    assert out["b"]["text"] == lead_b               # run stripped
+    assert out["c"]["text"] == "clean unique doc body"
+    for r in out.values():
+        assert r["n_tokens"] == len(r["text"].split())
+
+
 def test_single_extraction_scan(spark):
     """The composed pipeline must not re-extract per stage: curate()
     checkpoints the extracted docs once and every gate consumes that

@@ -39,7 +39,7 @@ def _extra_queries():
     hostile gate carries their value parity; this sweep carries their
     plan discipline)."""
     from ocr_module_spark.functions import (badwords, datacard, dedup,
-                                            embed,
+                                            embed, exactsubstr,
                                             hostrep, langid, linededup,
                                             linkgraph, mixture,
                                             model_score, ngramlm, packing,
@@ -77,6 +77,7 @@ def _extra_queries():
         "text_lm_perplexity": ngramlm.q_lm_perplexity,
         "text_embed_hash": embed.q_text_embed_hash,
         "dedup_jaccard_pairs": dedup.q_dedup_jaccard_pairs,
+        "dedup_exactsubstr": exactsubstr.q_dedup_exactsubstr,
         "text_datacard": datacard.q_text_datacard,
         "text_badwords": badwords.q_text_badwords,
     }

@@ -57,7 +57,9 @@ decontamination (ocr_module_spark.curate) and writes:
 containers (sources/warc.py) — with ``--wet`` the CLI runs
 container-to-container. ``--strip-boilerplate`` / ``--line-filter``
 rewrite the kept text through the line-grain curation passes
-(functions/linededup) ahead of ``--span-dedup``.
+(functions/linededup) ahead of ``--span-dedup``; ``--exact-substr``
+finishes with the arbitrary-alignment ExactSubstr run dedup
+(functions/exactsubstr).
 
 ``--split`` adds a leakage-safe host-hashed train/val/test column to
 ``<out>/curated`` and restricts every training artifact (mixture,
@@ -114,6 +116,12 @@ def main() -> int:
                          "kept text after --strip-boilerplate; documents "
                          "whose doc_drop verdict fires are dropped and "
                          "counted (docs_line_dropped)")
+    ap.add_argument("--exact-substr", action="store_true",
+                    help="ExactSubstr pass over the surviving corpus "
+                         "(functions/exactsubstr): remove arbitrary-"
+                         "alignment duplicated runs >= 25 words that "
+                         "the disjoint --span-dedup grain cannot see; "
+                         "runs last of the text rewrites")
     ap.add_argument("--span-dedup", action="store_true",
                     help="C4-style exact span dedup across the surviving "
                          "corpus: strip cross-document boilerplate spans "
@@ -259,12 +267,14 @@ def main() -> int:
                  "--resume) pass")
     if args.resume and (args.budget_mix or args.strip_boilerplate
                         or args.line_filter or args.span_dedup
+                        or args.exact_substr
                         or args.scrub_pii or args.langid
                         or args.normalize):
         ap.error("--resume replays only the training-sink stages off the "
                  "existing <out>/audit + <out>/curated; the text-stage "
                  "dials (--budget-mix/--strip-boilerplate/--line-filter/"
-                 "--span-dedup/--scrub-pii/--langid/--normalize) are "
+                 "--span-dedup/--exact-substr/--scrub-pii/--langid/"
+                 "--normalize) are "
                  "already baked into that artifact and cannot be "
                  "re-specified")
 
@@ -321,6 +331,7 @@ def main() -> int:
                                      span_dedup=args.span_dedup,
                                      strip_boiler=args.strip_boilerplate,
                                      line_filter=args.line_filter,
+                                     exact_substr=args.exact_substr,
                                      boiler_flags=boiler_flags)
 
         counters = stage_counters(audit)

@@ -102,6 +102,13 @@ QUERIES = [
      "only), shard id a portable-hash projection, read order ONE "
      "window exchange on shard_id whose per-shard partition is one "
      "output file's rows"),
+    ("dedup_exactsubstr", "ExactSubstr arbitrary-alignment run dedup — "
+     "winnowing anchors are an in-row HOF projection (no suffix array, "
+     "no shuffle before anchors exist); the duplicate decision is ONE "
+     "partial-agg groupBy on the anchor hash; verification fetches "
+     "bounded word windows via equi-joins and extends matches with "
+     "zip_with word-compare JVM-side; interval merge + rewrite are one "
+     "doc-grain agg + join — no all-pairs anywhere"),
     ("dedup_incremental", "incremental cross-snapshot dedup — exact "
      "flag is a LEFT SEMI membership probe on the norm key (k indexed "
      "copies cost one probe); near-dup candidates join DISTINCT "
@@ -191,6 +198,8 @@ def main() -> int:
     # rotated out of the 50-row driver window for text_dsir_select
     # (hostile gate keeps its DuckDB parity); the plan is still reported
     qs["dedup_jaccard_pairs"] = q_dedup_jaccard_pairs
+    from ocr_module_spark.functions.exactsubstr import q_dedup_exactsubstr
+    qs["dedup_exactsubstr"] = q_dedup_exactsubstr
     from ocr_module_spark.functions.datacard import q_text_datacard
     qs["text_datacard"] = q_text_datacard
     from ocr_module_spark.functions.badwords import q_text_badwords
