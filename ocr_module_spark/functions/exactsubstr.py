@@ -53,6 +53,7 @@ reassembled bytes without shipping text through a compare.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -217,10 +218,22 @@ def q_dedup_exactsubstr(spark, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # pure-Python reference twin (mirrors every stage; tests pin equality)
 
+# Java-regex \s (ASCII-only), as Spark's split sees it
+_JWS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _twin_words(text) -> list[str]:
-    if text is None or not text.strip():
+    """Byte-exact mirror of the engine's ``split(trim(text), '\\s+')``:
+    Spark ``trim`` strips only SPACES (not tabs/newlines), Java ``\\s``
+    is ASCII-only (U+3000 etc. are word bytes), and Spark ``split`` with
+    the default limit KEEPS leading/trailing empty strings — so must
+    the twin, or hostile-whitespace corpora diverge."""
+    if text is None:
         return []
-    return text.strip().split()
+    t = text.strip(" ")
+    if not t:
+        return []
+    return _JWS.split(t)
 
 
 def _twin_anchors(wds: list[str], k: int, w: int) -> list[tuple[str, int]]:

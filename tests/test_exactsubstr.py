@@ -162,6 +162,29 @@ def test_no_false_positives_dropped_text_exists_elsewhere(spark):
         assert all(any(w == x for x in it) for w in kept_words)
 
 
+HOSTILE_WS = st.sampled_from(
+    ["t0", "t1", "t2", "　", "a b", "x"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(HOSTILE_WS, min_size=0, max_size=60),
+                min_size=1, max_size=4),
+       st.sampled_from([" ", "\t", "\n", "  ", " \t "]))
+def test_twin_equality_hostile_whitespace(spark, docs, sep):
+    """Tokenizer-boundary fuzz: unicode spaces (U+3000, U+00A0) are word
+    BYTES to the engine's ASCII \\s+ split, tabs/newlines are
+    separators, and edge separators produce empty words — the twin must
+    mirror all of it."""
+    rows = [(i, sep + sep.join(ws) + sep) for i, ws in enumerate(docs)]
+    got = _frame(spark, rows)
+    want = exact_substr_twin(dict(rows))
+    for d, (kept, n_runs, dup_words) in want.items():
+        assert got[d]["n_dup_runs"] == n_runs, (d, rows)
+        assert got[d]["dup_words"] == dup_words, (d, rows)
+        assert got[d]["kept_md5"] \
+            == hashlib.md5(kept.encode()).hexdigest(), (d, rows)
+
+
 def test_plan_shape(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = exact_substr_frame(df)._jdf.queryExecution().executedPlan() \
