@@ -111,6 +111,123 @@ FROM g
 """
 
 
+EX_K = 3          # exemplars per datasheet group
+EX_BUCKETS = 64   # top-k window decomposition (no single-reducer group)
+
+
+def datacard_exemplars(docs: DataFrame, k: int = EX_K,
+                       lang_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic exemplar documents per datasheet group — the
+    "examples" column every published dataset card carries (C4/Dolma/
+    FineWeb cards all quote sample documents per slice). For each
+    :func:`corpus_datacard` group (the corpus total, each language,
+    each token-length decade) emit the ``k`` documents that win the
+    portable hash lottery: ascending ``(hex4(md5(doc_id)), doc_id)`` —
+    RNG-free, bit-stable across engines, partitionings and retries,
+    and a fresh crawl snapshot re-elects mostly the same exemplars.
+    (Complementary to textstats.q_sample_stratified_hash, which THINS
+    a corpus by per-stratum rate: this picks EXACTLY k per card group
+    however small or large the group.)
+
+    Scale shape (the reason this isn't one window per group):
+
+    * the lottery rides a NARROW ``(dim, value, hk, doc_id)`` frame —
+      text/preview never enter the window shuffles;
+    * top-k is exact and two-phase: per ``(group, hk % EX_BUCKETS)``
+      bucket window first (every bucket holds ~1/64 of the group, so
+      the corpus-sized 'total' group never lands on one reducer),
+      then a second window over the <= 64 k surviving rows per group;
+    * the winners (<= 3 dims x k per group) BROADCAST back onto a
+      ``(doc_id, n_tokens, preview)`` projection of the corpus —
+      the corpus streams map-side through that join, zero text shuffle.
+
+    Rows: ``(dim, value, rank, doc_id, n_tokens, preview)`` with
+    ``preview = substr(text, 1, 160)``; kilobytes out at any scale.
+    """
+    from pyspark.sql import Window
+
+    from .hashing import hex4_col
+    w = _words(text_col)
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang_c"),
+        F.coalesce(F.size(w), F.lit(0)).cast("long").alias("nt"))
+    d = (d.withColumn("len_digits",
+                      F.length(F.col("nt").cast("string")).cast("int"))
+         .withColumn("hk", hex4_col(F.md5(
+             F.col("doc_id").cast("string").cast("binary")))))
+    dims = F.expr(
+        "array(named_struct('dim', 'total', 'value', ''), "
+        "named_struct('dim', 'lang', 'value', lang_c), "
+        "named_struct('dim', 'len_digits', 'value', "
+        "cast(len_digits as string)))")
+    e = (d.select("doc_id", "hk", F.explode(dims).alias("dv"))
+         .select(F.col("dv.dim").alias("dim"),
+                 F.col("dv.value").alias("value"), "doc_id", "hk"))
+    w1 = (Window.partitionBy("dim", "value", F.col("hk") % EX_BUCKETS)
+          .orderBy("hk", "doc_id"))
+    w2 = Window.partitionBy("dim", "value").orderBy("hk", "doc_id")
+    winners = (e.withColumn("rn", F.row_number().over(w1))
+               .where(F.col("rn") <= k).drop("rn")
+               .withColumn("rank", F.row_number().over(w2))
+               .where(F.col("rank") <= k))
+    enrich = docs.select(
+        "doc_id",
+        F.coalesce(F.size(w), F.lit(0)).cast("long").alias("n_tokens"),
+        F.substring(F.col(text_col), 1, 160).alias("preview"))
+    return (enrich.join(F.broadcast(winners), "doc_id")
+            .select("dim", "value", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "n_tokens", "preview"))
+
+
+def q_text_datacard_exemplars(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Driver entry: exemplar documents per datacard group."""
+    return datacard_exemplars(_docs(spark, sf_dir))
+
+
+def _sql_exemplars() -> str:
+    from .hashing import hex4_sql_duck
+    hk = hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(lang, 'und') AS lang_c,
+         coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END, 0)::BIGINT AS nt,
+         substr(text, 1, 160) AS preview
+  FROM documents
+), b AS (
+  SELECT doc_id, lang_c, nt, preview,
+         CAST(length(CAST(nt AS VARCHAR)) AS INTEGER) AS len_digits,
+         {hk} AS hk
+  FROM d
+), e AS (
+  SELECT 'total' AS dim, '' AS value, doc_id, nt, preview, hk FROM b
+  UNION ALL
+  SELECT 'lang', lang_c, doc_id, nt, preview, hk FROM b
+  UNION ALL
+  SELECT 'len_digits', CAST(len_digits AS VARCHAR), doc_id, nt,
+         preview, hk FROM b
+), r AS (
+  SELECT dim, value, doc_id, nt AS n_tokens, preview,
+         row_number() OVER (PARTITION BY dim, value
+                            ORDER BY hk, doc_id) AS rank
+  FROM e
+)
+SELECT dim, value, CAST(rank AS INTEGER) AS rank, doc_id, n_tokens,
+       preview
+FROM r WHERE rank <= {EX_K}
+"""
+
+
+SQL_TEXT_DATACARD_EXEMPLARS = _sql_exemplars()
+
+
 REGISTRY = {
     "text_datacard": (q_text_datacard, SQL_TEXT_DATACARD),
+    "text_datacard_exemplars": (q_text_datacard_exemplars,
+                                SQL_TEXT_DATACARD_EXEMPLARS),
 }

@@ -119,3 +119,85 @@ def test_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "Expand" in line or "Exchange" in line:
             assert "text#" not in line, line
+
+
+# --- exemplar documents per card group (datacard_exemplars) ------------
+
+def _ex_twin(rows, k=3):
+    """Pure-Python mirror: k smallest (hex4(md5(doc_id)), doc_id) per
+    (dim, value) group."""
+    import hashlib
+    per = []
+    for _id, text, lang, source in rows:
+        nt = len(text.split()) if text and text.strip() else 0
+        hk = int(hashlib.md5(str(_id).encode()).hexdigest()[:4], 16)
+        per.append((_id, lang or "und", nt, len(str(nt)), hk,
+                    text[:160] if text is not None else None))
+    groups = {}
+    for _id, lang, nt, ld, hk, prev in per:
+        for dim, val in (("total", ""), ("lang", lang),
+                         ("len_digits", str(ld))):
+            groups.setdefault((dim, val), []).append(
+                (hk, _id, nt, prev))
+    out = {}
+    for g, lst in groups.items():
+        for rank, (hk, _id, nt, prev) in enumerate(sorted(lst)[:k], 1):
+            out[(g[0], g[1], rank)] = (_id, nt, prev)
+    return out
+
+
+def test_exemplars_match_twin(spark):
+    from ocr_module_spark.functions.datacard import datacard_exemplars
+    rows = [(i, f"tok{i} " * (i % 29) or None,
+             ["en", "de", None][i % 3], f"h{i % 7}") for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {(r["dim"], r["value"], r["rank"]):
+           (r["doc_id"], r["n_tokens"], r["preview"])
+           for r in datacard_exemplars(df).collect()}
+    assert got == _ex_twin(rows)
+
+
+def test_exemplars_exactly_k_and_partitioning_invariant(spark):
+    from ocr_module_spark.functions.datacard import datacard_exemplars
+    rows = [(i, f"w{i} " * (i % 13), ["en", "fr"][i % 2], "h")
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    a = sorted(map(tuple, datacard_exemplars(df, k=2).collect()))
+    b = sorted(map(tuple, datacard_exemplars(
+        df.repartition(17, "doc_id"), k=2).collect()))
+    assert a == b
+    from collections import Counter
+    c = Counter((r[0], r[1]) for r in a)
+    # every group has exactly min(k, group size) exemplars; here all
+    # groups exceed k=2
+    assert set(c.values()) == {2}
+
+
+def test_exemplars_small_group_keeps_all(spark):
+    from ocr_module_spark.functions.datacard import datacard_exemplars
+    df = spark.createDataFrame(
+        [(1, "only swahili doc", "sw", "h"),
+         (2, "one two", "en", "h"), (3, "three four", "en", "h"),
+         (4, "five six", "en", "h"), (5, "seven eight", "en", "h")],
+        "doc_id long, text string, lang string, source string")
+    out = [r for r in datacard_exemplars(df).collect()
+           if (r["dim"], r["value"]) == ("lang", "sw")]
+    assert len(out) == 1 and out[0]["rank"] == 1 and out[0]["doc_id"] == 1
+
+
+def test_exemplars_plan_shape(spark, sf_dir):
+    from ocr_module_spark.functions.datacard import (
+        q_text_datacard_exemplars)
+    plan = (q_text_datacard_exemplars(spark, sf_dir)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan           # winners broadcast back
+    # document text never rides a window/sort exchange — only the
+    # narrow lottery frame does; text appears solely in the scan-side
+    # projection feeding the broadcast join
+    for line in plan.splitlines():
+        if "Window" in line or "Sort" in line:
+            assert "text#" not in line, line

@@ -60,6 +60,7 @@ DOC_QUERIES = [
     "text_lm_perplexity",
     "text_dsir_select",
     "text_datacard",
+    "text_datacard_exemplars",
     "text_badwords",
     "text_model_auc",
     "text_model_auc_holdout",
@@ -165,6 +166,9 @@ def _extra_queries():
                            textnorm.SQL_TEXT_NORMALIZE),
         "text_dsir_select": (dsir.q_dsir_select,
                              dsir.SQL_DSIR_SELECT),
+        "text_datacard_exemplars": (
+            datacard.q_text_datacard_exemplars,
+            datacard.SQL_TEXT_DATACARD_EXEMPLARS),
         "text_datacard": (datacard.q_text_datacard,
                           datacard.SQL_TEXT_DATACARD),
         "text_badwords": (badwords.q_text_badwords,

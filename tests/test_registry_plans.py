@@ -79,6 +79,7 @@ def _extra_queries():
         "dedup_jaccard_pairs": dedup.q_dedup_jaccard_pairs,
         "dedup_exactsubstr": exactsubstr.q_dedup_exactsubstr,
         "text_datacard": datacard.q_text_datacard,
+        "text_datacard_exemplars": datacard.q_text_datacard_exemplars,
         "text_badwords": badwords.q_text_badwords,
     }
 

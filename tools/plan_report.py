@@ -158,6 +158,13 @@ QUERIES = [
      "multiplication and both exchanges carry ~50 B rows; the "
      "distinct-host count is the standard two-phase aggregate; "
      "join-free, kilobytes out at any corpus size"),
+    ("text_datacard_exemplars", "exemplar docs per datasheet group — "
+     "the hash lottery rides a NARROW (dim, value, hk, doc_id) frame "
+     "through a bucketed two-phase top-k (per-(group, hk%64) window "
+     "then a window over <= 64k survivors — the corpus-sized 'total' "
+     "group never lands on one reducer); winners BROADCAST back onto "
+     "the (doc_id, n_tokens, preview) projection, so document text "
+     "never shuffles"),
     ("host_link_centrality", "host-graph PageRank (fixed-point int64), "
      "shown at rounds=1 — every round has this same shape: ONE "
      "equi-join of host-grain ranks into the static outdeg-carrying "
@@ -200,8 +207,10 @@ def main() -> int:
     qs["dedup_jaccard_pairs"] = q_dedup_jaccard_pairs
     from ocr_module_spark.functions.exactsubstr import q_dedup_exactsubstr
     qs["dedup_exactsubstr"] = q_dedup_exactsubstr
-    from ocr_module_spark.functions.datacard import q_text_datacard
+    from ocr_module_spark.functions.datacard import (
+        q_text_datacard, q_text_datacard_exemplars)
     qs["text_datacard"] = q_text_datacard
+    qs["text_datacard_exemplars"] = q_text_datacard_exemplars
     from ocr_module_spark.functions.badwords import q_text_badwords
     qs["text_badwords"] = q_text_badwords
     from ocr_module_spark.functions.model_score import (
