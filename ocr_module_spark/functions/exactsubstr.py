@@ -74,13 +74,22 @@ def _words_col(col: str = "text"):
 
 
 def winnow_anchors(docs: DataFrame, k: int = K, w: int = W) -> DataFrame:
-    """Per-document winnowing fingerprints: ``(doc_id, h, pos)``.
+    """Per-document winnowing fingerprints: ``(doc_id, h, pos)`` — the
+    declarative higher-order-function form.
 
     ``pos`` is the selected k-gram's word offset; ``h`` its md5. Docs
     shorter than ``k`` words emit nothing (they cannot contain a run).
     Documents with fewer than ``w`` k-grams winnow over one whole-doc
     window, so every doc with >= k words emits >= 1 anchor. Pure
     projection + one posexplode — no shuffle.
+
+    NOTE: Catalyst runs ``transform``/``aggregate`` lambdas interpreted
+    (never whole-stage codegen — the r3-verdict lesson the veckernel
+    module fixed for embedding dots), and this form is O(n_kgrams * w)
+    struct builds per document on top of the per-k-gram md5. The
+    default anchor path is therefore :func:`winnow_anchors_arrow` — one
+    Arrow stage running the shared O(n) deque kernel; this form stays
+    as the declarative reference, pinned equal in tests.
     """
     d = (docs.select("doc_id", _words_col().alias("wds"))
          .withColumn("n_w", F.size("wds"))
@@ -99,6 +108,73 @@ def winnow_anchors(docs: DataFrame, k: int = K, w: int = W) -> DataFrame:
                     F.col("a.pos").cast("long").alias("pos")))
 
 
+def _winnow_positions(hs: list, ww: int) -> list:
+    """Selected positions of the winnowing over hash list ``hs`` with
+    effective window ``ww``: for every window of ``ww`` consecutive
+    k-grams the (hash, pos)-minimal one, leftmost on hash ties — O(n)
+    via a monotonic deque. The ONE selection definition, shared by the
+    executor kernel and the pure-Python twin (and pinned equal to the
+    declarative HOF form in tests)."""
+    from collections import deque
+    dq: deque = deque()
+    sel = set()
+    for p in range(len(hs)):
+        while dq and hs[dq[-1]] > hs[p]:
+            dq.pop()
+        dq.append(p)
+        if dq[0] <= p - ww:
+            dq.popleft()
+        if p >= ww - 1:
+            sel.add(dq[0])
+    return sorted(sel)
+
+
+def _winnow_doc(words: list, k: int, w: int) -> list:
+    """Anchor ``(hex_hash, pos)`` pairs of one tokenized document."""
+    n_kg = len(words) - k + 1
+    if n_kg < 1:
+        return []
+    hs = [hashlib.md5(" ".join(words[i:i + k]).encode()).hexdigest()
+          for i in range(n_kg)]
+    return [(hs[p], p) for p in _winnow_positions(hs, min(n_kg, w))]
+
+
+def winnow_anchors_arrow(docs: DataFrame, k: int = K,
+                         w: int = W) -> DataFrame:
+    """Arrow-kernel twin of :func:`winnow_anchors` — identical rows,
+    one ``mapInArrow`` stage (zero exchanges): per batch the shared
+    O(n) deque kernel tokenizes (byte-exact ASCII split mirror of the
+    engine's ``split(trim(text), '\\s+')``), hashes k-grams with C-speed
+    hashlib md5, and selects window minima — replacing the interpreted
+    O(n*w) HOF lambda chain. ``doc_id`` passes through typed (long ids
+    and string urls both work)."""
+    import pyarrow as pa
+
+    id_field = docs.schema["doc_id"]
+    out_schema = f"doc_id {id_field.dataType.simpleString()}, " \
+                 "h string, pos long"
+    narrow = docs.select("doc_id", "text")
+
+    def gen(batches):
+        for batch in batches:
+            id_type = batch.column(0).type   # exact pass-through type
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id, o_h, o_pos = [], [], []
+            for i, t in zip(ids, texts):
+                for h, p in _winnow_doc(_twin_words(t), k, w):
+                    o_id.append(i)
+                    o_h.append(h)
+                    o_pos.append(p)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, type=id_type),
+                 pa.array(o_h, type=pa.string()),
+                 pa.array(o_pos, type=pa.int64())],
+                ["doc_id", "h", "pos"])
+
+    return narrow.mapInArrow(gen, out_schema)
+
+
 def _first_mismatch(a: str, b: str) -> str:
     """SQL: common-prefix length of two word arrays (exact compare).
 
@@ -111,13 +187,16 @@ def _first_mismatch(a: str, b: str) -> str:
 
 
 def exact_substr_matched(docs: DataFrame, k: int = K, w: int = W,
-                         min_run: int = MIN_RUN,
-                         ext: int = EXT_CAP) -> DataFrame:
+                         min_run: int = MIN_RUN, ext: int = EXT_CAP,
+                         arrow: bool = True) -> DataFrame:
     """Verified duplicated-run intervals per non-canonical occurrence:
     ``(doc_id, start, end)`` word intervals (end exclusive), each an
     exact word-for-word match of >= ``min_run`` words against the run's
-    canonical (min (doc_id, pos)) occurrence."""
-    anchors = winnow_anchors(docs, k, w)
+    canonical (min (doc_id, pos)) occurrence. ``arrow=False`` swaps the
+    anchor stage to the declarative HOF form (same rows, slower —
+    interpreted lambdas; kept as the cross-check reference)."""
+    anchor_fn = winnow_anchors_arrow if arrow else winnow_anchors
+    anchors = anchor_fn(docs, k, w)
     dec = (anchors.groupBy("h")
            .agg(F.count("*").alias("n_occ"),
                 F.min(F.struct("doc_id", "pos")).alias("first"))
@@ -178,12 +257,13 @@ def _rewritten(docs: DataFrame, matched: DataFrame) -> DataFrame:
 
 
 def exact_substr_frame(docs: DataFrame, k: int = K, w: int = W,
-                       min_run: int = MIN_RUN,
-                       ext: int = EXT_CAP) -> DataFrame:
+                       min_run: int = MIN_RUN, ext: int = EXT_CAP,
+                       arrow: bool = True) -> DataFrame:
     """Per-document verdict frame: one row per input doc (grain
     preserved, NULL/empty included) with the duplicated-run audit and
     the md5 of the reassembled kept text."""
-    out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run, ext))
+    out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run,
+                                                ext, arrow))
     kept_text = F.array_join("kept", " ")
     return out.select(
         "doc_id",
@@ -196,13 +276,14 @@ def exact_substr_frame(docs: DataFrame, k: int = K, w: int = W,
 
 
 def exact_substr_text(docs: DataFrame, k: int = K, w: int = W,
-                      min_run: int = MIN_RUN,
-                      ext: int = EXT_CAP) -> DataFrame:
+                      min_run: int = MIN_RUN, ext: int = EXT_CAP,
+                      arrow: bool = True) -> DataFrame:
     """Content-rewrite form: ``(doc_id, text, n_dup_runs)`` with every
     non-canonical duplicated run removed (whitespace-normalized to
     single spaces by construction) — chains between the quality gate
     and the training sink like span_dedup_text."""
-    out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run, ext))
+    out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run,
+                                                ext, arrow))
     return out.select("doc_id", F.array_join("kept", " ").alias("text"),
                       F.size("mi").cast("int").alias("n_dup_runs"))
 
@@ -237,16 +318,9 @@ def _twin_words(text) -> list[str]:
 
 
 def _twin_anchors(wds: list[str], k: int, w: int) -> list[tuple[str, int]]:
-    n_kg = len(wds) - k + 1
-    if n_kg < 1:
-        return []
-    hs = [hashlib.md5(" ".join(wds[i:i + k]).encode()).hexdigest()
-          for i in range(n_kg)]
-    ww = min(n_kg, w)
-    sel = set()
-    for j in range(n_kg - ww + 1):
-        sel.add(min(((hs[p], p) for p in range(j, j + ww))))
-    return sorted(sel)
+    # one selection definition for twin and executor (tests pin it
+    # equal to the declarative HOF form as well)
+    return sorted((h, p) for h, p in _winnow_doc(wds, k, w))
 
 
 def exact_substr_twin(docs: dict, k: int = K, w: int = W,

@@ -102,15 +102,32 @@ def test_text_form_matches_frame(spark):
 
 
 def test_anchor_density_and_determinism(spark):
+    from ocr_module_spark.functions.exactsubstr import winnow_anchors_arrow
     text = " ".join(f"w{i * 7919 % 4096}" for i in range(800))
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     a1 = sorted((r["h"], r["pos"])
                 for r in winnow_anchors(df).collect())
     a2 = sorted(_twin_anchors(text.split(), K, W))
-    assert a1 == a2                    # engine == twin, bit for bit
+    a3 = sorted((r["h"], r["pos"])
+                for r in winnow_anchors_arrow(df).collect())
+    assert a1 == a2                    # declarative HOF == twin
+    assert a1 == a3                    # == the Arrow kernel (default)
     n_kg = 800 - K + 1
     # winnowing density ~2/(w+1); allow generous slack either side
     assert n_kg // (W * 3) <= len(a1) <= n_kg
+
+
+def test_hof_and_arrow_paths_agree_on_string_ids(spark):
+    """Both anchor paths through the FULL operator, string doc keys
+    (the curate-chain shape), byte-identical verdicts."""
+    rows = [("u/a", f"{FILL_A} {RUN}"), ("u/b", f"{FILL_B} {RUN} x"),
+            ("u/c", None), ("u/d", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(map(tuple, exact_substr_frame(df, arrow=True).collect()))
+    b = sorted(map(tuple, exact_substr_frame(df, arrow=False).collect()))
+    assert a == b
+    dropped = {r[0]: r[3] for r in a}
+    assert dropped["u/b"] == MIN_RUN and dropped["u/a"] == 0
 
 
 # --- hypothesis: twin equality over adversarial corpora ----------------
