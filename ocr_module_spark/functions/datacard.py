@@ -147,7 +147,7 @@ def datacard_exemplars(docs: DataFrame, k: int = EX_K,
     """
     from pyspark.sql import Window
 
-    from .hashing import hex4_col
+    from .hashing import doc_lottery_col
     w = _words(text_col)
     d = docs.select(
         "doc_id",
@@ -155,8 +155,7 @@ def datacard_exemplars(docs: DataFrame, k: int = EX_K,
         F.coalesce(F.size(w), F.lit(0)).cast("long").alias("nt"))
     d = (d.withColumn("len_digits",
                       F.length(F.col("nt").cast("string")).cast("int"))
-         .withColumn("hk", hex4_col(F.md5(
-             F.col("doc_id").cast("string").cast("binary")))))
+         .withColumn("hk", doc_lottery_col()))
     dims = F.expr(
         "array(named_struct('dim', 'total', 'value', ''), "
         "named_struct('dim', 'lang', 'value', lang_c), "
@@ -188,8 +187,8 @@ def q_text_datacard_exemplars(spark: SparkSession,
 
 
 def _sql_exemplars() -> str:
-    from .hashing import hex4_sql_duck
-    hk = hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")
+    from .hashing import doc_lottery_sql_duck
+    hk = doc_lottery_sql_duck()
     return f"""
 WITH d AS (
   SELECT doc_id,

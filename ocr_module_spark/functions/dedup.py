@@ -985,10 +985,8 @@ def span_dedup_text(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
 
 
 def _span_dedup_core(docs: DataFrame, k: int):
-    w = (F.when(F.col("text").isNull()
-                | (F.length(F.trim("text")) == 0),
-                F.array().cast("array<string>"))
-         .otherwise(F.split(F.trim("text"), r"\s+")))
+    from .textstats import words_empty_safe
+    w = words_empty_safe("text")
     d = docs.select("doc_id", w.alias("w")).withColumn("n_w", F.size("w"))
     spans_arr = F.when(
         F.col("n_w") >= k,

@@ -25,16 +25,20 @@ shape:
 * DECIDE — one partial-aggregated ``groupBy`` on the 32-char anchor
   hash: occurrence count + min (doc_id, pos) canonical. Boilerplate
   anchors repeated 10^9 times are one decision row.
-* VERIFY — each non-canonical occurrence fetches a bounded word window
-  (+-ext around its anchor; one equi-join to the corpus on doc_id, one
-  to the canonical window on the hash) and extends the match forward /
-  backward with ``zip_with`` word-equality + first-mismatch — exact
-  WORD comparison, JVM-side, so the output has ZERO false positives
-  (an md5 collision fails the word compare and drops out). Runs
-  shorter than ``min_run`` are discarded; the cap ``ext`` bounds
-  per-row work and shuffle width (a fully-duplicated 10^6-word page
-  still verifies in O(ext), its uncovered middle caught by its own
-  later anchors).
+* VERIFY — each occurrence fetches a bounded word window (+-ext
+  around its anchor; ONE equi-join to the corpus on doc_id, then
+  hash-keyed joins over the checkpointed window frame only) and
+  extends the match forward / backward with ``zip_with``
+  word-equality + first-mismatch — exact WORD comparison, JVM-side,
+  so the output has ZERO false positives (an md5 collision fails the
+  word compare and drops out). Verification is ROUND-BASED (default
+  ROUNDS=3, the cc_labels bounded-round discipline): a context-less
+  decoy occurrence of the anchor k-gram cannot shadow a genuine run —
+  each round's canonical keeps and leaves the queue, unmatched
+  occurrences re-verify against the next surviving canonical (see
+  exact_substr_matched). The cap ``ext`` bounds per-row work and
+  shuffle width (a fully-duplicated 10^6-word page still verifies in
+  O(ext), its uncovered middle caught by its own later anchors).
 * REWRITE — matched intervals merge per document (sort + one
   ``aggregate`` fold) and the kept text reassembles in-row; the
   canonical occurrence of every run is preserved (keep-first, min
@@ -61,16 +65,16 @@ K = 8          # words per k-gram
 W = 18         # winnowing window (k-grams)
 MIN_RUN = W + K - 1   # 25 words — exactly the winnowing guarantee
 EXT_CAP = 512  # max verified extension (words, each side of the anchor)
+ROUNDS = 3     # verification rounds (decoy-canonical peeling, see below)
 
 _IVT = "array<struct<start:bigint,end:bigint>>"
 
 
 def _words_col(col: str = "text"):
-    """The suite's whitespace tokenizer; NULL/empty -> empty array."""
-    return (F.when(F.col(col).isNull()
-                   | (F.length(F.trim(col)) == 0),
-                   F.array().cast("array<string>"))
-            .otherwise(F.split(F.trim(col), r"\s+")))
+    """The suite's whitespace tokenizer; NULL/empty -> empty array
+    (the shared textstats definition — one source for the word grain)."""
+    from .textstats import words_empty_safe
+    return words_empty_safe(col)
 
 
 def winnow_anchors(docs: DataFrame, k: int = K, w: int = W) -> DataFrame:
@@ -188,46 +192,93 @@ def _first_mismatch(a: str, b: str) -> str:
 
 def exact_substr_matched(docs: DataFrame, k: int = K, w: int = W,
                          min_run: int = MIN_RUN, ext: int = EXT_CAP,
-                         arrow: bool = True) -> DataFrame:
+                         arrow: bool = True,
+                         rounds: int = ROUNDS) -> DataFrame:
     """Verified duplicated-run intervals per non-canonical occurrence:
     ``(doc_id, start, end)`` word intervals (end exclusive), each an
-    exact word-for-word match of >= ``min_run`` words against the run's
-    canonical (min (doc_id, pos)) occurrence. ``arrow=False`` swaps the
-    anchor stage to the declarative HOF form (same rows, slower —
-    interpreted lambdas; kept as the cross-check reference)."""
+    exact word-for-word match of >= ``min_run`` words against a
+    surviving canonical (min (doc_id, pos)) occurrence.
+
+    WHY ROUNDS: an anchor k-gram (k words) is less specific than the
+    run (>= min_run words) it covers — the group's (doc_id, pos)-min
+    occurrence can be a DECOY that carries the k-gram without the run's
+    context (a short quote, a fragment). One canonical-only pass would
+    verify genuine run occurrences against the decoy, fail the
+    word-compare, and silently keep both copies. So verification is
+    ROUND-BASED, the cc_labels bounded-round discipline: each round's
+    canonical keeps and leaves the queue, matched occurrences drop out,
+    and only unmatched occurrences re-verify against the NEXT surviving
+    canonical — each round peels exactly one never-matching decoy (or
+    one foreign run's first occurrence, which takes its whole run's
+    occurrences with it). A duplicated run is therefore caught unless
+    MORE than ``rounds - 1`` never-matching occurrences of its anchor
+    hash precede its first occurrence in (doc_id, pos) order; unmatched
+    residue is KEPT (conservative — no false positives ever). Rounds
+    run off one checkpointed bounded-window frame: the corpus is
+    scanned once and joined once, regardless of ``rounds``.
+
+    ``arrow=False`` swaps the anchor stage to the declarative HOF form
+    (same rows, slower — interpreted lambdas; the cross-check
+    reference)."""
     anchor_fn = winnow_anchors_arrow if arrow else winnow_anchors
-    anchors = anchor_fn(docs, k, w)
-    dec = (anchors.groupBy("h")
-           .agg(F.count("*").alias("n_occ"),
-                F.min(F.struct("doc_id", "pos")).alias("first"))
-           .where(F.col("n_occ") >= 2)
-           .select("h", "first"))
+    # narrow (doc_id, h, pos) rows; checkpointed so the winnowing pass
+    # runs ONCE (it feeds both sides of the decision self-join — the
+    # dedup.py house rule for exactly this shape)
+    anchors = anchor_fn(docs, k, w).localCheckpoint(eager=False)
+    dec = (anchors.groupBy("h").agg(F.count("*").alias("n_occ"))
+           .where(F.col("n_occ") >= 2).select("h"))
     flagged = anchors.join(dec, "h")
     wide = docs.select("doc_id", _words_col().alias("wds"))
     lo = F.greatest(F.lit(0), F.col("pos") - F.lit(ext))
+    # ONE corpus-text join total: the verification rounds below run
+    # entirely off this checkpointed bounded-window frame
     wins = (flagged.join(wide, "doc_id")
-            .select("doc_id", "h", "pos", "first",
+            .select("doc_id", "h", "pos",
                     (F.col("pos") - lo).alias("off"),
                     F.expr(f"slice(wds, greatest(0L, pos - {ext}) + 1, "
                            f"pos - greatest(0L, pos - {ext}) "
-                           f"+ {k} + {ext})").alias("win")))
-    is_canon = ((F.col("doc_id") == F.col("first.doc_id"))
-                & (F.col("pos") == F.col("first.pos")))
-    canon = (wins.where(is_canon)
-             .select("h", F.col("win").alias("cwin"),
-                     F.col("off").alias("coff")))
-    pairs = wins.where(~is_canon).join(canon, "h")
+                           f"+ {k} + {ext})").alias("win"))
+            .localCheckpoint(eager=False))
     fwd = F.expr(_first_mismatch(
         "slice(win, off + 1, size(win) - off)",
         "slice(cwin, coff + 1, size(cwin) - coff)"))
     bwd = F.expr(_first_mismatch(
         "reverse(slice(win, 1, off))", "reverse(slice(cwin, 1, coff))"))
-    return (pairs.select("doc_id", fwd.alias("fwd"), bwd.alias("bwd"),
-                         "pos")
-            .where(F.col("fwd") + F.col("bwd") >= min_run)
-            .select("doc_id",
-                    (F.col("pos") - F.col("bwd")).alias("start"),
-                    (F.col("pos") + F.col("fwd")).alias("end")))
+    spark = docs.sparkSession
+    matched = spark.createDataFrame(
+        [], f"doc_id {docs.schema['doc_id'].dataType.simpleString()}, "
+            "start bigint, end bigint")
+    active = wins
+    for r in range(rounds):
+        first = (active.groupBy("h")
+                 .agg(F.min(F.struct("doc_id", "pos")).alias("first")))
+        a2 = active.join(first, "h")
+        is_canon = ((F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("pos") == F.col("first.pos")))
+        canon = (a2.where(is_canon)
+                 .select("h", F.col("win").alias("cwin"),
+                         F.col("off").alias("coff")))
+        pairs = (a2.where(~is_canon).drop("first").join(canon, "h")
+                 .select("doc_id", "h", "pos", "off", "win",
+                         fwd.alias("fwd"), bwd.alias("bwd")))
+        hit = F.col("fwd") + F.col("bwd") >= min_run
+        matched = matched.unionByName(
+            pairs.where(hit).select(
+                "doc_id",
+                (F.col("pos") - F.col("bwd")).alias("start"),
+                (F.col("pos") + F.col("fwd")).alias("end")))
+        if r == rounds - 1:
+            break
+        # the round's canonicals KEEP and leave the queue; matched
+        # occurrences drop out; only unmatched occurrences re-verify
+        # against the next surviving canonical (one decoy peeled/round).
+        # Lazy checkpoints: lineage-cut + computed once per action with
+        # no extra job barrier; a converged (empty) round is a no-op
+        # stage, so no driver-side early-exit action is spent on it.
+        active = (pairs.where(~hit)
+                  .select("doc_id", "h", "pos", "off", "win")
+                  .localCheckpoint(eager=False))
+    return matched
 
 
 _MERGE = f"""aggregate(ivs, cast(array() as {_IVT}), (acc, x) ->
@@ -258,12 +309,13 @@ def _rewritten(docs: DataFrame, matched: DataFrame) -> DataFrame:
 
 def exact_substr_frame(docs: DataFrame, k: int = K, w: int = W,
                        min_run: int = MIN_RUN, ext: int = EXT_CAP,
-                       arrow: bool = True) -> DataFrame:
+                       arrow: bool = True,
+                       rounds: int = ROUNDS) -> DataFrame:
     """Per-document verdict frame: one row per input doc (grain
     preserved, NULL/empty included) with the duplicated-run audit and
     the md5 of the reassembled kept text."""
     out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run,
-                                                ext, arrow))
+                                                ext, arrow, rounds))
     kept_text = F.array_join("kept", " ")
     return out.select(
         "doc_id",
@@ -277,13 +329,14 @@ def exact_substr_frame(docs: DataFrame, k: int = K, w: int = W,
 
 def exact_substr_text(docs: DataFrame, k: int = K, w: int = W,
                       min_run: int = MIN_RUN, ext: int = EXT_CAP,
-                      arrow: bool = True) -> DataFrame:
+                      arrow: bool = True,
+                      rounds: int = ROUNDS) -> DataFrame:
     """Content-rewrite form: ``(doc_id, text, n_dup_runs)`` with every
     non-canonical duplicated run removed (whitespace-normalized to
     single spaces by construction) — chains between the quality gate
     and the training sink like span_dedup_text."""
     out = _rewritten(docs, exact_substr_matched(docs, k, w, min_run,
-                                                ext, arrow))
+                                                ext, arrow, rounds))
     return out.select("doc_id", F.array_join("kept", " ").alias("text"),
                       F.size("mi").cast("int").alias("n_dup_runs"))
 
@@ -324,9 +377,11 @@ def _twin_anchors(wds: list[str], k: int, w: int) -> list[tuple[str, int]]:
 
 
 def exact_substr_twin(docs: dict, k: int = K, w: int = W,
-                      min_run: int = MIN_RUN, ext: int = EXT_CAP) -> dict:
+                      min_run: int = MIN_RUN, ext: int = EXT_CAP,
+                      rounds: int = ROUNDS) -> dict:
     """Pure-Python mirror of exact_substr_frame over ``{doc_id: text}``:
-    returns ``{doc_id: (kept_text, n_dup_runs, dup_words)}``."""
+    returns ``{doc_id: (kept_text, n_dup_runs, dup_words)}``. Mirrors
+    the round-based verification (decoy-canonical peeling) exactly."""
     words = {d: _twin_words(t) for d, t in docs.items()}
     occ: dict[str, list[tuple[int, int]]] = {}
     for d in sorted(words):
@@ -336,23 +391,29 @@ def exact_substr_twin(docs: dict, k: int = K, w: int = W,
     for h, lst in occ.items():
         if len(lst) < 2:
             continue
-        cd, cp = min(lst)
-        cw = words[cd]
-        for d, p in lst:
-            if (d, p) == (cd, cp):
-                continue
-            dw = words[d]
-            fwd = 0
-            while (p + fwd < min(len(dw), p + k + ext)
-                   and cp + fwd < min(len(cw), cp + k + ext)
-                   and dw[p + fwd] == cw[cp + fwd]):
-                fwd += 1
-            bwd = 0
-            while (bwd < min(p, ext) and bwd < min(cp, ext)
-                   and dw[p - 1 - bwd] == cw[cp - 1 - bwd]):
-                bwd += 1
-            if fwd + bwd >= min_run:
-                ivs[d].append((p - bwd, p + fwd))
+        active = sorted(lst)
+        for _ in range(rounds):
+            if len(active) < 2:
+                break
+            cd, cp = active[0]
+            cw = words[cd]
+            nxt = []
+            for d, p in active[1:]:
+                dw = words[d]
+                fwd = 0
+                while (p + fwd < min(len(dw), p + k + ext)
+                       and cp + fwd < min(len(cw), cp + k + ext)
+                       and dw[p + fwd] == cw[cp + fwd]):
+                    fwd += 1
+                bwd = 0
+                while (bwd < min(p, ext) and bwd < min(cp, ext)
+                       and dw[p - 1 - bwd] == cw[cp - 1 - bwd]):
+                    bwd += 1
+                if fwd + bwd >= min_run:
+                    ivs[d].append((p - bwd, p + fwd))
+                else:
+                    nxt.append((d, p))
+            active = nxt
     out = {}
     for d in docs:
         merged: list[list[int]] = []

@@ -37,6 +37,19 @@ def hex4_sql_spark(expr: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def doc_lottery_col(id_col: str = "doc_id"):
+    """The house doc-grain hash lottery key as a Column: 16 portable
+    bits of md5 over the decimal/string form of the id. One definition
+    for every sampler (stratified thinning, datacard exemplars, probe
+    sampling) so the lotteries can never drift apart across engines."""
+    return hex4_col(F.md5(F.col(id_col).cast("string").cast("binary")))
+
+
+def doc_lottery_sql_duck(expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`doc_lottery_col`."""
+    return hex4_sql_duck(f"md5(CAST({expr} AS VARCHAR))")
+
+
 def hex4_sql_duck(expr: str) -> str:
     """DuckDB mirror of :func:`hex4_sql_spark` (strpos/substr dialect)."""
     parts = [

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import hex4_col, hex4_sql_duck
+from .hashing import doc_lottery_sql_duck, hex4_col
 from .textstats import _SW_LIST  # noqa: F401  (tier SQL mirror below)
 from .textstats import (QF_MAX_AVG_WLEN, QF_MAX_WORDS, QF_MIN_AVG_WLEN,
                         QF_MIN_STOPWORD_RATIO, QF_MIN_WORDS,
@@ -178,7 +178,7 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("realized_tokens")))
 
 
-_LOTTERY = hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))") + " % 1000"
+_LOTTERY = doc_lottery_sql_duck() + " % 1000"
 
 SQL_MIXTURE_EPOCHS = f"""
 WITH d AS (

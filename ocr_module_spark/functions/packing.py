@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .hashing import hex4_col, hex4_sql_duck
+from .hashing import doc_lottery_sql_duck, hex4_col, hex4_sql_duck
 from .textstats import _words
 
 SEQ_LEN = 64      # tokens per packed sequence — testdata-sized; a real
@@ -119,7 +119,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assignments(base)
 
 
-_H = hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")
+_H = doc_lottery_sql_duck()
 
 SQL_PACK_SEQUENCES = f"""
 WITH d AS (

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import hex4_col, hex4_sql_duck
+from .hashing import doc_lottery_col, doc_lottery_sql_duck
 from .textstats import _docs
 
 
@@ -63,7 +63,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the perturbation on both engines → those diff unchanged). Output:
     per-status counts + key extrema."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    hb = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    hb = doc_lottery_col()
     d = d.select("doc_id", "text", hb.alias("hb"))
     fp_old = F.md5(F.col("text").cast("binary"))
     fp_new = F.when(F.col("hb") % 5 == 2,
@@ -84,7 +84,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SNAPSHOT_DIFF = f"""
 WITH d AS (
   SELECT doc_id, text,
-         {hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} AS hb
+         {doc_lottery_sql_duck()} AS hb
   FROM documents
 ), old AS (
   SELECT doc_id, md5(text) AS fp, TRUE AS in_old

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import hex4_col, hex4_sql_duck, hex4_sql_spark
+from .hashing import (doc_lottery_col, doc_lottery_sql_duck, hex4_col,
+                      hex4_sql_duck, hex4_sql_spark)
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -40,6 +41,18 @@ PII_PHONE = r"\+?\d[\d\- ]{6,}\d"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def words_empty_safe(col: str = "text"):
+    """NULL/empty-to-EMPTY-ARRAY variant of :func:`_words` — the word
+    grain of the content-rewrite dedup operators (span dedup,
+    ExactSubstr): a NULL-text document still gets a verdict row with an
+    empty kept text, so the corpus grain is preserved. One definition;
+    a change to the tokenizer convention lands everywhere at once."""
+    return (F.when(F.col(col).isNull()
+                   | (F.length(F.trim(F.col(col))) == 0),
+                   F.array().cast("array<string>"))
+            .otherwise(F.split(F.trim(F.col(col)), r"\s+")))
 
 
 def _words(col: str = "text"):
@@ -498,7 +511,7 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized config. The md5-derived hash is the portable stand-in
     for xxhash64 (cross-engine verifiability, one-line swap at scale)."""
     d = _docs(spark, sf_dir)
-    h = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    h = doc_lottery_col()
     rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN) \
         .otherwise(SAMPLE_RATE_OTHER)
     return (d.where(F.pmod(h, F.lit(100)) < rate)
@@ -511,7 +524,7 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SAMPLE_STRATIFIED_HASH = f"""
 WITH h AS (
   SELECT doc_id, lang,
-         {hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} % 100 AS hb,
+         {doc_lottery_sql_duck()} % 100 AS hb,
          CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
               ELSE {SAMPLE_RATE_OTHER} END AS rate
   FROM documents
@@ -550,7 +563,7 @@ def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn("w", _words())
     n_words = F.size("w")
     tier = tier_expr()
-    h = hex4_col(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    h = doc_lottery_col()
     rate = F.when(F.col("lang") == "en", SAMPLE_RATE_EN) \
         .otherwise(SAMPLE_RATE_OTHER)
     sampled = F.pmod(h, F.lit(100)) < rate
@@ -591,7 +604,7 @@ WITH d AS (
               WHEN n_words >= {TIER_HI_MIN_WORDS}
                    AND n_stop * 100 >= n_words * {TIER_HI_STOP_PCT}
               THEN 'high' ELSE 'mid' END AS tier,
-         {hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} % 100
+         {doc_lottery_sql_duck()} % 100
            < CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN}
                   ELSE {SAMPLE_RATE_OTHER} END AS s
   FROM sig
@@ -756,7 +769,7 @@ WITH d AS (
   SELECT doc_id, lang, source, len(w) AS n_words,
          length(text) * 10 / greatest(len(w), 1) AS avg_wlen_x10,
          len(list_filter(w, x -> lower(x) IN ({_SW_LIST}))) AS n_stop,
-         {hex4_sql_duck("md5(CAST(doc_id AS VARCHAR))")} AS h
+         {doc_lottery_sql_duck()} AS h
   FROM d
 ), t AS (
   SELECT doc_id, lang, source, h,

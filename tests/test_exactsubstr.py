@@ -162,21 +162,65 @@ def test_guarantee_planted_run_always_caught(spark, off_a, off_b, seed):
     assert out[0]["dup_words"] + out[1]["dup_words"] == MIN_RUN
 
 
-def test_no_false_positives_dropped_text_exists_elsewhere(spark):
-    """Exactness: every dropped interval is a word-for-word match of
-    text that survives in the canonical doc."""
+def test_no_false_positives_dropped_text_duplicated_verbatim(spark):
+    """Exactness: every matched interval's word run appears verbatim
+    (contiguously) at ANOTHER (doc, offset) in the original corpus —
+    i.e. only genuinely duplicated text is ever dropped."""
+    from ocr_module_spark.functions.exactsubstr import (
+        exact_substr_matched)
     rows = [(0, f"{FILL_A} {RUN}"),
             (1, f"{FILL_B} {RUN} {FILL_C}"),
             (2, f"{RUN} {FILL_C}")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    txt = {r["doc_id"]: r["text"]
-           for r in exact_substr_text(df).collect()}
-    orig = dict(rows)
-    for d in orig:
-        kept_words = txt[d].split()
-        # kept text is a subsequence of the original
-        it = iter(orig[d].split())
-        assert all(any(w == x for x in it) for w in kept_words)
+    orig = {d: t.split() for d, t in rows}
+    ivs = [(r["doc_id"], r["start"], r["end"])
+           for r in exact_substr_matched(df).collect()]
+    assert ivs, "fixture must produce matches"
+
+    def occurrences(run):
+        n = len(run)
+        return [(d2, s) for d2, w2 in orig.items()
+                for s in range(len(w2) - n + 1) if w2[s:s + n] == run]
+
+    for d, start, end in ivs:
+        run = orig[d][start:end]
+        assert len(run) >= MIN_RUN
+        others = [o for o in occurrences(run) if o != (d, start)]
+        assert others, (d, start, end)
+
+
+def test_decoy_canonical_does_not_shadow_runs(spark):
+    """Round-based verification regression (code-review finding): a
+    context-less decoy occurrence of the anchor k-gram — smaller
+    (doc_id, pos) than the genuine run occurrences — must not shadow
+    the run. With canonical-only verification docs 10/11 kept their
+    25-word duplicate; the rounds peel the decoys."""
+    run_words = RUN.split()
+    # decoys: the exact anchor k-grams winnowing selects inside RUN,
+    # planted as standalone docs with SMALLER doc_ids than the runs
+    anchors = _twin_anchors((FILL_A + " " + RUN).split(), K, W)
+    run_off = len(FILL_A.split())
+    in_run = [p for h, p in anchors if p >= run_off]
+    assert in_run, "fixture: RUN must carry at least one anchor"
+    full = (FILL_A + " " + RUN).split()
+    decoys = [(i, " ".join(full[p:p + K]))
+              for i, p in enumerate(sorted(set(in_run))[:2])]
+    rows = decoys + [(10, f"{FILL_A} {RUN}"), (11, f"{FILL_B} {RUN}")]
+    out = _frame(spark, rows)
+    # decoys and the canonical run doc keep everything
+    for i, _ in decoys:
+        assert out[i]["dup_words"] == 0
+    assert out[10]["dup_words"] == 0
+    # the non-canonical run occurrence is caught despite the decoys
+    assert out[11]["dup_words"] == MIN_RUN
+    assert out[11]["kept_md5"] == hashlib.md5(
+        FILL_B.encode()).hexdigest()
+    # and the twin agrees bit-for-bit
+    want = exact_substr_twin(dict(rows))
+    for d, (kept, n_runs, dup_words) in want.items():
+        assert out[d]["dup_words"] == dup_words
+        assert out[d]["kept_md5"] \
+            == hashlib.md5(kept.encode()).hexdigest()
 
 
 HOSTILE_WS = st.sampled_from(
