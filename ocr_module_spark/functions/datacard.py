@@ -117,7 +117,8 @@ EX_BUCKETS = 64   # top-k window decomposition (no single-reducer group)
 
 def datacard_exemplars(docs: DataFrame, k: int = EX_K,
                        lang_col: str = "lang",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
     """Deterministic exemplar documents per datasheet group — the
     "examples" column every published dataset card carries (C4/Dolma/
     FineWeb cards all quote sample documents per slice). For each
@@ -150,7 +151,7 @@ def datacard_exemplars(docs: DataFrame, k: int = EX_K,
     from .hashing import doc_lottery_col
     w = _words(text_col)
     d = docs.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(lang_col), F.lit("und")).alias("lang_c"),
         F.coalesce(F.size(w), F.lit(0)).cast("long").alias("nt"))
     d = (d.withColumn("len_digits",
@@ -172,7 +173,7 @@ def datacard_exemplars(docs: DataFrame, k: int = EX_K,
                .withColumn("rank", F.row_number().over(w2))
                .where(F.col("rank") <= k))
     enrich = docs.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
         F.coalesce(F.size(w), F.lit(0)).cast("long").alias("n_tokens"),
         F.substring(F.col(text_col), 1, 160).alias("preview"))
     return (enrich.join(F.broadcast(winners), "doc_id")

@@ -201,3 +201,22 @@ def test_exemplars_plan_shape(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line or "Sort" in line:
             assert "text#" not in line, line
+
+
+def test_exemplars_url_keyed_cli_mirror(spark):
+    """Mirrors tools/curate.py --datacard exemplar plumbing: url-keyed
+    lottery (id_col='url'), NULL lang to 'und', string ids sort
+    deterministically."""
+    from ocr_module_spark.functions.datacard import datacard_exemplars
+    base = spark.createDataFrame(
+        [("http://a.com/x", "w1 w2", "en"),
+         ("http://b.org/y", "w3", None),
+         ("http://c.net/z", "w4 w5 w6", "en")],
+        "url string, text string, lang string")
+    out = datacard_exemplars(base, lang_col="lang", id_col="url")
+    rows = {(r["dim"], r["value"], r["rank"]): r["doc_id"]
+            for r in out.collect()}
+    # total group quotes all 3 docs (k=3), each exactly once
+    assert sorted(v for (d, _, _), v in rows.items() if d == "total") \
+        == sorted(["http://a.com/x", "http://b.org/y", "http://c.net/z"])
+    assert rows[("lang", "und", 1)] == "http://b.org/y"

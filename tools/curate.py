@@ -46,6 +46,8 @@ decontamination (ocr_module_spark.curate) and writes:
   (``--compress-stats``)
 * ``<out>/badwords`` — (url, n_bad_words, bad_flag) policy-wordlist
   verdict (C4 blocklist stage; list supplied via --badwords FILE)
+* ``<out>/datacard_examples`` — (dim, value, rank, url, n_tokens,
+  preview) k deterministic exemplar docs per card group
 * ``<out>/datacard`` — (dim, value, n_docs, n_hosts, n_tokens,
   n_chars) one-pass dataset-card rollup of the curated output
 * ``<out>/lm_model`` + ``<out>/lm_tiers`` — the Stupid-Backoff trigram
@@ -496,6 +498,15 @@ def main() -> int:
         card.write.mode("overwrite").parquet(f"{out}/datacard")
         counters["datacard_rows"] = \
             spark.read.parquet(f"{out}/datacard").count()
+        # the card's "examples" column: k deterministic exemplar docs
+        # per card group, url-keyed (same hash-lottery family as the
+        # sampling/packing keys)
+        from ocr_module_spark.functions.datacard import datacard_exemplars
+        ex = (datacard_exemplars(base, lang_col="lang", id_col="url")
+              .withColumnRenamed("doc_id", "url"))
+        ex.write.mode("overwrite").parquet(f"{out}/datacard_examples")
+        counters["datacard_example_rows"] = \
+            spark.read.parquet(f"{out}/datacard_examples").count()
 
     # every artifact a trainer consumes comes from this frame: the full
     # curated corpus, or its train split when --split is on (val/test
