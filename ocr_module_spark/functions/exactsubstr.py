@@ -23,8 +23,9 @@ shape:
   relative k-gram) — so every duplicated run of >= MIN_RUN words is
   covered by a shared anchor hash. No suffix array needed.
 * DECIDE — one partial-aggregated ``groupBy`` on the 32-char anchor
-  hash: occurrence count + min (doc_id, pos) canonical. Boilerplate
-  anchors repeated 10^9 times are one decision row.
+  hash: occurrence count flags the duplicated hashes (boilerplate
+  anchors repeated 10^9 times are one decision row); the per-round
+  canonical minima are computed in VERIFY over the flagged frame only.
 * VERIFY — each occurrence fetches a bounded word window (+-ext
   around its anchor; ONE equi-join to the corpus on doc_id, then
   hash-keyed joins over the checkpointed window frame only) and
@@ -220,6 +221,9 @@ def exact_substr_matched(docs: DataFrame, k: int = K, w: int = W,
     ``arrow=False`` swaps the anchor stage to the declarative HOF form
     (same rows, slower — interpreted lambdas; the cross-check
     reference)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1 (0 would silently "
+                         "disable dedup)")
     anchor_fn = winnow_anchors_arrow if arrow else winnow_anchors
     # narrow (doc_id, h, pos) rows; checkpointed so the winnowing pass
     # runs ONCE (it feeds both sides of the decision self-join — the
@@ -258,9 +262,15 @@ def exact_substr_matched(docs: DataFrame, k: int = K, w: int = W,
         canon = (a2.where(is_canon)
                  .select("h", F.col("win").alias("cwin"),
                          F.col("off").alias("coff")))
+        # checkpoint the verified pairs ONCE per round: the matched
+        # branch (below) and the next round's residual both read it, and
+        # Spark does not dedupe common subplans across DataFrame
+        # branches — without this the join + zip_with compare would run
+        # twice per non-final round
         pairs = (a2.where(~is_canon).drop("first").join(canon, "h")
                  .select("doc_id", "h", "pos", "off", "win",
-                         fwd.alias("fwd"), bwd.alias("bwd")))
+                         fwd.alias("fwd"), bwd.alias("bwd"))
+                 .localCheckpoint(eager=False))
         hit = F.col("fwd") + F.col("bwd") >= min_run
         matched = matched.unionByName(
             pairs.where(hit).select(
@@ -275,9 +285,8 @@ def exact_substr_matched(docs: DataFrame, k: int = K, w: int = W,
         # Lazy checkpoints: lineage-cut + computed once per action with
         # no extra job barrier; a converged (empty) round is a no-op
         # stage, so no driver-side early-exit action is spent on it.
-        active = (pairs.where(~hit)
-                  .select("doc_id", "h", "pos", "off", "win")
-                  .localCheckpoint(eager=False))
+        active = pairs.where(~hit).select("doc_id", "h", "pos", "off",
+                                          "win")
     return matched
 
 

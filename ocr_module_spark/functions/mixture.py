@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .hashing import doc_lottery_sql_duck, hex4_col
+from .hashing import doc_lottery_col, doc_lottery_sql_duck
 from .textstats import _SW_LIST  # noqa: F401  (tier SQL mirror below)
 from .textstats import (QF_MAX_AVG_WLEN, QF_MAX_WORDS, QF_MIN_AVG_WLEN,
                         QF_MIN_STOPWORD_RATIO, QF_MIN_WORDS,
@@ -87,7 +87,7 @@ def repeat_expr(epochs_col: str = "epochs_x1000",
     """Per-document repeat count: whole epochs for everyone, the
     fractional epoch by deterministic hash lottery."""
     lottery = F.pmod(
-        hex4_col(F.md5(F.col(id_col).cast("string").cast("binary"))),
+        doc_lottery_col(id_col),
         F.lit(1000))
     return F.expr(f"{epochs_col} div 1000") + \
         F.when(lottery < F.pmod(F.col(epochs_col), F.lit(1000)), 1) \

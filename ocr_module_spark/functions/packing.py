@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .hashing import doc_lottery_sql_duck, hex4_col, hex4_sql_duck
+from .hashing import doc_lottery_col, doc_lottery_sql_duck, hex4_col, hex4_sql_duck
 from .textstats import _words
 
 SEQ_LEN = 64      # tokens per packed sequence — testdata-sized; a real
@@ -87,8 +87,7 @@ def pack_assignments(base: DataFrame, seq_len: int = SEQ_LEN,
          .orderBy("h", "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     c = (base.where(F.col("n_tokens") > 0)
-         .withColumn("h", hex4_col(
-             F.md5(F.col("doc_id").cast("string").cast("binary")))))
+         .withColumn("h", doc_lottery_col()))
     if salt_buckets > 0:
         c = c.withColumn(
             "pack_salt", F.pmod("h", F.lit(salt_buckets)).cast("int"))

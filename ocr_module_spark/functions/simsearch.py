@@ -357,8 +357,8 @@ def sampled_query_ids():
     hash-mod filter as textstats.q_sample_stratified_hash, so the probe
     set is reproducible across runs/engines and its size scales with the
     corpus, never with a hardwired id list."""
-    from .hashing import hex4_col
-    h = hex4_col(F.md5(F.col("vec_id").cast("string").cast("binary")))
+    from .hashing import doc_lottery_col
+    h = doc_lottery_col("vec_id")
     return F.pmod(h, F.lit(SAMPLE_MOD)) == 0
 
 

@@ -670,8 +670,7 @@ def budget_select(base: DataFrame,
     b = budgets or {"high": MIX_BUDGET_HIGH, "mid": MIX_BUDGET_MID,
                     "low": MIX_BUDGET_LOW}
     passthrough = base.columns
-    base = (base.withColumn("h", hex4_col(
-                F.md5(F.col("doc_id").cast("string").cast("binary"))))
+    base = (base.withColumn("h", doc_lottery_col())
             .where(F.col("n_tokens") > 0))
     # salt only affects physical distribution, never the result — the
     # engine-internal hash is fine here (no oracle mirror needed)
