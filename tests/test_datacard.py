@@ -220,3 +220,29 @@ def test_exemplars_url_keyed_cli_mirror(spark):
     assert sorted(v for (d, _, _), v in rows.items() if d == "total") \
         == sorted(["http://a.com/x", "http://b.org/y", "http://c.net/z"])
     assert rows[("lang", "und", 1)] == "http://b.org/y"
+
+
+def test_exemplars_twin_fuzz(spark):
+    """Randomized corpora (NULL text/lang, duplicate-free ids) — the
+    engine must match the pure-Python twin on every (group, rank)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_module_spark.functions.datacard import datacard_exemplars
+
+    TXT = st.one_of(st.none(), st.text(
+        alphabet="ab c", min_size=0, max_size=30))
+    LANG = st.sampled_from([None, "en", "de", "fr"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(TXT, LANG), min_size=1, max_size=25))
+    def run(doc_specs):
+        rows = [(i, t, lang, "h") for i, (t, lang) in
+                enumerate(doc_specs)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        got = {(r["dim"], r["value"], r["rank"]):
+               (r["doc_id"], r["n_tokens"], r["preview"])
+               for r in datacard_exemplars(df).collect()}
+        assert got == _ex_twin(rows), rows
+
+    run()
