@@ -164,7 +164,16 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 # corpus-scale encoding: trained merges -> token-id arrays
 # ---------------------------------------------------------------------------
 
-UNK_ID = -1        # symbol whose character never appeared at train time
+# GPT-2-style byte seed alphabet: token ids 0..255 are RESERVED for raw
+# UTF-8 bytes (id == byte value); trained symbols start at BYTE_BASE. A
+# symbol unseen at train time encodes as the UTF-8 bytes of its full
+# symbol string (END marker included, so word boundaries survive) —
+# round-trip is guaranteed by construction and nothing maps to an UNK.
+# The former UNK_ID (-1) is gone: encode_corpus can no longer destroy
+# information (VERDICT r4 ask #2; the reference's span reassembly is
+# byte-exact per url, entities/__init__.py:40-48 — the tokenizer meets
+# the same bar).
+BYTE_BASE = 256
 CACHE_MAX_WORDS = 1 << 20   # encode_corpus word-cache bound per worker
 
 
@@ -180,13 +189,21 @@ def corpus_alphabet(docs: DataFrame) -> list[str]:
 
 def bpe_vocab(alphabet: list[str],
               merges: list[tuple[str, str]]) -> dict[str, int]:
-    """Deterministic symbol → id table: the sorted alphabet first, then
-    merged symbols in merge order (the GPT-2 convention — ids are stable
-    across runs/engines because both inputs are)."""
-    vocab = {s: i for i, s in enumerate(alphabet)}
+    """Deterministic symbol → id table over the TRAINED symbols: the
+    sorted alphabet first, then merged symbols in merge order (the GPT-2
+    convention — ids are stable across runs/engines because both inputs
+    are). Ids start at ``BYTE_BASE``: 0..255 are the byte seed alphabet
+    (implicit — id == byte value, no string key needed, so a trained
+    symbol can never collide with a byte token)."""
+    vocab = {s: BYTE_BASE + i for i, s in enumerate(alphabet)}
     for a, b in merges:
-        vocab.setdefault(a + b, len(vocab))
+        vocab.setdefault(a + b, BYTE_BASE + len(vocab))
     return vocab
+
+
+def vocab_size(vocab: dict[str, int]) -> int:
+    """Total id space: the 256 byte seed tokens + the trained table."""
+    return BYTE_BASE + len(vocab)
 
 
 def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
@@ -200,7 +217,10 @@ def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
     and the merge loop cost is ~|vocabulary seen|, not |tokens|; the
     cache is capped (cleared at CACHE_MAX_WORDS entries) so a
     high-diversity partition cannot grow executor Python memory without
-    bound. Characters unseen at train time map to UNK_ID. Normalization
+    bound. Symbols unseen at train time BYTE-FALL-BACK: they encode as
+    the UTF-8 bytes of the full symbol string (END marker included) on
+    the reserved ids 0..255, so every document round-trips exactly —
+    no UNK, no information loss. Normalization
     mirrors initial_symbols exactly (lowercase, reserved ``END`` marker
     stripped pre-tokenization, Java-\\s charset split with empties
     dropped — NOT Python str.strip()/split(), whose Unicode-whitespace
@@ -227,8 +247,13 @@ def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
             if ids is None:
                 if len(cache) >= CACHE_MAX_WORDS:
                     cache.clear()      # keep the Zipf win, bound memory
-                ids = [vocab_d.get(s, UNK_ID)
-                       for s in encode_word(word, merges_t)]
+                ids = []
+                for s in encode_word(word, merges_t):
+                    i = vocab_d.get(s)
+                    if i is None:      # byte fallback: ids 0..255
+                        ids.extend(s.encode("utf-8"))
+                    else:
+                        ids.append(i)
                 cache[word] = ids
             return ids
 
@@ -284,7 +309,7 @@ def packed_bpe_sequences(docs: DataFrame, merges: list[tuple[str, str]],
         base, seq_len if seq_len is not None else SEQ_LEN, key_col)
 
 
-UNK_SYM = "�"     # decode-side rendering of UNK_ID (U+FFFD)
+UNK_SYM = "�"     # decode-side rendering of an INVALID id (U+FFFD)
 
 
 def decode_corpus(enc: DataFrame, vocab: dict[str, int],
@@ -294,19 +319,31 @@ def decode_corpus(enc: DataFrame, vocab: dict[str, int],
     integrity direction (shards must decode back to real text; a vocab/
     merge-table mismatch surfaces here, not after a training run).
 
-    Pure native expressions, zero exchanges: the inverse vocabulary is
-    a MAP LITERAL (model-sized — alphabet + merges — so it rides the
-    plan, no join), symbols re-assemble in-row and the reserved END
-    marker becomes the word boundary. UNK_ID renders as U+FFFD (the
-    information was destroyed at encode time — the replacement char
-    says so honestly). Round-trip law (pinned in tests):
-    ``decode(encode(t)) == ' '.join(javaws_split(lower(t)))`` for every
-    document whose chars were all seen at train time."""
+    Pure native expressions, zero exchanges. The inverse vocabulary is
+    a MAP LITERAL (model-sized — 256 byte tokens + alphabet + merges —
+    so it rides the plan, no join) whose VALUES are the symbols' UTF-8
+    bytes lifted to Latin-1 chars: a byte token id b contributes
+    ``chr(b)``, a trained symbol contributes its UTF-8 byte string the
+    same way. The concatenation is therefore a Latin-1 picture of the
+    exact UTF-8 byte stream, and one JVM
+    ``decode(encode(s, 'ISO-8859-1'), 'UTF-8')`` round-trip rebuilds
+    the true text — byte-fallback runs and trained symbols interleave
+    freely. The reserved END marker then becomes the word boundary.
+    Only an id OUTSIDE the vocabulary (corrupt input — encode_corpus
+    never emits one) renders U+FFFD. Round-trip law (pinned in tests,
+    hostile corpus included, zero U+FFFD):
+    ``decode(encode(t)) == ' '.join(javaws_split(lower(t)))``."""
+    lat = {i: chr(i) for i in range(BYTE_BASE)}
+    lat.update({i: s.encode("utf-8").decode("latin-1")
+                for s, i in vocab.items()})
     inv = F.map_from_arrays(
-        F.array(*[F.lit(i) for i in vocab.values()]),
-        F.array(*[F.lit(s) for s in vocab.keys()]))
+        F.array(*[F.lit(i) for i in lat.keys()]),
+        F.array(*[F.lit(v) for v in lat.values()]))
+    unk_lat = F.lit(UNK_SYM.encode("utf-8").decode("latin-1"))
     syms = F.transform(
         F.col(ids_col),
-        lambda i: F.coalesce(F.element_at(inv, i), F.lit(UNK_SYM)))
-    text = F.rtrim(F.regexp_replace(F.concat_ws("", syms), END, " "))
+        lambda i: F.coalesce(F.element_at(inv, i), unk_lat))
+    raw = F.decode(F.encode(F.concat_ws("", syms), "ISO-8859-1"),
+                   "UTF-8")
+    text = F.rtrim(F.regexp_replace(raw, END, " "))
     return enc.select(*keep, text.alias("text"))

@@ -133,8 +133,11 @@ def datacard_exemplars(docs: DataFrame, k: int = EX_K,
 
     Scale shape (the reason this isn't one window per group):
 
-    * the lottery rides a NARROW ``(dim, value, hk, doc_id)`` frame —
-      text/preview never enter the window shuffles;
+    * the lottery rides a NARROW ``(dim, value, hk, doc_id, nt)``
+      frame — text/preview never enter the window shuffles, and the
+      token count computed here is CARRIED through the winners (the
+      enrich side reads only the preview substring, so the corpus is
+      tokenized exactly once);
     * top-k is exact and two-phase: per ``(group, hk % EX_BUCKETS)``
       bucket window first (every bucket holds ~1/64 of the group, so
       the corpus-sized 'total' group never lands on one reducer),
@@ -162,19 +165,20 @@ def datacard_exemplars(docs: DataFrame, k: int = EX_K,
         "named_struct('dim', 'lang', 'value', lang_c), "
         "named_struct('dim', 'len_digits', 'value', "
         "cast(len_digits as string)))")
-    e = (d.select("doc_id", "hk", F.explode(dims).alias("dv"))
+    e = (d.select("doc_id", "hk", "nt", F.explode(dims).alias("dv"))
          .select(F.col("dv.dim").alias("dim"),
-                 F.col("dv.value").alias("value"), "doc_id", "hk"))
+                 F.col("dv.value").alias("value"), "doc_id", "hk",
+                 "nt"))
     w1 = (Window.partitionBy("dim", "value", F.col("hk") % EX_BUCKETS)
           .orderBy("hk", "doc_id"))
     w2 = Window.partitionBy("dim", "value").orderBy("hk", "doc_id")
     winners = (e.withColumn("rn", F.row_number().over(w1))
                .where(F.col("rn") <= k).drop("rn")
                .withColumn("rank", F.row_number().over(w2))
-               .where(F.col("rank") <= k))
+               .where(F.col("rank") <= k)
+               .withColumnRenamed("nt", "n_tokens"))
     enrich = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.coalesce(F.size(w), F.lit(0)).cast("long").alias("n_tokens"),
         F.substring(F.col(text_col), 1, 160).alias("preview"))
     return (enrich.join(F.broadcast(winners), "doc_id")
             .select("dim", "value", F.col("rank").cast("int").alias("rank"),

@@ -44,6 +44,12 @@ shape:
   ``aggregate`` fold) and the kept text reassembles in-row; the
   canonical occurrence of every run is preserved (keep-first, min
   (doc_id, pos) — the same canonical rule as span/keep-list dedup).
+  Self-overlapping periodic text (period < anchor spacing) is the one
+  shape where a later same-doc occurrence's extension reaches across
+  the copy gap; those intervals are CLAMPED to stay disjoint from the
+  pair's canonical matched span, so the canonical region survives
+  even on fully-periodic pages (regression-pinned in
+  tests/test_exactsubstr.py).
 
 Reference tie: the reference deduplicates nothing (it re-OCRs every
 page it is handed, translate_pdf.py); this operator exists for the
@@ -261,22 +267,37 @@ def exact_substr_matched(docs: DataFrame, k: int = K, w: int = W,
                     & (F.col("pos") == F.col("first.pos")))
         canon = (a2.where(is_canon)
                  .select("h", F.col("win").alias("cwin"),
-                         F.col("off").alias("coff")))
+                         F.col("off").alias("coff"),
+                         F.col("doc_id").alias("cdoc"),
+                         F.col("pos").alias("cpos")))
         # checkpoint the verified pairs ONCE per round: the matched
         # branch (below) and the next round's residual both read it, and
         # Spark does not dedupe common subplans across DataFrame
         # branches — without this the join + zip_with compare would run
         # twice per non-final round
         pairs = (a2.where(~is_canon).drop("first").join(canon, "h")
-                 .select("doc_id", "h", "pos", "off", "win",
-                         fwd.alias("fwd"), bwd.alias("bwd"))
+                 .select("doc_id", "h", "pos", "off", "win", "cdoc",
+                         "cpos", fwd.alias("fwd"), bwd.alias("bwd"))
                  .localCheckpoint(eager=False))
         hit = F.col("fwd") + F.col("bwd") >= min_run
+        # periodic-text clamp: in the canonical's OWN document a later
+        # occurrence's backward extension can reach across the copy gap
+        # and below cpos (self-overlapping text with period < anchor
+        # spacing), and the merged interval would swallow the canonical
+        # region — emptying every copy corpus-wide. The pair's matched
+        # span in canonical coordinates is [cpos - bwd, cpos + fwd), so
+        # clamping the same-doc interval start to cpos + fwd makes it
+        # disjoint from that span; since pos > cpos there, end stays
+        # > start for any genuine residue and empty intervals drop.
+        start = F.when(F.col("doc_id") == F.col("cdoc"),
+                       F.greatest(F.col("pos") - F.col("bwd"),
+                                  F.col("cpos") + F.col("fwd"))) \
+                 .otherwise(F.col("pos") - F.col("bwd"))
         matched = matched.unionByName(
             pairs.where(hit).select(
-                "doc_id",
-                (F.col("pos") - F.col("bwd")).alias("start"),
-                (F.col("pos") + F.col("fwd")).alias("end")))
+                "doc_id", start.alias("start"),
+                (F.col("pos") + F.col("fwd")).alias("end"))
+            .where(F.col("start") < F.col("end")))
         if r == rounds - 1:
             break
         # the round's canonicals KEEP and leave the queue; matched
@@ -419,7 +440,15 @@ def exact_substr_twin(docs: dict, k: int = K, w: int = W,
                        and dw[p - 1 - bwd] == cw[cp - 1 - bwd]):
                     bwd += 1
                 if fwd + bwd >= min_run:
-                    ivs[d].append((p - bwd, p + fwd))
+                    # same periodic-text clamp as the engine: in the
+                    # canonical's own doc the interval must stay
+                    # disjoint from the pair's canonical matched span
+                    # [cp - bwd, cp + fwd)
+                    s = p - bwd
+                    if d == cd:
+                        s = max(s, cp + fwd)
+                    if s < p + fwd:
+                        ivs[d].append((s, p + fwd))
                 else:
                     nxt.append((d, p))
             active = nxt

@@ -49,19 +49,42 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_usage_stats(spark, sf_dir):
-    """A6/A7 counter accumulation: per-type counts and sums over events."""
+    """A6/A7 counter accumulation: per-type counts and sums over events.
+
+    Since round 5 this row ALSO carries the F11/J8 JSON-pointer columns
+    (``avg_k``/``max_k`` from the ``props`` payload — the reference
+    to_dict/from_dict surface, entities/__init__.py:40-48): the same
+    events scan at the same grain, so the former standalone
+    ``json_pointer_extract`` demo row is driver-checked here while its
+    standalone query + oracle stay on the hostile-parity gate. Hostile
+    payloads (NULL / malformed JSON / missing key / non-numeric value)
+    are total on both engines: Spark get_json_object is NULL-on-malformed
+    + try_cast; DuckDB needs the json_valid guard + TRY_CAST."""
     ev = _t(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (ev.select("event_type", "value", "user_id", k.alias("k"))
+            .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 2).alias("total_value"),
-                 F.countDistinct("user_id").alias("n_users")))
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k")))
 
 
 SQL_USAGE_STATS = """
+WITH p AS (
+  SELECT event_type, value, user_id,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS INTEGER) AS k
+  FROM events
+)
 SELECT event_type, count(*) AS n_events,
        round(sum(value), 2) AS total_value,
-       count(DISTINCT user_id) AS n_users
-FROM events GROUP BY event_type
+       count(DISTINCT user_id) AS n_users,
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k
+FROM p GROUP BY event_type
 """
 
 
@@ -452,16 +475,28 @@ def q_mismatch_audit(spark, sf_dir):
     expression NULL, which is coalesced to false BEFORE summing (Spark's
     ``sum`` of an all-NULL group is NULL while a CASE-based oracle yields
     0 — the flag must be made total on both sides), and the outer sum is
-    coalesced too."""
+    coalesced too.
+
+    Since round 5 this row ALSO carries the A3 content-length sum
+    (``content_length``, Section.content_length, section_models.py:41-42)
+    at lang grain — the same documents scan, so the former standalone
+    ``agg_content_length`` demo row (lang×source grain) is driver-checked
+    here while its standalone query + oracle stay on the hostile-parity
+    gate. Same NULL pinning: length(coalesce(text, '')) summed, outer
+    coalesce to 0."""
     d = _t(spark, sf_dir, "documents")
     words = F.size(F.split(F.trim("text"), r"\s+"))
     flag = F.coalesce(
         (F.length("text") != F.col("n_chars")) | (words <= 0), F.lit(False))
-    return (d.select("lang", flag.alias("mismatch"))
+    return (d.select("lang", flag.alias("mismatch"),
+                     F.length(F.coalesce(F.col("text"), F.lit("")))
+                     .alias("tlen"))
             .groupBy("lang")
             .agg(F.coalesce(F.sum(F.col("mismatch").cast("long")), F.lit(0))
                  .cast("long").alias("n_mismatched"),
-                 F.count("*").alias("n_docs")))
+                 F.count("*").alias("n_docs"),
+                 F.coalesce(F.sum("tlen"), F.lit(0)).cast("long")
+                 .alias("content_length")))
 
 
 SQL_MISMATCH_AUDIT = """
@@ -470,7 +505,9 @@ SELECT lang,
                  length(text) <> n_chars
                  OR len(string_split_regex(trim(text), '\\s+')) <= 0, false)
             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatched,
-       count(*) AS n_docs
+       count(*) AS n_docs,
+       CAST(coalesce(sum(length(coalesce(text, ''))), 0) AS BIGINT)
+         AS content_length
 FROM documents GROUP BY lang
 """
 
@@ -671,7 +708,14 @@ FROM d
 REGISTRY = {
     "agg_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "agg_usage_stats": (q_usage_stats, SQL_USAGE_STATS),
-    "agg_content_length": (q_content_length, SQL_CONTENT_LENGTH),
+    # agg_content_length / json_pointer_extract / join_positional_zip
+    # rotated OUT of the 50-row driver window in round 5 (slots taken by
+    # the r4 flagships: lm_perplexity, langid_eval, host_reputation,
+    # snapshot_diff, datacard). All three stay fully oracled on the
+    # hostile gate (tests/test_hostile_parity.py) + tools/parity_check.py,
+    # and their §2 semantics are ALSO folded into driver-green rows on
+    # the same scans: avg_k/max_k into agg_usage_stats (F11/J8),
+    # content_length into agg_mismatch_audit (A3).
     "agg_batch_prompt_assembly": (q_batch_prompt_assembly,
                                   SQL_BATCH_PROMPT_ASSEMBLY),
     "join_pointer_membership": (q_pointer_membership_join,
@@ -681,8 +725,6 @@ REGISTRY = {
     "join_resume_anti": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     "join_semi_nonempty": (q_semi_join_nonempty, SQL_SEMI_JOIN_NONEMPTY),
     "join_broadcast_star": (q_broadcast_star_join, SQL_BROADCAST_STAR_JOIN),
-    "join_positional_zip": (q_positional_zip_join, SQL_POSITIONAL_ZIP_JOIN),
-    "json_pointer_extract": (q_json_pointer_extract, SQL_JSON_POINTER_EXTRACT),
     "window_dense_ids": (q_dense_id_assignment, SQL_DENSE_ID_ASSIGNMENT),
     "window_running_counter": (q_running_counter, SQL_RUNNING_COUNTER),
     "window_greedy_chunking": (q_greedy_chunking, SQL_GREEDY_CHUNKING),

@@ -503,6 +503,20 @@ def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                     continue
                 with fh:
                     for off, ln in zip(g["warc_offset"], g["warc_length"]):
+                        if int(off) < 0 or int(ln) < 0:
+                            # index_warc's truncated-tail marker (or a
+                            # hand-built bad row): an error row, never a
+                            # seek crash — per-record failure isolation
+                            rows.append({
+                                "url": None, "warc_ts": None,
+                                "html": None, "http_status": None,
+                                "mime": None, "warc_file": fname,
+                                "warc_offset": int(off),
+                                "warc_length": int(ln),
+                                "payload_sha256": None,
+                                "error": "container: unindexable tail "
+                                         "marker (offset/length < 0)"})
+                            continue
                         fh.seek(int(off))
                         blob = fh.read(int(ln))
                         try:
@@ -679,7 +693,118 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
 def build_cdx(spark: SparkSession, warc_file: str,
               cdx_rows: List[dict]) -> DataFrame:
     """CDX rows from ``build_warc_gz`` -> a DataFrame for the offsets
-    reader (production reads the crawl-provided cdx.gz instead)."""
+    reader (production reads the crawl-provided cdx.gz instead; for a
+    foreign container with NO index, :func:`index_warc` builds one
+    in-engine)."""
     return spark.createDataFrame(
         [(r["url"], warc_file, r["warc_offset"], r["warc_length"])
          for r in cdx_rows], CDX_SCHEMA)
+
+
+# -- in-engine CDX indexer (foreign, index-less containers) ------------------
+
+def _index_member(member: bytes, warc_file: str, offset: int,
+                  length: int,
+                  want: Tuple[str, ...] = ("response",)) -> Optional[dict]:
+    """Headers-only twin of :func:`_parse_member`'s MEMBERSHIP rule:
+    returns a CDX dict for every member ``_parse_member`` would emit a
+    row for — wanted record types (ok or error) AND members whose
+    version line / header block is broken (their type is unknowable, so
+    the scan reader surfaces them; an index that dropped them would make
+    an index-driven backfill silently lossy) — and ``None`` for the
+    skips (warcinfo / request / metadata / ...). No HTTP envelope
+    decode, no dechunk/gunzip, no payload hash: the indexer's per-member
+    cost is gzip inflate + one header parse."""
+    try:
+        if not member.startswith(b"WARC/"):
+            raise ValueError("missing WARC/ version line")
+        headers, _rest = _parse_headers(member)
+        if headers.get("warc-type", "").lower() not in want:
+            return None
+        return {"url": headers.get("warc-target-uri"),
+                "warc_file": warc_file, "warc_offset": offset,
+                "warc_length": length}
+    except ValueError:
+        return {"url": None, "warc_file": warc_file,
+                "warc_offset": offset, "warc_length": length}
+
+
+def iter_warc_index(data: bytes, warc_file: str,
+                    want: Tuple[str, ...] = ("response",)) \
+        -> Iterator[dict]:
+    """Container bytes -> CDX dicts, lazily — the pure kernel (and test
+    oracle) of :func:`index_warc`. Same gzip-member walk / uncompressed
+    record walk as :func:`iter_warc_stream`; a container whose framing
+    breaks mid-walk yields one ``(-1, -1)`` marker row for the tail
+    (members before the corruption still index), mirroring the scan
+    reader's container-error row."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            for member, off, ln in split_gzip_members(data):
+                r = _index_member(member, warc_file, off, ln, want)
+                if r is not None:
+                    yield r
+        except ValueError:
+            yield {"url": None, "warc_file": warc_file,
+                   "warc_offset": -1, "warc_length": -1}
+        return
+    # uncompressed .warc: the same Content-Length + CRLFx2 walk as
+    # iter_warc_stream, headers only
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+            continue
+        try:
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            seplen = 4
+            lf = data.find(b"\n\n", pos)
+            if hdr_end == -1 or (lf != -1 and lf < hdr_end):
+                hdr_end, seplen = lf, 2
+            if hdr_end == -1:
+                raise ValueError("no header terminator")
+            headers, _ = _parse_headers(data[pos:hdr_end + seplen])
+            clen = int(headers["content-length"])
+            end = hdr_end + seplen + clen
+            if clen < 0 or end <= pos:
+                raise ValueError("negative Content-Length")
+        except (ValueError, KeyError):
+            yield {"url": None, "warc_file": warc_file,
+                   "warc_offset": pos, "warc_length": -1}
+            return
+        r = _index_member(data[pos:end], warc_file, pos, end - pos, want)
+        if r is not None:
+            yield r
+        pos = end
+        while data[pos:pos + 2] == CRLF or data[pos:pos + 1] == b"\n":
+            pos += 2 if data[pos:pos + 2] == CRLF else 1
+
+
+def index_warc(spark: SparkSession, path: str,
+               want: Tuple[str, ...] = ("response",)) -> DataFrame:
+    """Build a CDX index for foreign (index-less) containers in-engine:
+    ``binaryFile`` -> one Arrow stage -> ``CDX_SCHEMA`` rows, zero
+    exchanges — the same scan shape as :func:`read_warc` minus all
+    payload work (no HTTP decode, no dechunk/gunzip, no sha256).
+    Identity (pinned in tests/test_warc.py):
+    ``read_warc_offsets(spark, index_warc(spark, p))`` row-matches
+    ``read_warc(spark, p)`` on well-formed containers. Closes the
+    build_cdx loop: production reads the crawl-provided cdx.gz, this
+    path serves archives that never shipped one."""
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CDX_SCHEMA.fields]
+        rows: List[dict] = []
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for r in iter_warc_index(bytes(content), fpath, want):
+                    rows.append(r)
+                    if len(rows) >= _BATCH_RECORDS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(gen, CDX_SCHEMA)

@@ -1,24 +1,40 @@
 """Corpus-scale BPE encoding (encode_corpus) + packed-BPE integration.
 
 The trainer (train_bpe_merges) was already twin-tested in test_bpe; this
-suite covers the deployment half: vocabulary construction, the Arrow
-encode stage vs the pure-Python encode_word twin, UNK handling, the
-reserved-marker normalization (ADVICE r3), and end-to-end packing over
-real token ids (sequence streams equal the concat-and-split reference).
+suite covers the deployment half: vocabulary construction (byte seed
+alphabet on ids 0..255, trained symbols from BYTE_BASE), the Arrow
+encode stage vs the pure-Python encode_word twin, byte fallback for
+train-time-unseen symbols (round-trip by construction, zero U+FFFD —
+the former UNK_ID is gone), the reserved-marker normalization
+(ADVICE r3), and end-to-end packing over real token ids (sequence
+streams equal the concat-and-split reference).
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from collections import defaultdict
 
 from pyspark.sql import functions as F
 
-from ocr_module_spark.functions.bpe import (END, UNK_ID, bpe_vocab,
-                                            corpus_alphabet, encode_corpus,
+from ocr_module_spark.functions.bpe import (BYTE_BASE, END, bpe_vocab,
+                                            corpus_alphabet, decode_corpus,
+                                            encode_corpus,
                                             encode_word, initial_symbols,
                                             packed_bpe_sequences,
-                                            train_bpe_merges)
+                                            train_bpe_merges, vocab_size)
+
+# Java regex \s charset — the engine's tokenizer boundary
+_JWS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _normal_form(text):
+    """The tokenizer's normal form: the round-trip law's right side."""
+    if text is None:
+        return ""
+    return " ".join(
+        w for w in _JWS.split(text.lower().replace(END, "")) if w)
 
 DOCS = [
     (1, "s1", "the cat sat on the mat"),
@@ -35,14 +51,20 @@ def _frame(spark):
 
 
 def _ref_encode(text, merges, vocab):
-    """Pure-Python twin of encode_corpus's per-document path."""
+    """Pure-Python twin of encode_corpus's per-document path (byte
+    fallback included: an unseen symbol emits the UTF-8 bytes of its
+    full symbol string on ids 0..255)."""
     if text is None:
         return []
-    clean = text.strip().lower().replace(END, "")
-    words = [w for w in clean.split() if w]
+    words = [w for w in _JWS.split(text.lower().replace(END, "")) if w]
     out = []
     for w in words:
-        out.extend(vocab.get(s, UNK_ID) for s in encode_word(w, merges))
+        for s in encode_word(w, merges):
+            i = vocab.get(s)
+            if i is None:
+                out.extend(s.encode("utf-8"))
+            else:
+                out.append(i)
     return out
 
 
@@ -52,11 +74,14 @@ def test_vocab_is_deterministic_and_covers_merges(spark):
     alpha = corpus_alphabet(d)
     assert alpha == sorted(alpha) and len(set(alpha)) == len(alpha)
     vocab = bpe_vocab(alpha, merges)
-    # alphabet ids are 0..len(alpha)-1 in sorted order, merges follow in
-    # training order
-    assert [vocab[s] for s in alpha] == list(range(len(alpha)))
+    # ids 0..255 are the byte seed alphabet; trained alphabet ids are
+    # BYTE_BASE.. in sorted order, merges follow in training order
+    assert all(i >= BYTE_BASE for i in vocab.values())
+    assert [vocab[s] for s in alpha] \
+        == list(range(BYTE_BASE, BYTE_BASE + len(alpha)))
     for i, (a, b) in enumerate(merges):
-        assert vocab[a + b] >= len(alpha)
+        assert vocab[a + b] >= BYTE_BASE + len(alpha)
+    assert vocab_size(vocab) == BYTE_BASE + len(vocab)
     assert bpe_vocab(alpha, merges) == vocab  # pure function
 
 
@@ -77,16 +102,24 @@ def test_encode_corpus_matches_pure_python_twin(spark):
     assert joined.replace(END, " ").strip() == "the cat sat on the mat"
 
 
-def test_unknown_characters_map_to_unk(spark):
+def test_unknown_characters_byte_fall_back(spark):
+    """'q' was never seen at training: it encodes as raw UTF-8 byte
+    tokens (ids < BYTE_BASE) instead of an UNK, and the document still
+    round-trips exactly."""
     d = _frame(spark)
     merges = train_bpe_merges(d, n_merges=2)
     vocab = bpe_vocab(corpus_alphabet(d), merges)
     held = spark.createDataFrame([(9, "s9", "qqq the")],
                                  "doc_id long, source string, text string")
+    enc = encode_corpus(held, merges, vocab)
     ids = {r["doc_id"]: list(r["token_ids"])
-           for r in encode_corpus(held, merges, vocab).collect()}[9]
-    assert UNK_ID in ids                       # 'q' never seen at training
-    assert any(i != UNK_ID for i in ids)       # 'the' still encodes
+           for r in enc.collect()}[9]
+    assert any(i < BYTE_BASE for i in ids)     # byte fallback engaged
+    assert any(i >= BYTE_BASE for i in ids)    # 'the' still encodes
+    assert all(0 <= i < vocab_size(vocab) for i in ids)
+    assert ids == _ref_encode("qqq the", merges, vocab)
+    dec = decode_corpus(enc, vocab).collect()[0]["text"]
+    assert dec == "qqq the" and "�" not in dec
 
 
 def test_reserved_marker_stripped_before_tokenizing(spark):
@@ -123,7 +156,8 @@ def test_edge_whitespace_train_deploy_agreement(spark):
     got = {r["doc_id"]: list(r["token_ids"])
            for r in encode_corpus(dirty, merges, vocab).collect()}
     assert got[1] == got[2] and got[3] == []
-    assert UNK_ID not in got[1]                # trained on its own words
+    # trained on its own words: no byte fallback needed
+    assert all(i >= BYTE_BASE for i in got[1])
 
 
 def _h(doc_id) -> int:
@@ -176,15 +210,10 @@ def test_encode_plan_is_single_arrow_stage(spark):
 
 
 def test_decode_round_trip(spark):
-    """decode(encode(t)) == the tokenizer's normal form of t — for every
-    corpus doc whose chars are all in the training alphabet; chars
-    unseen at train time decode to U+FFFD (information destroyed at
-    encode time, reported honestly); zero-exchange plan."""
-    import re
-
-    from ocr_module_spark.functions.bpe import (
-        END, UNK_ID, bpe_vocab, corpus_alphabet, decode_corpus,
-        encode_corpus, train_bpe_merges)
+    """decode(encode(t)) == the tokenizer's normal form of t — for
+    EVERY corpus doc (byte fallback makes the law unconditional: no
+    doc may contain U+FFFD after decode unless the source text did);
+    zero-exchange plan."""
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet") \
         .select("doc_id", "text").where("doc_id < 80")
@@ -196,39 +225,75 @@ def test_decode_round_trip(spark):
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
     dec = {r["doc_id"]: r["text"]
            for r in decode_corpus(enc, vocab).collect()}
-    has_unk = {r["doc_id"] for r in
-               enc.where(f"array_contains(token_ids, {UNK_ID})")
-               .collect()}
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     for r in docs.collect():
-        if r["text"] is None:
-            assert dec[r["doc_id"]] == ""
-            continue
-        want = " ".join(
-            w for w in ws.split(r["text"].lower().replace(END, ""))
-            if w)
-        if r["doc_id"] in has_unk:
-            assert "�" in dec[r["doc_id"]]
-        else:
-            assert dec[r["doc_id"]] == want, r["doc_id"]
+        want = _normal_form(r["text"])
+        assert dec[r["doc_id"]] == want, r["doc_id"]
+        if "�" not in (r["text"] or ""):
+            assert "�" not in dec[r["doc_id"]], r["doc_id"]
 
 
-def test_decode_unk_renders_replacement(spark):
-    from ocr_module_spark.functions.bpe import (
-        bpe_vocab, corpus_alphabet, decode_corpus, encode_corpus,
-        train_bpe_merges)
+def test_decode_byte_fallback_preserves_boundaries(spark):
+    """Train-time-unseen symbols ('z', and 'a' in word-final position)
+    ride the byte plane WITH their END marker bytes, so word boundaries
+    survive and the text round-trips exactly — the case that used to
+    destroy information ('ab ��b�' pre-byte-fallback)."""
     train = spark.createDataFrame(
         [(0, "abc abc cab")], "doc_id long, text string")
     merges = train_bpe_merges(train, n_merges=3)
     vocab = bpe_vocab(corpus_alphabet(train), merges)
-    # 'z' never seen at train time
     enc = encode_corpus(spark.createDataFrame(
         [(1, "ab zz ba")], "doc_id long, text string"), merges, vocab)
+    ids = list(enc.collect()[0]["token_ids"])
+    assert any(i < BYTE_BASE for i in ids)      # fallback engaged
     dec = decode_corpus(enc, vocab).collect()[0]["text"]
-    # 'zz' -> (z, z▁) both unseen -> two UNKs, and 'ba' ends in 'a▁'
-    # (a never word-final at train time) -> one more UNK. An UNK that
-    # swallowed a word-FINAL symbol also swallowed its END marker, so
-    # the following boundary is lost — by design (the information was
-    # destroyed at encode time): 'ab ��b�'
-    assert dec == "ab ��b�"
-    assert dec.count("�") == 3
+    assert dec == "ab zz ba"
+    assert "�" not in dec
+
+
+def test_decode_invalid_id_renders_replacement(spark):
+    """Only an id OUTSIDE the vocabulary (corrupt input — the encoder
+    never emits one) renders U+FFFD."""
+    train = spark.createDataFrame(
+        [(0, "abc abc cab")], "doc_id long, text string")
+    merges = train_bpe_merges(train, n_merges=2)
+    vocab = bpe_vocab(corpus_alphabet(train), merges)
+    bad = spark.createDataFrame(
+        [(1, [vocab_size(vocab) + 7, 10 ** 6])],
+        "doc_id long, token_ids array<int>")
+    dec = decode_corpus(bad, vocab).collect()[0]["text"]
+    assert dec == "��"
+
+
+def test_hostile_corpus_round_trips_with_zero_replacement(spark):
+    """The full hostile documents table (NULL / empty / unicode-space
+    zoo / mojibake / CJK / astral rows, tools/gen_hostile.py) through a
+    tokenizer trained on a DIFFERENT tiny corpus — maximal byte
+    fallback. Every row must decode back to its normal form with ZERO
+    U+FFFD introduced (the VERDICT r4 'kill UNK_ID' bar)."""
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve()
+                           .parents[1] / "tools"))
+    import gen_hostile
+    gen_hostile.main()
+    docs = (spark.read.parquet(f"{gen_hostile.DST}/documents.parquet")
+            .select("doc_id", "text"))
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox the the quick")],
+        "doc_id long, text string")
+    merges = train_bpe_merges(train, n_merges=4)
+    vocab = bpe_vocab(corpus_alphabet(train), merges)
+    enc = encode_corpus(docs, merges, vocab)
+    dec = {r["doc_id"]: r["text"]
+           for r in decode_corpus(enc, vocab).collect()}
+    ids = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+    n_fallback = 0
+    for r in docs.collect():
+        d = r["doc_id"]
+        assert dec[d] == _normal_form(r["text"]), d
+        if "�" not in (r["text"] or ""):
+            assert "�" not in dec[d], d
+        n_fallback += sum(1 for i in ids[d] if i < BYTE_BASE)
+        # twin agreement on the hostile rows too
+        assert ids[d] == _ref_encode(r["text"], merges, vocab), d
+    assert n_fallback > 0          # the corpus exercised the byte plane

@@ -415,7 +415,7 @@ def test_encode_bpe_stage_on_chain(spark, curated_audit):
     vocab = bpe.bpe_vocab(bpe.corpus_alphabet(cur_docs), merges)
     enc = bpe.encode_corpus(cur_docs, merges, vocab).collect()
     assert enc and all(r["n_bpe"] == len(r["token_ids"]) for r in enc)
-    assert all(bpe.UNK_ID <= i < len(vocab)
+    assert all(0 <= i < bpe.vocab_size(vocab)
                for r in enc for i in r["token_ids"])
     total = sum(r["n_bpe"] for r in enc)
     assert total > 0

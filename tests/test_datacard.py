@@ -26,10 +26,19 @@ PLANTED = [
 ]
 
 
+def _twin_nt(text):
+    """Byte-exact mirror of the engine's token count: split(trim(text),
+    '\\s+') via exactsubstr._twin_words (space-only trim, ASCII \\s,
+    leading/trailing empty strings kept) — NOT Python str.split(), which
+    diverges on tab/newline-led text."""
+    from ocr_module_spark.functions.exactsubstr import _twin_words
+    return len(_twin_words(text))
+
+
 def ref_datacard(rows):
     per = []
     for _id, text, lang, source in rows:
-        nt = len(text.split()) if text and text.strip() else 0
+        nt = _twin_nt(text)
         nc = len(text) if text is not None else 0
         per.append((lang or "und", source or "", nt, nc,
                     len(str(nt))))
@@ -129,7 +138,7 @@ def _ex_twin(rows, k=3):
     import hashlib
     per = []
     for _id, text, lang, source in rows:
-        nt = len(text.split()) if text and text.strip() else 0
+        nt = _twin_nt(text)
         hk = int(hashlib.md5(str(_id).encode()).hexdigest()[:4], 16)
         per.append((_id, lang or "und", nt, len(str(nt)), hk,
                     text[:160] if text is not None else None))
@@ -229,8 +238,11 @@ def test_exemplars_twin_fuzz(spark):
 
     from ocr_module_spark.functions.datacard import datacard_exemplars
 
+    # tab/newline included: they are \s to the engine's split but NOT
+    # stripped by its space-only trim, the exact class where a naive
+    # str.split() twin diverges (leading/trailing empty tokens)
     TXT = st.one_of(st.none(), st.text(
-        alphabet="ab c", min_size=0, max_size=30))
+        alphabet="ab c\t\n", min_size=0, max_size=30))
     LANG = st.sampled_from([None, "en", "de", "fr"])
 
     @settings(max_examples=10, deadline=None)

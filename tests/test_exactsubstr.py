@@ -6,7 +6,8 @@ Conventions mirror test_span_dedup / test_bpe: a pure-Python reference
 twin pins every value (the operator has no tractable single-query SQL
 form — the suffix-array paper's semantics need the anchor/verify
 composition), hypothesis fuzz drives the twin-vs-engine equality, and
-the plan is asserted equi-join-only with no Python stage.
+the plan is asserted equi-join-only with exactly one Arrow-batched
+Python stage (the anchor kernel) and no row-wise Python UDF.
 """
 
 from __future__ import annotations
@@ -88,6 +89,55 @@ def test_within_doc_repeat(spark):
     assert out[0]["n_dup_runs"] == 1
     kept = f"{RUN} {FILL_A}"
     assert out[0]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+
+def test_periodic_text_keeps_canonical_region(spark):
+    """Self-overlapping periodic text (period < anchor spacing) is the
+    one shape where a later same-doc occurrence's backward extension
+    reaches across the copy gap; without the canonical clamp the merged
+    interval swallows the canonical region and every copy corpus-wide
+    empties. Pins the chosen semantics: the canonical doc keeps a
+    non-empty canonical region, the clone still drops entirely, and the
+    twin mirrors both."""
+    period = "la li lu"
+    body = " ".join([period] * 80)          # 240 words, period 3 < K
+    rows = [(0, body), (1, body)]
+    out = _frame(spark, rows)
+    # canonical doc: the canonical region survives (pre-fix: 0 kept)
+    assert out[0]["kept_words"] > 0
+    # ...but the within-doc repetition is still deduplicated
+    assert out[0]["n_dup_runs"] >= 1 and out[0]["dup_words"] > 0
+    # the clone is a pure copy of the canonical: fully removed
+    assert out[1]["kept_words"] == 0
+    assert out[1]["dup_words"] == out[1]["n_words"]
+    # twin pins the identical values
+    want = exact_substr_twin(dict(rows))
+    for d in (0, 1):
+        kept, n_runs, dup_words = want[d]
+        assert out[d]["n_dup_runs"] == n_runs
+        assert out[d]["dup_words"] == dup_words
+        assert out[d]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+
+def test_periodic_text_mixed_with_filler(spark):
+    """Same clamp semantics with unique filler around the periodic
+    body: the canonical doc's filler is untouched on both sides."""
+    body = " ".join(["pe ri od"] * 40)
+    rows = [(0, f"{FILL_A} {body} {FILL_B}"),
+            (1, f"{FILL_C} {body} {FILL_D}")]
+    out = _frame(spark, rows)
+    want = exact_substr_twin(dict(rows))
+    for d in (0, 1):
+        kept, n_runs, dup_words = want[d]
+        assert out[d]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+        assert out[d]["n_dup_runs"] == n_runs
+    # canonical doc keeps both fillers (clamp never reaches them)
+    kept0 = want[0][0]
+    assert kept0.startswith(FILL_A) and kept0.endswith(FILL_B)
+    # the clone keeps its fillers but loses the periodic body
+    kept1 = want[1][0]
+    assert kept1.startswith(FILL_C) and kept1.endswith(FILL_D)
+    assert "pe ri od" not in kept1
 
 
 def test_text_form_matches_frame(spark):
@@ -247,10 +297,22 @@ def test_twin_equality_hostile_whitespace(spark, docs, sep):
 
 
 def test_plan_shape(spark):
+    from ocr_module_spark.functions.exactsubstr import winnow_anchors_arrow
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    # the anchor stage is deliberately ONE Arrow-batched Python stage
+    # (MapInArrow — it runs in Python workers, so "no Python" would
+    # overstate); its own plan must show exactly that node and nothing
+    # row-wise. It is invisible in the full frame's plan below only
+    # because the localCheckpoint cuts lineage.
+    aplan = (winnow_anchors_arrow(df)._jdf.queryExecution()
+             .executedPlan().toString())
+    assert aplan.count("MapInArrow") == 1, aplan
+    assert "BatchEvalPython" not in aplan
+    # downstream (verify/extend/rewrite) is JVM-side: no row-wise
+    # Python UDF, equi-joins only
     plan = exact_substr_frame(df)._jdf.queryExecution().executedPlan() \
         .toString()
-    assert "BatchEvalPython" not in plan          # no Python stage
+    assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan      # equi-joins only
 

@@ -113,14 +113,15 @@ def _extra_queries():
     """Demo queries trimmed from the driver registry (subsumed by their
     batch/merged successors) but still part of the hostile-corpus parity
     surface — resolved straight from the module REGISTRY constants."""
-    from ocr_module_spark.functions import (badwords, datacard, dedup,
+    from ocr_module_spark.functions import (badwords, dedup,
                                             dsir, embed,
-                                            hostrep, langid, linededup,
+                                            linededup,
                                             linkgraph, mixture,
                                             model_score, multimodal,
-                                            packing, simsearch, snapshots,
-                                            ngramlm, splits, textnorm,
+                                            packing, simsearch,
+                                            splits, textnorm,
                                             textstats, urls)
+    from ocr_module_spark.functions import datacard
     from ocr_module_spark.operators import relational
     return {
         # curate_pack_sequences / fn_url_canonicalize rotated INTO the
@@ -130,6 +131,22 @@ def _extra_queries():
                                       relational.SQL_BBOX_REDUCTION_UNITS),
         "fn_token_split_count": (relational.q_token_split_count,
                                  relational.SQL_TOKEN_SPLIT_COUNT),
+        # rotated OUT of the driver window in round 5 (slots taken by the
+        # r4 flagships lm_perplexity / langid_eval / host_reputation /
+        # snapshot_diff / datacard, which now resolve via queries());
+        # identical value gate here, and agg_content_length /
+        # json_pointer_extract are ALSO column-folded into the
+        # driver-green agg_mismatch_audit / agg_usage_stats rows
+        "agg_content_length": (relational.q_content_length,
+                               relational.SQL_CONTENT_LENGTH),
+        "json_pointer_extract": (relational.q_json_pointer_extract,
+                                 relational.SQL_JSON_POINTER_EXTRACT),
+        "join_positional_zip": (relational.q_positional_zip_join,
+                                relational.SQL_POSITIONAL_ZIP_JOIN),
+        "mm_frame_sample": (multimodal.q_mm_frame_sample,
+                            multimodal.SQL_MM_FRAME_SAMPLE),
+        "text_rolling_fingerprint": (textstats.q_rolling_fingerprint,
+                                     textstats.SQL_ROLLING_FINGERPRINT),
         "curate_pack_materialize": (packing.q_pack_materialize,
                                     packing.SQL_PACK_MATERIALIZE),
         "curate_pack_salted": (packing.q_pack_sequences_salted,
@@ -160,8 +177,6 @@ def _extra_queries():
                               linededup.SQL_LINE_QUALITY),
         "text_embed_hash": (embed.q_text_embed_hash,
                             embed.SQL_TEXT_EMBED_HASH),
-        "text_lm_perplexity": (ngramlm.q_lm_perplexity,
-                               ngramlm.SQL_LM_PERPLEXITY),
         "text_normalize": (textnorm.q_text_normalize,
                            textnorm.SQL_TEXT_NORMALIZE),
         "text_dsir_select": (dsir.q_dsir_select,
@@ -169,20 +184,12 @@ def _extra_queries():
         "text_datacard_exemplars": (
             datacard.q_text_datacard_exemplars,
             datacard.SQL_TEXT_DATACARD_EXEMPLARS),
-        "text_datacard": (datacard.q_text_datacard,
-                          datacard.SQL_TEXT_DATACARD),
         "text_badwords": (badwords.q_text_badwords,
                           badwords.SQL_TEXT_BADWORDS),
-        "text_langid_eval": (langid.q_langid_eval,
-                             langid.SQL_LANGID_EVAL),
-        "host_reputation": (hostrep.q_host_reputation,
-                            hostrep.SQL_HOST_REPUTATION),
         "host_link_centrality": (linkgraph.q_link_centrality,
                                  linkgraph.SQL_LINK_CENTRALITY),
         "host_anchor_texts": (linkgraph.q_host_anchors,
                               linkgraph.SQL_HOST_ANCHORS),
-        "snapshot_diff": (snapshots.q_snapshot_diff,
-                          snapshots.SQL_SNAPSHOT_DIFF),
         "mm_metadata": (multimodal.q_mm_metadata,
                         multimodal.SQL_MM_METADATA),
         "text_token_count": (textstats.q_token_count,

@@ -42,9 +42,10 @@ def _extra_queries():
                                             embed, exactsubstr,
                                             hostrep, langid, linededup,
                                             linkgraph, mixture,
-                                            model_score, ngramlm, packing,
+                                            model_score, multimodal,
+                                            ngramlm, packing,
                                             snapshots, splits, textnorm,
-                                            urls)
+                                            textstats, urls)
     from ocr_module_spark.operators import relational
     from ocr_module_spark.operators.extraction import (
         q_region_pixel_features)
@@ -58,6 +59,13 @@ def _extra_queries():
         # driver window in round 4; proj_bbox / token_split left it
         "proj_bbox_reduction_units": relational.q_bbox_reduction_units,
         "fn_token_split_count": relational.q_token_split_count,
+        # round-5 rotation: these five left the driver window (slots
+        # taken by the r4 flagships); the sweep keeps their plan gate
+        "agg_content_length": relational.q_content_length,
+        "json_pointer_extract": relational.q_json_pointer_extract,
+        "join_positional_zip": relational.q_positional_zip_join,
+        "mm_frame_sample": multimodal.q_mm_frame_sample,
+        "text_rolling_fingerprint": textstats.q_rolling_fingerprint,
         "curate_pack_salted": packing.q_pack_sequences_salted,
         "curate_pack_materialize": packing.q_pack_materialize,
         "curate_shards": packing.q_curate_shards,

@@ -331,3 +331,102 @@ def test_read_warc_plan_zero_exchanges(spark, container):
         spark, path)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # Arrow stage, not row-UDF
+
+
+# -- in-engine CDX indexer (index_warc) ---------------------------------------
+
+def test_index_warc_matches_writer_cdx(spark, container):
+    """The in-engine index of a foreign container equals the index the
+    writer produced while writing it (url, offset, length per member)."""
+    path, cdx, _ = container
+    got = sorted((r["url"], r["warc_offset"], r["warc_length"])
+                 for r in W.index_warc(spark, path).collect())
+    want = sorted((r["url"], r["warc_offset"], r["warc_length"])
+                  for r in cdx)
+    assert got == want
+
+
+def test_index_then_offsets_equals_full_scan(spark, container):
+    """The closed loop VERDICT r4 asked for:
+    ``read_warc_offsets(index_warc(p))`` row-matches ``read_warc(p)``
+    — an archive with no cdx.gz is fully servable."""
+    path, _, _ = container
+    idx = W.index_warc(spark, path)
+    via_index = {r["url"]: r for r in
+                 W.read_warc_offsets(spark, idx).collect()}
+    full = {r["url"]: r for r in W.read_warc(spark, path).collect()}
+    assert sorted(via_index) == sorted(full)
+    for u, r in full.items():
+        g = via_index[u]
+        assert bytes(g["html"]) == bytes(r["html"])
+        assert g["payload_sha256"] == r["payload_sha256"]
+        assert (g["warc_offset"], g["warc_length"]) \
+            == (r["warc_offset"], r["warc_length"])
+        assert g["error"] is None
+
+
+def test_index_kernel_membership_mirrors_stream():
+    """iter_warc_index emits exactly one row per iter_warc_stream row —
+    same (url, offset, length) — on mixed-record containers (responses
+    + skipped warcinfo/request records) and on an uncompressed .warc."""
+    recs = _records(6)
+    blob, _ = W.build_warc_gz(recs)                      # + warcinfo
+    for data in (blob, gzip.decompress(blob)):
+        stream = [(r["url"], r["warc_offset"], r["warc_length"])
+                  for r in W.parse_warc_stream(data, "m")]
+        index = [(r["url"], r["warc_offset"], r["warc_length"])
+                 for r in W.iter_warc_index(data, "m")]
+        assert index == stream and len(index) == 6
+
+
+def test_index_truncated_tail_marker(spark, tmp_path):
+    """A container with a corrupt gzip tail indexes its intact members
+    and one (-1, -1) marker; the offsets reader turns the marker into
+    an error row, never a crash."""
+    recs = _records(4)
+    blob, cdx = W.build_warc_gz(recs)
+    cut = cdx[-1]["warc_offset"] + 7     # mid-member truncation
+    p = tmp_path / "trunc.warc.gz"
+    p.write_bytes(blob[:cut])
+    rows = list(W.iter_warc_index(p.read_bytes(), str(p)))
+    assert rows[-1]["warc_offset"] == -1
+    assert [r["url"] for r in rows[:-1]] == [r["url"] for r in recs[:3]]
+    out = W.read_warc_offsets(
+        spark, spark.createDataFrame(
+            [(r["url"], r["warc_file"], r["warc_offset"],
+              r["warc_length"]) for r in rows], W.CDX_SCHEMA)).collect()
+    errs = [r for r in out if r["error"] is not None]
+    assert len(errs) == 1 and errs[0]["warc_offset"] == -1
+    assert len(out) == 4
+
+
+def test_index_warc_plan_zero_exchanges(spark, container):
+    path, _, _ = container
+    plan = W.index_warc(
+        spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_fuzz_index_membership_invariant(data):
+    """Parser-fuzz reuse: on ARBITRARY bytes the index kernel never
+    raises and its (url, offset, length) stream equals the projection
+    of the full parser's rows — the two walks cannot drift."""
+    stream = [(r["url"], r["warc_offset"], r["warc_length"])
+              for r in W.parse_warc_stream(data, "fuzz")]
+    index = [(r["url"], r["warc_offset"], r["warc_length"])
+             for r in W.iter_warc_index(data, "fuzz")]
+    assert index == stream
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1024))
+def test_fuzz_index_gz_prefix_invariant(data):
+    data = b"\x1f\x8b" + data
+    stream = [(r["url"], r["warc_offset"], r["warc_length"])
+              for r in W.parse_warc_stream(data, "fuzz")]
+    index = [(r["url"], r["warc_offset"], r["warc_length"])
+             for r in W.iter_warc_index(data, "fuzz")]
+    assert index == stream

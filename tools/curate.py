@@ -615,7 +615,8 @@ def main() -> int:
             stats = spark.read.parquet(f"{out}/token_ids") \
                 .selectExpr("coalesce(sum(n_bpe), 0) AS n").first()
             counters["bpe_tokens_total"] = int(stats["n"])
-            counters["bpe_vocab_size"] = len(vocab)
+            from ocr_module_spark.functions.bpe import vocab_size
+            counters["bpe_vocab_size"] = vocab_size(vocab)
             if args.pack > 0:
                 # with --mixture the id sink realizes the SAME
                 # reweighting as <out>/packs (encode once, explode the

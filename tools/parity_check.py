@@ -66,12 +66,18 @@ def main() -> int:
     from ocr_module_spark.functions import (badwords, datacard, dsir,
                                             embed, hostrep, langid,
                                             linededup, linkgraph, mixture,
-                                            model_score, ngramlm, packing,
-                                            snapshots, splits, textnorm,
+                                            model_score, multimodal,
+                                            ngramlm, packing, snapshots,
+                                            splits, textnorm, textstats,
                                             urls)
     for mod in (packing, urls, model_score, langid, hostrep, snapshots,
                 splits, mixture, linededup, linkgraph, textnorm, ngramlm,
-                embed, dsir, datacard, badwords):
+                embed, dsir, datacard, badwords,
+                # round-5 rotation: mm_frame_sample /
+                # text_rolling_fingerprint left the driver window; their
+                # module REGISTRYs keep the entries, setdefault restores
+                # the identical gate here
+                multimodal, textstats):
         for name, (fn, sql) in mod.REGISTRY.items():
             qs.setdefault(name, fn)
             if sql is not None:
@@ -91,7 +97,17 @@ def main() -> int:
             ("proj_bbox_reduction_units", relational.q_bbox_reduction_units,
              relational.SQL_BBOX_REDUCTION_UNITS),
             ("fn_token_split_count", relational.q_token_split_count,
-             relational.SQL_TOKEN_SPLIT_COUNT)):
+             relational.SQL_TOKEN_SPLIT_COUNT),
+            # rotated out in round 5 (slots taken by the r4 flagships);
+            # identical value gate here + hostile parity, and the first
+            # two are column-folded into agg_usage_stats /
+            # agg_mismatch_audit on the same scans
+            ("agg_content_length", relational.q_content_length,
+             relational.SQL_CONTENT_LENGTH),
+            ("json_pointer_extract", relational.q_json_pointer_extract,
+             relational.SQL_JSON_POINTER_EXTRACT),
+            ("join_positional_zip", relational.q_positional_zip_join,
+             relational.SQL_POSITIONAL_ZIP_JOIN)):
         qs.setdefault(name, fn)
         oracles.setdefault(name, sql)
     failures = []
