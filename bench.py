@@ -154,6 +154,31 @@ def main() -> int:
             times2[name] = min(times2[name], time.time() - t0)
     times2 = {k: round(v, 3) for k, v in times2.items()}
 
+    # dedup_incremental decomposition (VERDICT r4 ask #4): the headline2
+    # row rebuilds its index side inside the timed body every run, so the
+    # (bandwidth-sensitive) build dominates and masks probe-path
+    # regressions. Time the halves separately: build = index the stored
+    # half; probe = dedup the new half against an ALREADY-MATERIALIZED
+    # index (localCheckpoint — the daily-refresh regime, where the index
+    # is a stored table). The headline2 row itself is unchanged for
+    # cross-round comparability.
+    from ocr_module_spark.functions.dedup import (build_dedup_index,
+                                                  dedup_against_index)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d_even = docs.where("doc_id % 2 = 0")
+    d_odd = docs.where("doc_id % 2 = 1").select("doc_id", "text")
+    t_build = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _materialize(build_dedup_index(d_even))
+        t_build = min(t_build, time.time() - t0)
+    idx = build_dedup_index(d_even).localCheckpoint()
+    t_probe = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _materialize(dedup_against_index(d_odd, idx))
+        t_probe = min(t_probe, time.time() - t0)
+
     # sustained extraction (the north-star number): the sf-dir flagship
     # run above is startup-dominated (16k docs ≈ 1 s of work next to
     # plan/codegen cost); this one is big enough to amortize task waves.
@@ -192,6 +217,8 @@ def main() -> int:
         "queries": times,
         "headline2_suite_total": round(sum(times2.values()), 3),
         "queries2": times2,
+        "dedup_incremental_build": round(t_build, 3),
+        "dedup_incremental_probe": round(t_probe, 3),
         "sf": sf,
         "cpus": cpus,
         "extract_docs": n_docs,

@@ -41,9 +41,16 @@ def _dot(a: str, b: str):
 
 def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbors of the query vector by cosine, brute force.
-    Dots run in the numpy fold kernel (veckernel — bit-identical to the
-    HOF fold); rounding and the division stay JVM-side."""
-    from .veckernel import fold_dots
+
+    Dots are the JVM HOF fold (:func:`_dot`), NOT the Arrow kernel:
+    this shape does only 3 dots per row but would ship vec + the
+    broadcast-duplicated qvec through Arrow both ways, and a clean
+    interleaved A/B at sf0.1 / 10x / 100x rows (BENCH.md r5) measured
+    the HOF form 1.2-1.5x faster at every scale — the r4 kernel swap
+    here was a real regression (0.35 -> 0.51 s) and is reverted. The
+    kernel stays where it wins: many-dots-per-row shapes (fold_dot_
+    matrix in ann_ivf_probe / ann_recall_eval, C dots amortize one
+    Arrow pass)."""
     e = _emb(spark, sf_dir)
     q = (e.where(F.col("vec_id") == QUERY_VEC_ID)
          .select(F.col("vec").alias("qvec")))
@@ -53,14 +60,12 @@ def q_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real embedding corpora (hostile-corpus regression)
     paired = (e.where(F.col("vec_id") != QUERY_VEC_ID)
               .crossJoin(F.broadcast(q)))
-    dotted = fold_dots(paired, [("vec", "qvec", "_d"),
-                                ("vec", "vec", "_nv"),
-                                ("qvec", "qvec", "_nq")])
-    scored = dotted.select(
+    scored = paired.select(
         "vec_id", "label",
         F.round(F.try_divide(
-            F.col("_d"),
-            F.sqrt("_nv") * F.sqrt("_nq")), 4).alias("cosine"))
+            _dot("vec", "qvec"),
+            F.sqrt(_dot("vec", "vec")) * F.sqrt(_dot("qvec", "qvec"))),
+            4).alias("cosine"))
     return (scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
             .limit(TOP_K))
 
