@@ -503,3 +503,94 @@ def test_dsir_stage_on_chain(spark, curated_audit):
              curate.dsir_from_curated(passing, pages, target_lang="en",
                                       k=10).collect()]
     assert sorted(picked) == sorted(again)
+
+
+def test_warc_container_to_loader_end_to_end(spark, tmp_path, monkeypatch,
+                                             capsys):
+    """The composed artifact a new user runs first (VERDICT r4 ask #7):
+    ONE CLI invocation — raw ``.warc.gz`` in; ``shards_bpe`` token-id
+    loader files + datacard + WET containers out — with counter
+    conservation asserted across the WHOLE chain: every curated doc is
+    in the WET export, the datacard total, and the token-id table, and
+    every encoded token id lands in exactly one packed sequence and one
+    shard file."""
+    import importlib.util
+    import json
+    import pathlib
+
+    from ocr_module_spark import pipeline
+    from ocr_module_spark.sources import warc as W
+
+    # raw crawl container (the WARC writer is byte-deterministic)
+    recs = [{"url": r["url"], "warc_ts": r["warc_ts"], "html": r["html"]}
+            for r in corpus.rows(200)]
+    blob, _ = W.build_warc_gz(recs)
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    (wdir / "part-00000.warc.gz").write_bytes(blob)
+
+    # decontamination benchmark: extracted text of a hash-slice (same
+    # synthetic pages, so the curate chain's extraction matches)
+    bench = (pipeline.extract(corpus.pages_df(spark, 200))
+             .select("url", "text")
+             .where(F.xxhash64("url") % 11 == 3)
+             .select(F.xxhash64("url").alias("doc_id"), "text"))
+    bench_p = str(tmp_path / "bench.parquet")
+    bench.write.mode("overwrite").parquet(bench_p)
+
+    out = str(tmp_path / "out")
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "curate_cli", repo / "tools" / "curate.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    monkeypatch.setattr("sys.argv", [
+        "curate.py", "--input", str(wdir), "--input-format", "warc",
+        "--bench", bench_p, "--output", out,
+        "--wet", "--wet-files", "2",
+        "--train-bpe", "4", "--encode-bpe", "--pack", "64",
+        "--shards", "4", "--datacard"])
+    assert cli.main() == 0
+    counters = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+
+    # stage accounting sums (the audit invariant), and the chain kept
+    # a non-trivial corpus
+    kept = counters["docs_kept"]
+    assert kept > 0
+    assert counters["docs_extracted"] == (
+        kept + counters["dropped_quality"]
+        + counters["dropped_duplicate"]
+        + counters["dropped_contaminated"])
+    # the bench slice fired: flagged on the audit (the counter only
+    # counts docs no EARLIER gate already dropped, which can be zero)
+    audit = spark.read.parquet(f"{out}/audit")
+    assert audit.where("contaminated").count() > 0
+
+    # every curated doc reaches every sink
+    curated = spark.read.parquet(f"{out}/curated")
+    assert curated.count() == kept
+    wet = W.read_wet(spark, f"{out}/wet/*.warc.wet.gz")
+    assert counters["wet_records"] == kept == wet.count()
+    card = {(r["dim"], r["value"]): r
+            for r in spark.read.parquet(f"{out}/datacard").collect()}
+    assert card[("total", "")]["n_docs"] == kept
+    tok = spark.read.parquet(f"{out}/token_ids")
+    assert tok.count() == kept
+
+    # token conservation: encoded ids == packed ids == sharded ids
+    total_ids = tok.selectExpr("sum(n_bpe) AS n").first()["n"]
+    assert counters["bpe_tokens_total"] == total_ids > 0
+    packs = spark.read.parquet(f"{out}/packs_bpe")
+    assert packs.selectExpr("sum(n_fill) AS n").first()["n"] == total_ids
+    assert counters["bpe_sequences_packed"] == packs.count()
+    assert counters["bpe_shard_tokens"] == total_ids
+    shard_data = spark.read.parquet(f"{out}/shards_bpe/data")
+    assert shard_data.selectExpr("sum(size(tokens)) AS n") \
+        .first()["n"] == total_ids
+    assert 1 <= counters["bpe_shards"] <= 4
+
+    # the WET export carries the curated bytes verbatim
+    wtext = {r["url"]: r["text"] for r in wet.collect()}
+    for r in curated.select("url", "text").collect():
+        assert wtext[r["url"]] == r["text"]
