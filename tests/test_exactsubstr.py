@@ -273,6 +273,56 @@ def test_decoy_canonical_does_not_shadow_runs(spark):
             == hashlib.md5(kept.encode()).hexdigest()
 
 
+def test_rounds_residue_bound(spark):
+    """Rounds-convergence pin (VERDICT r4 ask #8): with ROUNDS=3 a
+    duplicated run survives verification ONLY when more than ROUNDS-1
+    never-matching decoy occurrences of EVERY one of its anchor hashes
+    precede its first genuine occurrence — the documented conservative
+    residue. Plants exactly ROUNDS-1 decoys per in-run anchor (run must
+    be caught) and ROUNDS decoys per anchor (run must survive — kept,
+    never a false positive), twin-verified both ways."""
+    from ocr_module_spark.functions.exactsubstr import ROUNDS
+    run_words = (FILL_A + " " + RUN).split()
+    run_off = len(FILL_A.split())
+    in_run = sorted({p for _h, p in _twin_anchors(run_words, K, W)
+                     if p >= run_off})
+    assert in_run, "fixture: RUN must carry at least one anchor"
+
+    def corpus_with(n_decoys):
+        rows, i = [], 0
+        for p in in_run:
+            for _ in range(n_decoys):
+                rows.append((i, " ".join(run_words[p:p + K])))
+                i += 1
+        rows.append((100, f"{FILL_A} {RUN}"))     # canonical run doc
+        rows.append((101, f"{FILL_B} {RUN}"))     # the copy under test
+        return rows
+
+    # ROUNDS-1 decoys per anchor: peeled, the copy is caught
+    rows = corpus_with(ROUNDS - 1)
+    out = _frame(spark, rows)
+    assert out[101]["dup_words"] == MIN_RUN
+    assert out[100]["dup_words"] == 0             # canonical intact
+    want = exact_substr_twin(dict(rows))
+    for d, (kept, n_runs, dw) in want.items():
+        assert out[d]["dup_words"] == dw
+        assert out[d]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+    # ROUNDS decoys per anchor: verification budget exhausted — the
+    # copy SURVIVES (conservative residue, zero false positives), and
+    # no decoy loses a byte either
+    rows = corpus_with(ROUNDS)
+    out = _frame(spark, rows)
+    assert out[101]["dup_words"] == 0
+    assert out[101]["kept_md5"] == hashlib.md5(
+        f"{FILL_B} {RUN}".encode()).hexdigest()
+    assert all(out[d]["dup_words"] == 0 for d in out)
+    want = exact_substr_twin(dict(rows))
+    for d, (kept, n_runs, dw) in want.items():
+        assert out[d]["dup_words"] == dw
+
+
+
 HOSTILE_WS = st.sampled_from(
     ["t0", "t1", "t2", "　", "a b", "x"])
 
