@@ -329,9 +329,15 @@ def decode_corpus(enc: DataFrame, vocab: dict[str, int],
     ``decode(encode(s, 'ISO-8859-1'), 'UTF-8')`` round-trip rebuilds
     the true text — byte-fallback runs and trained symbols interleave
     freely. The reserved END marker then becomes the word boundary.
-    Only an id OUTSIDE the vocabulary (corrupt input — encode_corpus
-    never emits one) renders U+FFFD. Round-trip law (pinned in tests,
-    hostile corpus included, zero U+FFFD):
+    Corrupt input renders U+FFFD per damaged sequence, never a task
+    failure: an id OUTSIDE the vocabulary coalesces to the replacement
+    char, and a byte-id stream that forms INVALID UTF-8 (a truncated or
+    bit-flipped shard) is repaired by ``make_valid_utf8`` — Spark 4's
+    ``decode(..., 'UTF-8')`` would abort the whole job on it
+    (CodingErrorAction.REPORT), which is exactly wrong for the
+    integrity-audit read this function exists for. encode_corpus never
+    emits either kind. Round-trip law (pinned in tests, hostile corpus
+    included, zero U+FFFD):
     ``decode(encode(t)) == ' '.join(javaws_split(lower(t)))``."""
     lat = {i: chr(i) for i in range(BYTE_BASE)}
     lat.update({i: s.encode("utf-8").decode("latin-1")
@@ -343,7 +349,12 @@ def decode_corpus(enc: DataFrame, vocab: dict[str, int],
     syms = F.transform(
         F.col(ids_col),
         lambda i: F.coalesce(F.element_at(inv, i), unk_lat))
-    raw = F.decode(F.encode(F.concat_ws("", syms), "ISO-8859-1"),
-                   "UTF-8")
+    # cast(binary AS string) adopts the bytes unvalidated;
+    # make_valid_utf8 then repairs any malformed sequence to U+FFFD —
+    # the lenient binary->string path (F.decode REPORTs and kills the
+    # task on malformed input in Spark 4)
+    raw = F.expr("make_valid_utf8(cast(encode(concat_ws('', _syms), "
+                 "'ISO-8859-1') as string))")
     text = F.rtrim(F.regexp_replace(raw, END, " "))
-    return enc.select(*keep, text.alias("text"))
+    return (enc.withColumn("_syms", syms)
+            .select(*keep, text.alias("text")))

@@ -59,9 +59,13 @@ def q_usage_stats(spark, sf_dir):
     standalone query + oracle stay on the hostile-parity gate. Hostile
     payloads (NULL / malformed JSON / missing key / non-numeric value)
     are total on both engines: Spark get_json_object is NULL-on-malformed
-    + try_cast; DuckDB needs the json_valid guard + TRY_CAST."""
+    + try_cast; DuckDB needs the json_valid guard + TRY_CAST. The cast
+    target is DOUBLE, not INTEGER: for a decimal payload ('{"k": 1.5}')
+    Spark's string->int try_cast yields NULL while DuckDB's rounds to 2
+    — the one numeric class where the engines' int casts disagree;
+    both double casts agree exactly."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("double")
     return (ev.select("event_type", "value", "user_id", k.alias("k"))
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
@@ -76,7 +80,7 @@ WITH p AS (
   SELECT event_type, value, user_id,
          TRY_CAST(CASE WHEN json_valid(props)
                        THEN json_extract_string(props, '$.k') END
-                  AS INTEGER) AS k
+                  AS DOUBLE) AS k
   FROM events
 )
 SELECT event_type, count(*) AS n_events,
@@ -293,9 +297,12 @@ def q_json_pointer_extract(spark, sf_dir):
     Spark get_json_object is already NULL-on-malformed but ANSI cast
     throws on a non-numeric value (try_cast); DuckDB json_extract_string
     THROWS on malformed JSON (json_valid guard) and CAST throws on
-    non-numeric (TRY_CAST)."""
+    non-numeric (TRY_CAST). DOUBLE, not INTEGER: the engines' string->
+    int casts disagree on decimals ('1.5' -> NULL vs 2), the double
+    casts agree exactly (see q_usage_stats, which carries these columns
+    in the driver window)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("double")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
             .agg(F.round(F.avg("k"), 4).alias("avg_k"),
@@ -307,7 +314,7 @@ WITH p AS (
   SELECT event_type,
          TRY_CAST(CASE WHEN json_valid(props)
                        THEN json_extract_string(props, '$.k') END
-                  AS INTEGER) AS k
+                  AS DOUBLE) AS k
   FROM events
 )
 SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k

@@ -310,29 +310,22 @@ def parse_warc_stream(data: bytes, warc_file: str,
     return list(iter_warc_stream(data, warc_file, want))
 
 
-def iter_warc_stream(data: bytes, warc_file: str,
-                     want: Tuple[str, ...] = ("response",)) \
-        -> Iterator[dict]:
-    """Whole container (gz OR plain ``.warc``) -> record dicts, lazily.
-
-    This is the shared kernel: the Spark stage consumes it in bounded
-    batches (one inflated container must never sit in memory as a whole
-    row list), the tests call the list form as the oracle twin. A
-    container whose gzip framing itself is broken yields ONE error row
-    for the tail (all members before the corruption still parse).
-    """
+def _iter_member_frames(data: bytes) -> Iterator[tuple]:
+    """The ONE container-framing walk both readers share: yields
+    ``("member", bytes, offset, length, None)`` per record frame, and on
+    a framing failure ONE ``("tail", None, offset, length, errmsg)``
+    then stops (gz tail: offset/length -1; uncompressed tail: the
+    failing position). Factoring this out is what keeps the full parser
+    (:func:`iter_warc_stream`) and the headers-only indexer
+    (:func:`iter_warc_index`) byte-identical on framing by
+    CONSTRUCTION — the fuzz gates police the member handlers only, not
+    two copies of the walk."""
     if data[:2] == b"\x1f\x8b":
         try:
             for member, off, ln in split_gzip_members(data):
-                r = _parse_member(member, warc_file, off, ln, want)
-                if r is not None:
-                    yield r
+                yield ("member", member, off, ln, None)
         except ValueError as e:
-            yield {
-                "url": None, "warc_ts": None, "html": None,
-                "http_status": None, "mime": None, "warc_file": warc_file,
-                "warc_offset": -1, "warc_length": -1,
-                "payload_sha256": None, "error": f"container: {e}"}
+            yield ("tail", None, -1, -1, str(e))
         return
     # uncompressed .warc: records are delimited by Content-Length + CRLFx2
     pos, n = 0, len(data)
@@ -354,18 +347,36 @@ def iter_warc_stream(data: bytes, warc_file: str,
             if clen < 0 or end <= pos:  # forward-progress guard
                 raise ValueError("negative Content-Length")
         except (ValueError, KeyError) as e:
-            yield {
-                "url": None, "warc_ts": None, "html": None,
-                "http_status": None, "mime": None, "warc_file": warc_file,
-                "warc_offset": pos, "warc_length": -1,
-                "payload_sha256": None, "error": f"container: {e}"}
+            yield ("tail", None, pos, -1, str(e))
             return
-        r = _parse_member(data[pos:end], warc_file, pos, end - pos, want)
-        if r is not None:
-            yield r
+        yield ("member", data[pos:end], pos, end - pos, None)
         pos = end
         while data[pos:pos + 2] == CRLF or data[pos:pos + 1] == b"\n":
             pos += 2 if data[pos:pos + 2] == CRLF else 1
+
+
+def iter_warc_stream(data: bytes, warc_file: str,
+                     want: Tuple[str, ...] = ("response",)) \
+        -> Iterator[dict]:
+    """Whole container (gz OR plain ``.warc``) -> record dicts, lazily.
+
+    This is the shared kernel: the Spark stage consumes it in bounded
+    batches (one inflated container must never sit in memory as a whole
+    row list), the tests call the list form as the oracle twin. A
+    container whose gzip framing itself is broken yields ONE error row
+    for the tail (all members before the corruption still parse).
+    """
+    for kind, member, off, ln, err in _iter_member_frames(data):
+        if kind == "tail":
+            yield {
+                "url": None, "warc_ts": None, "html": None,
+                "http_status": None, "mime": None, "warc_file": warc_file,
+                "warc_offset": off, "warc_length": ln,
+                "payload_sha256": None, "error": f"container: {err}"}
+            return
+        r = _parse_member(member, warc_file, off, ln, want)
+        if r is not None:
+            yield r
 
 
 # -- deterministic writer (tests, round-trips, synthetic fixtures) -----------
@@ -502,13 +513,17 @@ def read_warc_offsets(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                                             g["warc_length"]))
                     continue
                 with fh:
-                    for off, ln in zip(g["warc_offset"], g["warc_length"]):
+                    for u, off, ln in zip(g["url"], g["warc_offset"],
+                                          g["warc_length"]):
                         if int(off) < 0 or int(ln) < 0:
                             # index_warc's truncated-tail marker (or a
                             # hand-built bad row): an error row, never a
-                            # seek crash — per-record failure isolation
+                            # seek crash — per-record failure isolation.
+                            # The CDX row's url rides along when known,
+                            # so an ingest audit can attribute the loss
                             rows.append({
-                                "url": None, "warc_ts": None,
+                                "url": None if u is None else str(u),
+                                "warc_ts": None,
                                 "html": None, "http_status": None,
                                 "mime": None, "warc_file": fname,
                                 "warc_offset": int(off),
@@ -733,51 +748,20 @@ def iter_warc_index(data: bytes, warc_file: str,
                     want: Tuple[str, ...] = ("response",)) \
         -> Iterator[dict]:
     """Container bytes -> CDX dicts, lazily — the pure kernel (and test
-    oracle) of :func:`index_warc`. Same gzip-member walk / uncompressed
-    record walk as :func:`iter_warc_stream`; a container whose framing
-    breaks mid-walk yields one ``(-1, -1)`` marker row for the tail
-    (members before the corruption still index), mirroring the scan
-    reader's container-error row."""
-    if data[:2] == b"\x1f\x8b":
-        try:
-            for member, off, ln in split_gzip_members(data):
-                r = _index_member(member, warc_file, off, ln, want)
-                if r is not None:
-                    yield r
-        except ValueError:
+    oracle) of :func:`index_warc`. Consumes the SAME
+    :func:`_iter_member_frames` walk as :func:`iter_warc_stream` (one
+    framing implementation, no copy to drift); a container whose
+    framing breaks mid-walk yields one marker row for the tail with the
+    scan reader's offsets (gz: ``(-1, -1)``; members before the
+    corruption still index)."""
+    for kind, member, off, ln, _err in _iter_member_frames(data):
+        if kind == "tail":
             yield {"url": None, "warc_file": warc_file,
-                   "warc_offset": -1, "warc_length": -1}
-        return
-    # uncompressed .warc: the same Content-Length + CRLFx2 walk as
-    # iter_warc_stream, headers only
-    pos, n = 0, len(data)
-    while pos < n:
-        if data[pos:pos + 1] in (b"\r", b"\n"):
-            pos += 1
-            continue
-        try:
-            hdr_end = data.find(b"\r\n\r\n", pos)
-            seplen = 4
-            lf = data.find(b"\n\n", pos)
-            if hdr_end == -1 or (lf != -1 and lf < hdr_end):
-                hdr_end, seplen = lf, 2
-            if hdr_end == -1:
-                raise ValueError("no header terminator")
-            headers, _ = _parse_headers(data[pos:hdr_end + seplen])
-            clen = int(headers["content-length"])
-            end = hdr_end + seplen + clen
-            if clen < 0 or end <= pos:
-                raise ValueError("negative Content-Length")
-        except (ValueError, KeyError):
-            yield {"url": None, "warc_file": warc_file,
-                   "warc_offset": pos, "warc_length": -1}
+                   "warc_offset": off, "warc_length": ln}
             return
-        r = _index_member(data[pos:end], warc_file, pos, end - pos, want)
+        r = _index_member(member, warc_file, off, ln, want)
         if r is not None:
             yield r
-        pos = end
-        while data[pos:pos + 2] == CRLF or data[pos:pos + 1] == b"\n":
-            pos += 2 if data[pos:pos + 2] == CRLF else 1
 
 
 def index_warc(spark: SparkSession, path: str,

@@ -251,17 +251,29 @@ def test_decode_byte_fallback_preserves_boundaries(spark):
 
 
 def test_decode_invalid_id_renders_replacement(spark):
-    """Only an id OUTSIDE the vocabulary (corrupt input — the encoder
-    never emits one) renders U+FFFD."""
+    """Corrupt input renders U+FFFD per damaged sequence, never a task
+    failure: ids outside the vocabulary coalesce to the replacement
+    char, and byte ids forming INVALID UTF-8 (a truncated or
+    bit-flipped shard, or a byte run cut at a packed-sequence boundary)
+    are repaired by make_valid_utf8 — Spark 4's strict decode() would
+    abort the whole job on the lone continuation byte (code-review r5
+    finding, reproduced)."""
     train = spark.createDataFrame(
         [(0, "abc abc cab")], "doc_id long, text string")
     merges = train_bpe_merges(train, n_merges=2)
     vocab = bpe_vocab(corpus_alphabet(train), merges)
     bad = spark.createDataFrame(
-        [(1, [vocab_size(vocab) + 7, 10 ** 6])],
+        [(1, [vocab_size(vocab) + 7, 10 ** 6]),   # out-of-vocab ids
+         (2, [200]),                              # lone continuation byte
+         (3, [0xE2, 0x96]),                       # truncated 3-byte seq
+         (4, [0x61, 0xFF, 0x62])],                # invalid byte mid-word
         "doc_id long, token_ids array<int>")
-    dec = decode_corpus(bad, vocab).collect()[0]["text"]
-    assert dec == "��"
+    dec = {r["doc_id"]: r["text"]
+           for r in decode_corpus(bad, vocab).collect()}
+    assert dec[1] == "��"
+    assert dec[2] == "�"
+    assert "�" in dec[3] and "▁" not in dec[3]
+    assert dec[4].startswith("a") and "�" in dec[4] and dec[4].endswith("b")
 
 
 def test_hostile_corpus_round_trips_with_zero_replacement(spark):

@@ -391,13 +391,18 @@ def test_index_truncated_tail_marker(spark, tmp_path):
     rows = list(W.iter_warc_index(p.read_bytes(), str(p)))
     assert rows[-1]["warc_offset"] == -1
     assert [r["url"] for r in rows[:-1]] == [r["url"] for r in recs[:3]]
+    cdx_rows = [(r["url"], r["warc_file"], r["warc_offset"],
+                 r["warc_length"]) for r in rows]
+    # a hand-built bad row WITH a known url: the error row must carry
+    # it (ingest-audit attribution, code-review r5 finding)
+    cdx_rows.append(("http://known.example/x", str(p), -5, 100))
     out = W.read_warc_offsets(
-        spark, spark.createDataFrame(
-            [(r["url"], r["warc_file"], r["warc_offset"],
-              r["warc_length"]) for r in rows], W.CDX_SCHEMA)).collect()
-    errs = [r for r in out if r["error"] is not None]
-    assert len(errs) == 1 and errs[0]["warc_offset"] == -1
-    assert len(out) == 4
+        spark, spark.createDataFrame(cdx_rows, W.CDX_SCHEMA)).collect()
+    errs = {r["warc_offset"]: r for r in out if r["error"] is not None}
+    assert sorted(errs) == [-5, -1]
+    assert errs[-1]["url"] is None
+    assert errs[-5]["url"] == "http://known.example/x"
+    assert len(out) == 5
 
 
 def test_index_warc_plan_zero_exchanges(spark, container):

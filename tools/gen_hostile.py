@@ -162,6 +162,12 @@ def main() -> int:
         (8, "hostile", -1.0, '{"k": "notint"}'),  # non-numeric k
         (None, None, None, None),                 # everything NULL
         (9, "hostile", 0.0, '{"k": 42}'),
+        # decimal / scientific k: the class where string->INT casts
+        # DISAGREE across engines (Spark try_cast NULLs '1.5', DuckDB
+        # rounds to 2) — the JSON-pointer queries must cast to DOUBLE
+        (9, "hostile", 1.0, '{"k": 1.5}'),
+        (9, "hostile", 2.0, '{"k": 1e2}'),
+        (8, "hostile", 3.0, '{"k": -0.25}'),
     ]
     for k, (uid, etype, val, props) in enumerate(hostile_events):
         con.execute(
