@@ -40,6 +40,10 @@ QUERIES = [
     ("ann_ivf_probe", "IVF-flat ANN — cell assignment is a shuffle-free "
      "argmax projection against the literal centroid matrix; only the "
      "tiny query-cells side broadcasts"),
+    ("knn_brute_cosine", "brute-force cosine top-k — 1-row query "
+     "broadcast, JVM HOF dot folds (the r5 A/B winner for the "
+     "3-dots-per-row shape; the Arrow kernel stays on many-dots-per-row "
+     "paths), TakeOrdered top-k, no hash exchange"),
     ("extract_document_json", "S9 Document JSON — nested to_json built "
      "JVM-side in the same zero-exchange stage as the extraction"),
     ("dedup_jaccard_pairs", "near-dup verification — MinHash-LSH "
@@ -202,6 +206,8 @@ def main() -> int:
     from ocr_module_spark.functions.dedup import (q_dedup_incremental,
                                                   q_dedup_jaccard_pairs)
     qs["dedup_incremental"] = q_dedup_incremental
+    from ocr_module_spark.functions.simsearch import q_knn_brute_cosine
+    qs["knn_brute_cosine"] = q_knn_brute_cosine
     # rotated out of the 50-row driver window for text_dsir_select
     # (hostile gate keeps its DuckDB parity); the plan is still reported
     qs["dedup_jaccard_pairs"] = q_dedup_jaccard_pairs
